@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from contacts_etl_phase21_spark.plans import QUERIES  # noqa: E402
+from contacts_etl_phase21_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — joins, aggs, windows, similarity
+# self-join, scoring, text ops. Kept stable across rounds so BENCH_r{N}.json
+# is comparable.
+HEADLINE = [
+    "flagship_shipping_priority",
+    "agg_pricing_summary",
+    "j1_blocked_similarity_selfjoin",
+    "j3_broadcast_dim_join",
+    "e6_survivorship_rank",
+    "a4_ordered_concat_notes",
+    "c3_confidence_score",
+    "c6_referral_priority_rank",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("contacts-etl-phase21-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # extend with any queries tagged headline later
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers once with a trivial action.
+    QUERIES[names[0]].fn(spark, sf_dir).limit(1).collect()
+
+    total = 0.0
+    for name in names:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        # Execute fully: count() forces the whole plan but skips driver
+        # materialization cost; write-to-noop would include row encoding.
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Table IO for the driver's synthetic testdata and engine interchange.
+
+Engine-internal interchange is Parquet (typed, columnar, splittable);
+CSV exists only as a final export projection for reference-format
+compatibility (SURVEY.md §2.1 S6/S7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → Catalyst gets pushdown
+    and column pruning for free; callers select/filter declaratively.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and convert to micros
+    TimestampType (same truncation DuckDB applies when returning
+    Python datetimes)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for name, dtype in df.dtypes:
+        if name == "ts" and dtype == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for the local[N] test/bench environment but every
+knob is the one you'd set on a real cluster:
+
+- AQE on (runtime coalescing, skew-join splitting — matters for the
+  blocked similarity self-join where common blocking keys skew).
+- shuffle.partitions sized to cores locally; on a 1000-executor cluster
+  this is overridden to ~2-3x total cores or left to AQE's coalescing.
+- Arrow enabled so pandas UDFs / toPandas are vectorized batch transfers.
+- maxPartitionBytes left at 128m: at 100 TB that yields ~800k input
+  splits, which AQE coalesces post-shuffle; scans stay parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+def get_spark(app_name: str = "contacts-etl-phase21-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long,
+        # io.load converts to micros TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
