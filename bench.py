@@ -31,6 +31,9 @@ HEADLINE = [
     "a4_ordered_concat_notes",
     "c3_confidence_score",
     "c6_referral_priority_rank",
+    "dd_minhash_lsh_verified",
+    "ann_brute_topk",
+    "ta_quality_scores",
 ]
 
 

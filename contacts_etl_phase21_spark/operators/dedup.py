@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, all as declarative DataFrame programs:
+
+- exact_duplicates:    hash-groupBy on content (or a normalized
+  fingerprint) — one shuffle, map-side partial agg.
+- jaccard_near_duplicates: EXACT shingle-set Jaccard via an
+  inverted-index self-join — no cross join: explode shingles, join on
+  shingle, count shared per pair, |A∪B| = |A|+|B|-shared. This is the
+  verification tier; cost is Σ per-shingle pair counts, controlled by
+  shingle size (word n-grams keep posting lists short).
+- minhash_lsh_candidates: the 100 TB path. Per-doc MinHash signature
+  computed JVM-side (xxhash64 per seed, min-aggregated), banded into
+  LSH buckets; candidates = docs sharing a band bucket; verified with
+  exact Jaccard on the candidates only.
+- simhash_buckets: 64-bit SimHash via pandas UDF, bucketed by 16-bit
+  chunks (any near-dup within hamming distance r shares ≥1 of
+  ceil(64/(r+1)) chunks for r≤3 with 4 chunks).
+
+At 100 TB: every join here is an equi-join on a synthetic key
+(shingle, band bucket, simhash chunk) — shuffle-partitionable, AQE
+skew-splittable; nothing is O(n²) in the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from contacts_etl_phase21_spark.functions.similarity import simhash64
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Distinct whitespace tokens of trimmed text (order-insensitive
+    content set)."""
+    return F.array_distinct(F.split(F.trim(text), r"\s+"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column —
+    pure JVM (split + transform over an index sequence)."""
+    toks = F.split(F.trim(text), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """Groups of ids sharing a fingerprint column (caller supplies the
+    hash — e.g. md5(text) or content_fingerprint). Returns one row per
+    duplicate group: fingerprint, group_size, member ids sorted."""
+    return (
+        df.select(F.col(id_col), fingerprint.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.array_sort(F.collect_list(id_col)).alias("members"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold via inverted index.
+
+    Plan: doc→shingles → explode → self-equi-join on shingle →
+    per-pair shared count → jaccard. One wide shuffle on shingle, one
+    on the pair key; no cartesian anywhere.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).select("doc", "shingles", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    left = posting.select(F.col("doc").alias("doc_a"),
+                          F.col("n_sh").alias("n_a"), "shingle")
+    right = posting.select(F.col("doc").alias("doc_b"),
+                           F.col("n_sh").alias("n_b"), "shingle")
+    pairs = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """Per-doc MinHash signature, entirely JVM-side: explode shingles,
+    per seed take min(xxhash64(seed, shingle)). Output: id, sig array."""
+    posting = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    mins = [F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(num_hashes)]
+    agg = posting.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.8) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard.
+
+    bands=16 × rows=4 → P(candidate) = 1-(1-j⁴)¹⁶: ≈0.99+ at j=0.8.
+    The band bucket join is the only all-corpus shuffle; verification
+    touches candidates only.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.element_at("signature", b * rows + r + 1)
+                               for r in range(rows)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    buckets = banded.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    l = buckets.select(F.col("doc").alias("doc_a"), "bb")
+    r = buckets.select(F.col("doc").alias("doc_b"), "bb")
+    candidates = (
+        l.join(r, "bb")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("doc"),
+                   word_shingles(F.col(text_col), n).alias("shingles"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+@pandas_udf(LongType())
+def _udf_simhash(tokens: pd.Series) -> pd.Series:
+    # signed 64-bit so it fits LongType; hamming works on the bit pattern
+    return tokens.map(
+        lambda t: simhash64(list(t)) - (1 << 64)
+        if simhash64(list(t)) >= (1 << 63) else simhash64(list(t)))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint (pandas UDF over
+    token arrays), blocked on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
+    ≥1 identical chunk of 4), verified with exact popcount."""
+    fp = df.select(
+        F.col(id_col).alias("doc"),
+        _udf_simhash(F.split(F.trim(F.col(text_col)), r"\s+")).alias("simhash"))
+    chunks = fp.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                     .alias("chunk"))
+            for i in range(4)])).alias("c"))
+    l = chunks.select(F.col("doc").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "c")
+    r = chunks.select(F.col("doc").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "c")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        l.join(r, "c")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,98 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- cosine_col: dot product of two array<float> columns via zip_with +
+  aggregate — pure JVM, no UDF.
+- brute_force_topk: exact baseline. Queries are broadcast (small side);
+  corpus side streams — one pass, no shuffle of the corpus.
+- lsh_topk: the scale path — random-hyperplane (sign) LSH: b hash bits
+  from fixed pseudo-random planes, candidates share a bucket; exact
+  rerank inside buckets. At 100 TB the corpus is bucketed once
+  (write-time partitioning by bucket), queries probe matching buckets
+  only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two equal-length float arrays, computed in
+    double (dot / (|a|·|b|)) — full formula, not the normalized-input
+    shortcut: sub-1e-6 norm deviations otherwise flip rounded ranks."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query. queries: (query_id, embedding).
+    Plan: broadcast queries × stream corpus → per-partition partial
+    top-k via window; deterministic tiebreak on (rounded sim desc, id).
+    """
+    q = broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")))
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        query_id_col, id_col,
+        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-LSH bucket id from `bits` fixed pseudo-random hyperplanes.
+
+    Plane weights are deterministic pseudo-randoms derived from
+    (bit, component) via a hash-like integer mix — no state, no
+    broadcast table, reproducible everywhere.
+    """
+    total = F.lit(0)
+    for b in range(bits):
+        # plane weight for (b, i): integer mix → [-0.5, 0.5), fixed
+        dot = F.expr(
+            "aggregate(zip_with(__vec__, sequence(0, {d1}), (x, i) -> "
+            "cast(x as double) * ((cast((({b} * 1000003 + i * 7919) % 104729) as double)"
+            " / 104729.0) - 0.5)), cast(0.0 as double), (acc, v) -> acc + v)"
+            .format(d1=dim - 1, b=b))
+        total = total + (F.when(dot >= 0, 1).otherwise(0) * F.lit(2 ** b))
+    return total
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             dim: int = 64, bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """ANN top-k: bucket corpus + queries by sign-LSH, rerank exactly
+    within matching buckets. Recall < 1 by construction; the bench
+    pairs it with brute_force_topk to report recall."""
+    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+        return df.withColumnRenamed(vec_col, "__vec__").withColumn(
+            "bucket", hyperplane_bucket(F.col("__vec__"), dim, bits)) \
+            .withColumnRenamed("__vec__", vec_col)
+
+    c = bucketed(corpus.select(id_col, vec_col), id_col)
+    q = broadcast(bucketed(
+        queries.select(query_id_col, vec_col), query_id_col)
+        .select(query_id_col, F.col(vec_col).alias("q_vec"), "bucket"))
+    scored = c.join(q, "bucket").select(
+        query_id_col, id_col,
+        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )

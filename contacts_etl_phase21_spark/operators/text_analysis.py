@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM, codegen) — these run over every
+document in a 100 TB corpus, so no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic;
+# deterministic and SQL-expressible (the standard fastText-style LID is
+# a model call — this is the rule-based tier)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of marker-word occurrences (word-boundary regex)."""
+    pattern = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def predict_language(text: Column) -> Column:
+    """Rule-based language ID: argmax of marker hits, 'und' when all
+    zero. Deterministic precedence: en > es > de > fr > zh on ties
+    (greatest-hits-first with stable when-chain)."""
+    hits = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    chain = F.when(best == 0, "und")
+    for lang in ("en", "es", "de", "fr", "zh"):
+        chain = chain.when(hits[lang] == best, lang)
+    return chain
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.when(F.trim(text) == "", F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: alpha runs, digit runs, and
+    single punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_signals(text: Column) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality signals (the classic Gopher-style rule family)."""
+    n_chars = F.length(text)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = whitespace_token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = _marker_hits(text, LANG_MARKERS["en"])
+    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.round((F.length(F.regexp_replace(F.trim(text), r"\s+", ""))).cast("double")
+                / n_tokens, 4))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.round(n_punct.cast("double") / n_chars, 4)),
+        "stopword_ratio": F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+            F.round(n_stop.cast("double") / n_tokens, 4)),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-100 quality score from the signals: in-range token
+    count (40), sane mean word length (30), has stopwords (20), low
+    punctuation (10)."""
+    s = quality_signals(text)
+    return (
+        F.when((s["n_tokens"] >= 10) & (s["n_tokens"] <= 1000), 40).otherwise(0)
+        + F.when((s["mean_word_len"] >= 2.0) & (s["mean_word_len"] <= 12.0), 30)
+        .otherwise(0)
+        + F.when(s["stopword_ratio"] > 0, 20).otherwise(0)
+        + F.when(s["punct_ratio"] <= 0.2, 10).otherwise(0)
+    ).cast("int")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — catches shuffled/re-ordered duplicates that
+    exact text hashing misses."""
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+")))
+    return F.md5(F.array_join(toks, " "))

@@ -7,3 +7,4 @@ from contacts_etl_phase21_spark.plans.registry import QUERIES, Query, query  # n
 # Importing the modules populates the registry.
 from contacts_etl_phase21_spark.plans import relational  # noqa: F401,E402
 from contacts_etl_phase21_spark.plans import functions_queries  # noqa: F401,E402
+from contacts_etl_phase21_spark.plans import llm_ops  # noqa: F401,E402

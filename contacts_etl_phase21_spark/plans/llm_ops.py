@@ -1,0 +1,287 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — over the `documents` and `embeddings` tables.
+
+These are the beyond-the-reference operators the engine adds for
+training-data pipelines at 100 TB (BASELINE.json north star). Each has
+a DuckDB oracle where the computation is engine-agnostic; hash-based
+candidate generation (LSH/SimHash) is oracle-checked through its
+*verified* output where recall is provably ~1, rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.operators import dedup as dd
+from contacts_etl_phase21_spark.operators import similarity_search as ann
+from contacts_etl_phase21_spark.operators import text_analysis as ta
+from contacts_etl_phase21_spark.operators.multimodal import (
+    extract_features, with_binary_payload,
+)
+from contacts_etl_phase21_spark.plans.registry import query
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+_DUCK_SHINGLES = """
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        )
+"""
+
+_DUCK_JACCARD_PAIRS = f"""
+        WITH {_DUCK_SHINGLES},
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+@query(
+    "dd_exact_fingerprint_groups",
+    survey="LLM-dedup(exact)",
+    doc="Exact duplicate groups by order-insensitive content fingerprint "
+        "(md5 of sorted distinct token set) — hash-groupBy, one shuffle, "
+        "catches token-reordered copies.",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint,
+               COUNT(*) AS group_size,
+               array_to_string(list_sort(list(doc_id)), '|') AS members
+        FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def dd_exact_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    groups = dd.exact_duplicates(
+        docs, "doc_id", ta.content_fingerprint(F.col("text")))
+    return groups.select(
+        "fingerprint", "group_size",
+        F.array_join(F.transform("members", lambda m: m.cast("string")), "|")
+        .alias("members"))
+
+
+@query(
+    "dd_jaccard_near_dups",
+    survey="LLM-dedup(ngram-jaccard)",
+    doc="EXACT word-3-gram Jaccard ≥ 0.8 pairs via inverted-index "
+        "self-join (explode shingles → equi-join → per-pair overlap). No "
+        "cartesian product; the only shuffles are on shingle and pair key.",
+    oracle=_DUCK_JACCARD_PAIRS,
+)
+def dd_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.jaccard_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@query(
+    "dd_minhash_lsh_verified",
+    survey="LLM-dedup(minhash-lsh)",
+    doc="MinHash(64)+LSH(16 bands) candidates verified with exact "
+        "Jaccard ≥ 0.8 — the 100 TB dedup path. P(miss) ≈ (1-j⁴)¹⁶ "
+        "< 1e-3 at j=0.8, so the verified output equals the exact pair "
+        "set and shares its oracle; the all-corpus work is one equi-join "
+        "on band buckets.",
+    oracle=_DUCK_JACCARD_PAIRS,
+)
+def dd_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text",
+                                n=3, num_hashes=64, bands=16, threshold=0.8)
+
+
+@query(
+    "dd_simhash_near_dups",
+    survey="LLM-dedup(simhash)",
+    doc="SimHash-64 near-dup pairs (hamming ≤ 3) blocked by 16-bit "
+        "chunks (pigeonhole guarantee) — pandas-UDF fingerprint, chunk "
+        "equi-join. Hash-specific → rows-only driver check; recall vs "
+        "the exact pair set asserted in unit tests.",
+    oracle=None,
+)
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "ann_brute_topk",
+    survey="LLM-similarity-search(brute)",
+    doc="Exact cosine top-10 for the first 10 vectors as queries: "
+        "broadcast queries × one streaming pass over the corpus; "
+        "deterministic rank tiebreak on (rounded cosine desc, vec_id).",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann.brute_force_topk(emb, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("int"))
+
+
+@query(
+    "ann_lsh_topk",
+    survey="LLM-similarity-search(lsh)",
+    doc="Sign-LSH bucketed ANN top-10 (8 fixed pseudo-random "
+        "hyperplanes → 256 buckets, exact rerank within bucket) — the "
+        "scale path; recall vs brute force reported in tests/bench. "
+        "Bucketing is engine-specific → rows-only check.",
+    oracle=None,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann.lsh_topk(emb, queries, k=10, dim=64, bits=8)
+
+
+@query(
+    "ta_language_id",
+    survey="LLM-text(langid)",
+    doc="Rule-based language ID: per-language stopword-marker hit "
+        "counts, argmax with fixed precedence, 'und' when no markers.",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS h_en,
+                   len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS h_es,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS h_de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS h_fr,
+                   len(regexp_extract_all(lower(text), '\\b(的|是|了|在|我)\\b')) AS h_zh
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(h_en, h_es, h_de, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_en = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'en'
+                    WHEN h_es = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'es'
+                    WHEN h_de = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'de'
+                    WHEN h_fr = GREATEST(h_en, h_es, h_de, h_fr, h_zh) THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM h
+    """,
+)
+def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        ta.predict_language(F.col("text")).alias("predicted_lang"))
+
+
+@query(
+    "ta_quality_scores",
+    survey="LLM-text(quality)",
+    doc="Gopher-style quality signals (length, punct ratio, stopword "
+        "ratio, mean word length) + composite 0-100 score — pure column "
+        "arithmetic, whole-stage codegen over the corpus.",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               ROUND(n_punct * 1.0 / n_chars, 4) AS punct_ratio,
+               ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+               ROUND(n_nonspace * 1.0 / n_tokens, 4) AS mean_word_len,
+               CAST(
+                 (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END) +
+                 (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4) BETWEEN 2.0 AND 12.0
+                       THEN 30 ELSE 0 END) +
+                 (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0 THEN 20 ELSE 0 END) +
+                 (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2 THEN 10 ELSE 0 END)
+               AS INT) AS quality
+        FROM s
+    """,
+)
+def ta_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    s = ta.quality_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_tokens"].cast("int").alias("n_tokens"),
+        s["punct_ratio"].alias("punct_ratio"),
+        s["stopword_ratio"].alias("stopword_ratio"),
+        s["mean_word_len"].alias("mean_word_len"),
+        ta.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "ta_token_counts",
+    survey="LLM-text(tokens)",
+    doc="Whitespace token count + BPE-ish regex token count "
+        "(alpha runs / digit runs / single punctuation).",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS INT) AS bpe_tokens
+        FROM documents
+    """,
+)
+def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.whitespace_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        ta.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"))
+
+
+@query(
+    "mm_decode_features",
+    survey="LLM-multimodal",
+    doc="Binary-payload decode pipeline: documents → opaque binary "
+        "column + metadata → mapInPandas feature extraction (stubbed "
+        "deterministic decode — codecs absent; Spark plumbing real). "
+        "Oracle recomputes the deterministic double from the bytes.",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(octet_length(encode(text)) % 10 + 1 AS INT) AS n_frames,
+               ROUND(ascii(substr(text, 1, 1)) / 255.0, 6) AS feat0
+        FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(docs), fake=True)
+    return feats.select(
+        "doc_id", "byte_len", "n_frames",
+        F.round(F.element_at("feature", 1), 6).alias("feat0"))

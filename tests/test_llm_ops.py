@@ -1,0 +1,79 @@
+"""Operator-level tests for the LLM-pipeline operators: LSH recall vs
+exact, SimHash consistency, ANN recall, multimodal stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.operators import dedup as dd
+from contacts_etl_phase21_spark.operators import similarity_search as ann
+from contacts_etl_phase21_spark.operators.multimodal import (
+    _decode_payload, extract_features, with_binary_payload,
+)
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_is_total(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    exact = _pairs(dd.jaccard_near_duplicates(docs, "doc_id", "text", 3, 0.8))
+    lsh = _pairs(dd.minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8))
+    assert exact, "calibration: testdata must contain planted near-dups"
+    # verified-LSH output must equal the exact pair set (recall 1 at
+    # these parameters, precision 1 by verification)
+    assert lsh == exact
+
+
+def test_simhash_finds_planted_dups(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    exact = _pairs(dd.jaccard_near_duplicates(docs, "doc_id", "text", 3, 0.9))
+    sim = _pairs(dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+                 .select("doc_a", "doc_b"))
+    # SimHash at hamming≤10 should recover most very-high-jaccard pairs
+    if exact:
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_ann_lsh_recall(spark, sf_small):
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    lsh = ann.lsh_topk(emb, queries, k=10, dim=64, bits=8)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    # self-match must always be found (query is in its own bucket)
+    assert all((q, q) in l for q in range(10))
+    recall = len(b & l) / len(b)
+    # 8-bit sign LSH on 64-dim random vectors is a coarse filter; just
+    # assert it returns sane non-trivial overlap and full self-recall
+    assert recall > 0.05, f"lsh recall {recall}"
+
+
+def test_exact_fingerprint_groups_match_tokenset_dups(spark, sf_small):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        content_fingerprint,
+    )
+    docs = load(spark, sf_small, "documents")
+    groups = dd.exact_duplicates(docs, "doc_id", content_fingerprint(F.col("text")))
+    rows = groups.collect()
+    # planted token-set dups exist (calibrated against testdata)
+    assert rows
+    assert all(r["group_size"] >= 2 for r in rows)
+
+
+def test_multimodal_stub_gating(spark, sf_small):
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"abc", fake=False)
+    docs = load(spark, sf_small, "documents").limit(20)
+    out = extract_features(with_binary_payload(docs), fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_frames"] == r["byte_len"] % 10 + 1
+        assert len(r["feature"]) == 4
