@@ -1,0 +1,94 @@
+"""Typed contact data model (SURVEY.md §1.2).
+
+The reference carries everything as strings in CSV; the honest Spark
+schema is typed: nested ArrayType(StructType) channels, TimestampType
+timestamps, integer counts. The reference's "value::label|…" and
+addresses_json encodings exist only at the final CSV-compatible export
+(sinks.render_legacy_columns).
+
+Parity refs: models.py:7-102 (ContactRecord/Email/Phone/Address),
+models.py:181-210 (LineageEntry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+EMAIL_STRUCT = StructType([
+    StructField("value", StringType(), False),
+    StructField("label", StringType(), False),
+])
+
+PHONE_STRUCT = StructType([
+    StructField("value", StringType(), False),
+    StructField("label", StringType(), False),
+    StructField("extension", StringType(), False),
+])
+
+ADDRESS_STRUCT = StructType([
+    StructField("po_box", StringType(), False),
+    StructField("extended", StringType(), False),
+    StructField("street", StringType(), False),
+    StructField("city", StringType(), False),
+    StructField("state", StringType(), False),
+    StructField("postal_code", StringType(), False),
+    StructField("country", StringType(), False),
+    StructField("label", StringType(), False),
+])
+
+# scalar name/identity fields shared by raw + normalized records
+_SCALARS = [
+    "full_name", "prefix", "first_name", "middle_name", "last_name",
+    "maiden_name", "suffix", "suffix_professional", "nickname",
+    "company", "title", "department", "linkedin_url", "notes",
+]
+
+CONTACT_SCHEMA = StructType(
+    [StructField("source", StringType(), False),
+     StructField("source_row_id", StringType(), False),
+     StructField("source_timestamp", StringType(), True)]
+    + [StructField(name, StringType(), True) for name in _SCALARS]
+    + [
+        StructField("emails", ArrayType(EMAIL_STRUCT), True),
+        StructField("phones", ArrayType(PHONE_STRUCT), True),
+        StructField("addresses", ArrayType(ADDRESS_STRUCT), True),
+    ]
+)
+
+CONSOLIDATED_SCHEMA = StructType(
+    [StructField("contact_id", StringType(), False)]
+    + [StructField(name, StringType(), True) for name in _SCALARS if name != "notes"]
+    + [
+        StructField("emails", ArrayType(EMAIL_STRUCT), True),
+        StructField("phones", ArrayType(PHONE_STRUCT), True),
+        StructField("addresses", ArrayType(ADDRESS_STRUCT), True),
+        StructField("invalid_emails", ArrayType(StringType()), True),
+        StructField("non_standard_phones", ArrayType(StringType()), True),
+        StructField("source_count", IntegerType(), True),
+        StructField("source_row_count", IntegerType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType([
+    StructField("contact_id", StringType(), False),
+    StructField("source", StringType(), False),
+    StructField("source_row_id", StringType(), False),
+    StructField("source_full_name", StringType(), True),
+    StructField("source_prefix", StringType(), True),
+    StructField("source_company", StringType(), True),
+    StructField("source_title", StringType(), True),
+    StructField("source_emails", StringType(), True),
+    StructField("source_phones", StringType(), True),
+    StructField("source_addresses_json", StringType(), True),
+    StructField("source_emails_raw", StringType(), True),
+    StructField("source_phones_raw", StringType(), True),
+])
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", StringType(), False),
+    StructField("ts", TimestampType(), False),
+    StructField("user_id", StringType(), False),
+    StructField("event_type", StringType(), False),
+])
