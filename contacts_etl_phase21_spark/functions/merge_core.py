@@ -1,0 +1,343 @@
+"""Entity-resolution pure core: pair scoring, merge gates, survivorship.
+
+These are the pure-Python semantics shared by the Spark operators
+(operators/entity_resolution.py — pandas UDFs + applyInPandas) and the
+behavioral unit tests, so thresshold-critical fuzzy logic has exactly one
+implementation.
+
+Parity targets (reference /root/reference/src/contacts_etl/):
+- first_name_candidates / pair_signals ≡ MergeEvaluator (merge.py:27-84)
+- merge_ok            ≡ decision gates in _cluster_indices
+                        (combine_contacts.py:1156-1222)
+- record_rank / choose_field ≡ _record_timestamp/_choose_by_priority
+                        (combine_contacts.py:243-277)
+- choose_best_first_name ≡ normalization.py:738-780
+- merge_cluster       ≡ _merge_cluster (combine_contacts.py:1244-1426)
+
+Records are plain dicts shaped like schemas.CONTACT_SCHEMA rows (emails/
+phones/addresses as lists of dicts) plus optional `invalid_emails` /
+`non_standard_phones` lists produced by record normalization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from contacts_etl_phase21_spark.functions.geo import address_match_key
+from contacts_etl_phase21_spark.functions.ids import parse_when, stable_uuid
+from contacts_etl_phase21_spark.functions.labels import (
+    rank_is_better, should_replace_label, source_priority,
+)
+from contacts_etl_phase21_spark.functions.names import (
+    guess_from_email_local, nickname_equivalent,
+)
+from contacts_etl_phase21_spark.functions.phones import (
+    phone_is_valid, phone_to_e164, render_with_extension,
+)
+from contacts_etl_phase21_spark.functions.similarity import seq_ratio
+from contacts_etl_phase21_spark.functions.text import fold_text
+
+Rank = tuple[datetime | None, int]
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    """Thresholds from the reference's config.yaml:66-70 defaults."""
+
+    merge_score_threshold: float = 1.2
+    relaxed_merge_threshold: float = 0.6
+    first_name_similarity_threshold: float = 0.88
+    nickname_equivalence: bool = True
+    require_corroborator: bool = False
+    default_phone_country: str = "US"
+
+
+@dataclass(frozen=True)
+class MergeSignals:
+    score: float
+    corroborators: int
+    first_similarity: float
+    emails_overlap: bool
+
+    @property
+    def has_corroborator(self) -> bool:
+        return self.corroborators > 0
+
+
+def record_rank(rec: dict) -> Rank:
+    """(parsed source_timestamp, source priority) — the survivorship rank."""
+    return (parse_when(rec.get("source_timestamp")),
+            source_priority(rec.get("source")))
+
+
+def first_name_candidates(rec: dict) -> list[str]:
+    out: list[str] = []
+    for value in (rec.get("first_name"), rec.get("nickname")):
+        value = (value or "").strip()
+        if value and value not in out:
+            out.append(value)
+    return out
+
+
+def address_keys(addresses: list[dict] | None) -> set[str]:
+    keys = set()
+    for a in addresses or []:
+        k = address_match_key(a.get("city", ""), a.get("state", ""),
+                              a.get("postal_code", ""))
+        if k:
+            keys.add(k)
+    return keys
+
+
+def pair_signals(a: dict, b: dict,
+                 nickname_equivalence: bool = True) -> MergeSignals:
+    """Weighted evidence score + corroborator count for one pair."""
+    score = 0.0
+    corroborators = 0
+
+    a_names, b_names = first_name_candidates(a), first_name_candidates(b)
+    sims = [seq_ratio(x, y) for x in a_names for y in b_names]
+    first_similarity = (max(sims) if sims
+                        else seq_ratio(a.get("first_name"), b.get("first_name")))
+    if nickname_equivalence and any(
+            nickname_equivalent(x, y) for x in a_names for y in b_names):
+        first_similarity = max(first_similarity, 0.96)
+    score += 0.7 * first_similarity
+
+    a_suffix = (a.get("suffix") or "")
+    if a_suffix and a_suffix.lower() == (b.get("suffix") or "").lower():
+        score += 0.1
+
+    emails_a = {e["value"] for e in a.get("emails") or []}
+    emails_b = {e["value"] for e in b.get("emails") or []}
+    emails_overlap = bool(emails_a & emails_b)
+    if emails_overlap:
+        score += 1.0
+        corroborators += 1
+
+    phones_a = {p["value"] for p in a.get("phones") or []}
+    phones_b = {p["value"] for p in b.get("phones") or []}
+    if phones_a & phones_b:
+        score += 1.0
+        corroborators += 1
+
+    if address_keys(a.get("addresses")) & address_keys(b.get("addresses")):
+        score += 0.5
+        corroborators += 1
+
+    if a.get("linkedin_url") and a.get("linkedin_url") == b.get("linkedin_url"):
+        score += 0.8
+        corroborators += 1
+
+    return MergeSignals(score=score, corroborators=corroborators,
+                        first_similarity=first_similarity,
+                        emails_overlap=emails_overlap)
+
+
+def merge_ok(a: dict, b: dict, sig: MergeSignals,
+             cfg: DedupeConfig = DedupeConfig()) -> bool:
+    """Threshold test + the four veto gates."""
+    ok = (sig.score >= cfg.merge_score_threshold) or (
+        sig.first_similarity >= cfg.first_name_similarity_threshold
+        and sig.score >= cfg.relaxed_merge_threshold)
+
+    a_names, b_names = first_name_candidates(a), first_name_candidates(b)
+
+    # Gate 1: a side with no usable (first/nickname + last) identity may
+    # only merge on hard evidence (shared email/phone/address/linkedin).
+    either_nameless = not (a_names and (a.get("last_name") or "")) \
+        or not (b_names and (b.get("last_name") or ""))
+    if either_nameless and not sig.has_corroborator:
+        ok = False
+
+    names_align = any(fold_text(x) == fold_text(y)
+                      for x in a_names for y in b_names if x and y)
+    nickname_eq = cfg.nickname_equivalence and any(
+        nickname_equivalent(x, y) for x in a_names for y in b_names)
+
+    # Gate 2: with names on both sides, some name-level agreement (exact,
+    # nickname, shared email, or same linkedin) is mandatory.
+    if a_names and b_names:
+        linkedin_match = bool(a.get("linkedin_url")
+                              and a.get("linkedin_url") == b.get("linkedin_url"))
+        if not (names_align or nickname_eq or sig.emails_overlap or linkedin_match):
+            ok = False
+
+    # Gate 3: pairs touching LinkedIn rows are stricter — without a shared
+    # email they need last + (first|nickname) + generational-suffix equality.
+    if (a.get("source") or "").lower() == "linkedin" \
+            or (b.get("source") or "").lower() == "linkedin":
+        if not sig.emails_overlap:
+            last_eq = fold_text(a.get("last_name")) == fold_text(b.get("last_name"))
+            gen_eq = fold_text(a.get("suffix")) == fold_text(b.get("suffix"))
+            if not (last_eq and (names_align or nickname_eq) and gen_eq):
+                ok = False
+
+    if cfg.require_corroborator:
+        ok = ok and sig.has_corroborator
+    return ok
+
+
+def choose_field(records: list[dict], field: str) -> str:
+    """First non-empty value with the best (timestamp, priority) rank."""
+    best_value, best_rank = "", (None, -1)
+    for rec in records:
+        value = rec.get(field) or ""
+        if not value:
+            continue
+        rank = record_rank(rec)
+        if best_value == "" or rank_is_better(rank, best_rank):
+            best_rank, best_value = rank, value
+    return best_value
+
+
+def choose_best_first_name(records: list[dict]) -> tuple[str, str]:
+    """Weighted vote: explicit first names (linkedin ×2) + email-local
+    guesses (×1.5); near-identical keys (seq_ratio ≥ 0.9) pool their
+    votes; explicit names beat guesses; winner keeps original casing."""
+    counts: dict[str, float] = {}
+    casing: dict[str, str] = {}
+    explicit: dict[str, bool] = {}
+    for rec in records:
+        first = rec.get("first_name") or ""
+        if first:
+            weight = 2.0 if (rec.get("source") or "").lower() == "linkedin" else 1.0
+            key = first.lower()
+            counts[key] = counts.get(key, 0.0) + weight
+            casing.setdefault(key, first)
+            explicit[key] = True
+        for email in rec.get("emails") or []:
+            value = email.get("value") or ""
+            local = value.split("@", 1)[0] if "@" in value else ""
+            guess = guess_from_email_local(local)[0]
+            if guess:
+                key = guess.lower()
+                counts[key] = counts.get(key, 0.0) + 1.5
+                casing.setdefault(key, guess.title())
+                explicit.setdefault(key, False)
+    if not counts:
+        return "", ""
+    merged: dict[str, float] = {}
+    merged_explicit: dict[str, bool] = {}
+    for key in counts:
+        if key in merged:
+            continue
+        merged[key] = counts[key]
+        merged_explicit[key] = explicit.get(key, False)
+        for other in counts:
+            if other == key or other in merged:
+                continue
+            if seq_ratio(key, other) >= 0.9:
+                merged[key] += counts[other]
+                merged_explicit[key] = merged_explicit[key] or explicit.get(other, False)
+                merged[other] = -1.0
+                merged_explicit[other] = merged_explicit.get(other, False)
+    candidates = [k for k, score in merged.items() if score >= 0]
+    if not candidates:
+        return "", ""
+    explicit_candidates = [k for k in candidates if merged_explicit.get(k, False)]
+    pool = explicit_candidates or candidates
+    best = max(pool, key=lambda k: merged[k])
+    return casing.get(best, best.title()), best
+
+
+def _renormalize_phone(value: str, default_country: str) -> tuple[str, bool]:
+    """E.164 with whitespace-compacted retry → (value, is_confident)."""
+    raw = value or ""
+    formatted = phone_to_e164(raw, default_country)
+    if formatted and phone_is_valid(formatted):
+        return formatted, True
+    compact = "".join(raw.split())
+    if compact and compact != raw:
+        formatted = phone_to_e164(compact, default_country)
+        if formatted and phone_is_valid(formatted):
+            return formatted, True
+    return raw.strip(), False
+
+
+def merge_cluster(records: list[dict],
+                  default_country: str = "US") -> dict:
+    """Survivorship merge of one cluster (records in ingest order) →
+    consolidated contact dict (CONSOLIDATED_SCHEMA shape)."""
+    import json
+
+    best_first, _ = choose_best_first_name(records)
+    scalars = {f: choose_field(records, f) for f in (
+        "prefix", "middle_name", "last_name", "maiden_name", "suffix",
+        "suffix_professional", "nickname", "company", "title",
+        "department", "linkedin_url")}
+
+    all_emails: dict[str, tuple[str, Rank]] = {}
+    all_phones: dict[tuple[str, str], tuple[str, Rank]] = {}
+    invalid_emails: set[str] = set()
+    non_standard: set[str] = set()
+    addresses: list[dict] = []
+    seen_addr: set[str] = set()
+
+    for rec in records:
+        invalid_emails.update(rec.get("invalid_emails") or [])
+        non_standard.update(rec.get("non_standard_phones") or [])
+        rank = record_rank(rec)
+        for email in rec.get("emails") or []:
+            value, label = email.get("value") or "", email.get("label") or ""
+            existing = all_emails.get(value)
+            if existing is None or should_replace_label(
+                    existing[0], existing[1], label, rank):
+                all_emails[value] = (label, rank)
+        for phone in rec.get("phones") or []:
+            value, is_confident = _renormalize_phone(
+                phone.get("value") or "", default_country)
+            if not value:
+                continue
+            extension = phone.get("extension") or ""
+            label = phone.get("label") or ""
+            if not is_confident:
+                rendered_value = render_with_extension(value, extension)
+                non_standard.add(f"{rendered_value}::{label}" if label
+                                 else rendered_value)
+                label = label or "invalid"
+            key = (value, extension)
+            existing = all_phones.get(key)
+            if existing is None or should_replace_label(
+                    existing[0], existing[1], label, rank):
+                all_phones[key] = (label, rank)
+        for addr in rec.get("addresses") or []:
+            as_dict = {k: addr.get(k) or "" for k in (
+                "po_box", "extended", "street", "city", "state",
+                "postal_code", "country", "label")}
+            key = json.dumps(as_dict, sort_keys=True)
+            if key not in seen_addr:
+                seen_addr.add(key)
+                addresses.append(as_dict)
+
+    full_name = " ".join(filter(None, [
+        scalars["prefix"], best_first, scalars["middle_name"],
+        scalars["last_name"], scalars["suffix"]])).strip()
+    lineage_keys = sorted(
+        f"{r.get('source')}:{r.get('source_row_id')}" for r in records
+        if r.get("source") and r.get("source_row_id"))
+    phone_renders = sorted(render_with_extension(v, e) for v, e in all_phones)
+    key_material = "::".join([
+        full_name, scalars["company"], scalars["title"],
+        ";".join(sorted(all_emails)), ";".join(phone_renders),
+        "|".join(lineage_keys)]).strip()
+    contact_id = stable_uuid(
+        key_material or full_name or records[0].get("source_row_id") or "")
+
+    sources = {r.get("source") for r in records if r.get("source")}
+    return {
+        "contact_id": contact_id,
+        "full_name": full_name,
+        "first_name": best_first,
+        **scalars,
+        "emails": [{"value": v, "label": all_emails[v][0] or "other"}
+                   for v in sorted(all_emails)],
+        "phones": [{"value": v, "label": all_phones[(v, e)][0] or "other",
+                    "extension": e} for v, e in sorted(all_phones)],
+        "addresses": addresses,
+        "invalid_emails": sorted(invalid_emails),
+        "non_standard_phones": sorted(non_standard),
+        "source_count": len(sources) or len(records),
+        "source_row_count": len(records),
+    }

@@ -1,0 +1,395 @@
+"""Entity resolution as a Spark DataFrame program (SURVEY.md §2.4 E1-E10).
+
+Pipeline shape (reference behavior: combine_contacts.py:1116-1426):
+
+    prepare_for_matching  E1  blocking key + match-feature columns
+    candidate_pairs       E2  blocked self-join, rid_l < rid_r
+    score_pairs           E3  evidence score (column algebra + one
+                              Arrow-batched name-similarity UDF)
+    accepted_edges        E4  decision gates as boolean column algebra
+    connected_components  E5  iterative min-label propagation
+    merge_clusters        E6-E9 survivorship via applyInPandas over the
+                              pure merge_core.merge_cluster
+    build_lineage         E10 per-source-record provenance rows
+
+Scale design:
+- The only quadratic step is within a block (classic blocked similarity
+  join); the self-join shuffles both sides on block_key once. Skewed
+  keys (common surnames) are handled by AQE skew-join splitting
+  (enabled in session.py); truly adversarial blocks can be salted
+  upstream without changing semantics because scoring is per-pair.
+- Connected components shuffles on id each round; contact-graph
+  components are near-cliques (diameter ≤ ~3), so the loop converges in
+  3-4 rounds. localCheckpoint cuts lineage per round (on a real cluster
+  prefer spark.sparkContext.setCheckpointDir + checkpoint()).
+- Survivorship groups by cluster_id (one shuffle); per-cluster work is
+  O(cluster size), Arrow-batched, and clusters are small by
+  construction, so applyInPandas is not a skew risk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from contacts_etl_phase21_spark.functions import merge_core
+from contacts_etl_phase21_spark.functions.merge_core import DedupeConfig
+from contacts_etl_phase21_spark.functions.names import nickname_equivalent
+from contacts_etl_phase21_spark.functions.similarity import seq_ratio
+from contacts_etl_phase21_spark.functions.spark_cols import udf_fold_text
+from contacts_etl_phase21_spark.functions.text import fold_text
+from contacts_etl_phase21_spark.schemas import CONSOLIDATED_SCHEMA
+
+# Ingest order mirrors the reference's loader order (linkedin, gmail,
+# mac_vcf) so cluster fold order and pair orientation match.
+_SOURCE_ORDER = {"linkedin": 0, "gmail": 1, "mac_vcf": 2}
+
+# ---------------------------------------------------------------------------
+# E1: blocking + match features
+# ---------------------------------------------------------------------------
+
+
+def _source_order_col() -> F.Column:
+    expr = F.lit(3)
+    for name, rank in _SOURCE_ORDER.items():
+        expr = F.when(F.lower(F.col("source")) == name, F.lit(rank)) \
+            .otherwise(expr)
+    return expr
+
+
+def prepare_for_matching(df: DataFrame) -> DataFrame:
+    """Add rid (global ingest-order id), block_key (E1 coalesce chain:
+    last_name → full_name → first email → first phone → unique blank),
+    and the pure-column match features used by scoring."""
+    nonblank = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    addr = F.filter(
+        F.transform(
+            F.coalesce("addresses", F.array()),
+            lambda a: F.when(
+                (F.trim(a["city"]) != "").cast("int")
+                + (F.trim(a["state"]) != "").cast("int")
+                + (F.trim(a["postal_code"]) != "").cast("int") >= 2,
+                F.concat_ws("|", F.lower(F.trim(a["city"])),
+                            F.lower(F.trim(a["state"])),
+                            F.lower(F.trim(a["postal_code"]))))),
+        lambda x: x.isNotNull())
+    return (
+        df
+        .withColumn("rid", _source_order_col().cast("long") * F.lit(1 << 40)
+                    + F.coalesce(F.expr("try_cast(source_row_id AS long)"),
+                                 F.abs(F.xxhash64("source", "source_row_id"))
+                                 % F.lit(1 << 40)))
+        .withColumn("_fold_last", udf_fold_text(F.col("last_name")))
+        .withColumn("_fold_suffix", udf_fold_text(F.col("suffix")))
+        .withColumn("email_values", F.transform(
+            F.coalesce("emails", F.array()), lambda e: e["value"]))
+        .withColumn("phone_values", F.transform(
+            F.coalesce("phones", F.array()), lambda p: p["value"]))
+        .withColumn("addr_keys", addr)
+        .withColumn("block_key", F.coalesce(
+            nonblank(F.col("_fold_last")),
+            nonblank(udf_fold_text(F.col("full_name"))),
+            nonblank(udf_fold_text(F.get("email_values", 0))),
+            nonblank(udf_fold_text(F.get("phone_values", 0))),
+            F.concat(F.lit("__blank_"), F.col("rid").cast("string"))))
+        .withColumn("name_candidates", F.array_distinct(F.filter(
+            F.array(F.trim(F.coalesce("first_name", F.lit(""))),
+                    F.trim(F.coalesce("nickname", F.lit("")))),
+            lambda x: x != "")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2: blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_PAIR_SIDES = (
+    "rid", "source", "first_name", "nickname", "last_name", "suffix",
+    "linkedin_url", "email_values", "phone_values", "addr_keys",
+    "_fold_last", "_fold_suffix", "name_candidates", "block_key",
+)
+
+
+def candidate_pairs(prepared: DataFrame) -> DataFrame:
+    """Self-equi-join on block_key with rid ordering — all i<j pairs per
+    block. Blank keys are unique so singletons never pair."""
+    left = prepared.select(
+        [F.col(c).alias(f"l_{c}") for c in _PAIR_SIDES])
+    right = prepared.select(
+        [F.col(c).alias(f"r_{c}") for c in _PAIR_SIDES])
+    return left.join(
+        right, (F.col("l_block_key") == F.col("r_block_key"))
+        & (F.col("l_rid") < F.col("r_rid")))
+
+
+# ---------------------------------------------------------------------------
+# E3: pair scoring
+# ---------------------------------------------------------------------------
+
+_NAME_SIG_SCHEMA = StructType([
+    StructField("first_sim", DoubleType()),
+    StructField("nick_eq", BooleanType()),
+    StructField("names_align", BooleanType()),
+])
+
+
+def _make_name_signal_udf(nickname_equivalence: bool):
+    def candidates(first, nick):
+        out = []
+        for v in (first, nick):
+            v = (v or "").strip()
+            if v and v not in out:
+                out.append(v)
+        return out
+
+    @pandas_udf(_NAME_SIG_SCHEMA)
+    def udf(l_first: pd.Series, l_nick: pd.Series,
+            r_first: pd.Series, r_nick: pd.Series) -> pd.DataFrame:
+        rows = []
+        for lf, ln, rf, rn in zip(l_first, l_nick, r_first, r_nick):
+            a, b = candidates(lf, ln), candidates(rf, rn)
+            sims = [seq_ratio(x, y) for x in a for y in b]
+            first_sim = max(sims) if sims else seq_ratio(lf, rf)
+            nick_eq = nickname_equivalence and any(
+                nickname_equivalent(x, y) for x in a for y in b)
+            if nick_eq:
+                first_sim = max(first_sim, 0.96)
+            align = any(fold_text(x) == fold_text(y)
+                        for x in a for y in b if x and y)
+            rows.append((first_sim, nick_eq, align))
+        return pd.DataFrame(rows, columns=["first_sim", "nick_eq",
+                                           "names_align"])
+
+    return udf
+
+
+def score_pairs(pairs: DataFrame,
+                cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """MergeEvaluator.compute as column algebra; the fuzzy name part is
+    one Arrow-batched UDF (the rest stays in whole-stage codegen)."""
+    name_udf = _make_name_signal_udf(cfg.nickname_equivalence)
+    nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    scored = pairs.withColumn("_sig", name_udf(
+        F.col("l_first_name"), F.col("l_nickname"),
+        F.col("r_first_name"), F.col("r_nickname")))
+    scored = (
+        scored
+        .withColumn("first_sim", F.col("_sig.first_sim"))
+        .withColumn("nick_eq", F.col("_sig.nick_eq"))
+        .withColumn("names_align", F.col("_sig.names_align"))
+        .withColumn("suffix_match",
+                    (nz("l_suffix") != "")
+                    & (F.lower(nz("l_suffix")) == F.lower(nz("r_suffix"))))
+        .withColumn("emails_overlap",
+                    F.arrays_overlap("l_email_values", "r_email_values"))
+        .withColumn("phones_overlap",
+                    F.arrays_overlap("l_phone_values", "r_phone_values"))
+        .withColumn("addr_overlap",
+                    F.arrays_overlap("l_addr_keys", "r_addr_keys"))
+        .withColumn("linkedin_match",
+                    (nz("l_linkedin_url") != "")
+                    & (nz("l_linkedin_url") == nz("r_linkedin_url")))
+        .withColumn("corroborators",
+                    F.col("emails_overlap").cast("int")
+                    + F.col("phones_overlap").cast("int")
+                    + F.col("addr_overlap").cast("int")
+                    + F.col("linkedin_match").cast("int"))
+        .withColumn("score",
+                    0.7 * F.col("first_sim")
+                    + F.when(F.col("suffix_match"), 0.1).otherwise(0.0)
+                    + F.when(F.col("emails_overlap"), 1.0).otherwise(0.0)
+                    + F.when(F.col("phones_overlap"), 1.0).otherwise(0.0)
+                    + F.when(F.col("addr_overlap"), 0.5).otherwise(0.0)
+                    + F.when(F.col("linkedin_match"), 0.8).otherwise(0.0))
+        .drop("_sig")
+    )
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# E4: decision gates
+# ---------------------------------------------------------------------------
+
+
+def accepted_edges(scored: DataFrame,
+                   cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """Boolean column algebra mirroring merge_core.merge_ok →
+    (src, dst) edge list."""
+    has_corrob = F.col("corroborators") > 0
+    ok = (F.col("score") >= cfg.merge_score_threshold) | (
+        (F.col("first_sim") >= cfg.first_name_similarity_threshold)
+        & (F.col("score") >= cfg.relaxed_merge_threshold))
+
+    l_has_core = (F.size("l_name_candidates") > 0) \
+        & (F.coalesce(F.col("l_last_name"), F.lit("")) != "")
+    r_has_core = (F.size("r_name_candidates") > 0) \
+        & (F.coalesce(F.col("r_last_name"), F.lit("")) != "")
+    ok = ok & ~((~l_has_core | ~r_has_core) & ~has_corrob)
+
+    both_named = (F.size("l_name_candidates") > 0) \
+        & (F.size("r_name_candidates") > 0)
+    name_level = (F.col("names_align") | F.col("nick_eq")
+                  | F.col("emails_overlap") | F.col("linkedin_match"))
+    ok = ok & ~(both_named & ~name_level)
+
+    linkedin_side = (F.lower(F.coalesce("l_source", F.lit(""))) == "linkedin") \
+        | (F.lower(F.coalesce("r_source", F.lit(""))) == "linkedin")
+    strict = (F.col("l__fold_last") == F.col("r__fold_last")) \
+        & (F.col("names_align") | F.col("nick_eq")) \
+        & (F.col("l__fold_suffix") == F.col("r__fold_suffix"))
+    ok = ok & ~(linkedin_side & ~F.col("emails_overlap") & ~strict)
+
+    if cfg.require_corroborator:
+        ok = ok & has_corrob
+    return scored.filter(ok).select(F.col("l_rid").alias("src"),
+                                    F.col("r_rid").alias("dst"))
+
+
+# ---------------------------------------------------------------------------
+# E5: connected components
+# ---------------------------------------------------------------------------
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation: component = min rid reachable. Contact
+    clusters are near-cliques, so this converges in a handful of rounds;
+    each round is one shuffle on id. Returns (id, component).
+
+    vertices: one column `id`; edges: (src, dst) undirected.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    cc = vertices.select(F.col("id"), F.col("id").alias("component"))
+    cc = cc.localCheckpoint()
+    for _ in range(max_iter):
+        msgs = sym.join(cc, sym["dst"] == cc["id"]) \
+            .select(sym["src"].alias("id"), F.col("component"))
+        new_cc = cc.union(msgs).groupBy("id") \
+            .agg(F.min("component").alias("component")).localCheckpoint()
+        changed = new_cc.alias("n").join(
+            cc.alias("o"), "id").filter(
+            F.col("n.component") != F.col("o.component")).limit(1).count()
+        cc = new_cc
+        if changed == 0:
+            break
+    return cc
+
+
+def cluster_records(prepared: DataFrame,
+                    cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """prepare_for_matching output → + cluster_id (min rid of the
+    component). Composition of E2-E5."""
+    edges = accepted_edges(score_pairs(candidate_pairs(prepared), cfg), cfg)
+    cc = connected_components(
+        prepared.select(F.col("rid").alias("id")), edges)
+    return prepared.join(cc, prepared["rid"] == cc["id"], "left") \
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("component"), F.col("rid"))) \
+        .drop("id", "component")
+
+
+# ---------------------------------------------------------------------------
+# E6-E9: survivorship merge
+# ---------------------------------------------------------------------------
+
+MERGED_SCHEMA = StructType(
+    [StructField("cluster_id", LongType(), False)]
+    + list(CONSOLIDATED_SCHEMA.fields))
+
+_RECORD_FIELDS = (
+    "source", "source_row_id", "source_timestamp", "first_name", "nickname",
+    "last_name", "middle_name", "maiden_name", "prefix", "suffix",
+    "suffix_professional", "company", "title", "department", "linkedin_url",
+    "emails", "phones", "addresses", "invalid_emails", "non_standard_phones",
+)
+_LISTY = ("emails", "phones", "addresses", "invalid_emails",
+          "non_standard_phones")
+
+
+def merge_clusters(clustered: DataFrame,
+                   cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """groupBy(cluster_id).applyInPandas over merge_core.merge_cluster —
+    exact sequential survivorship semantics per cluster, Arrow-batched,
+    distributed on the cluster key."""
+    out_fields = [f.name for f in MERGED_SCHEMA.fields]
+    country = cfg.default_phone_country
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rid")
+        records = []
+        for row in pdf[list(_RECORD_FIELDS)].to_dict("records"):
+            rec = {}
+            for key, value in row.items():
+                if key in _LISTY:
+                    rec[key] = ([dict(x) if isinstance(x, dict) else x
+                                 for x in value]
+                                if value is not None else [])
+                else:
+                    rec[key] = value if value is not None else ""
+            records.append(rec)
+        merged = merge_core.merge_cluster(records, default_country=country)
+        merged["cluster_id"] = int(pdf["cluster_id"].iloc[0])
+        return pd.DataFrame([[merged.get(f) for f in out_fields]],
+                            columns=out_fields)
+
+    return clustered.groupBy("cluster_id").applyInPandas(
+        merge_group, MERGED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# E10: lineage
+# ---------------------------------------------------------------------------
+
+
+def _render_phones(col: str) -> F.Column:
+    return F.concat_ws("|", F.transform(
+        F.coalesce(col, F.array()),
+        lambda p: F.when(p["extension"] != "",
+                         F.concat(p["value"], F.lit("x"), p["extension"]))
+        .otherwise(p["value"])))
+
+
+def build_lineage(clustered: DataFrame, contacts: DataFrame,
+                  raw: DataFrame) -> DataFrame:
+    """One provenance row per source record: normalized channel renders +
+    the raw (pre-normalization) values, keyed to the merged contact.
+
+    Joins: cluster→contact_id map (same cardinality as contacts, plain
+    shuffle join on cluster_id) and raw records on (source,
+    source_row_id) — both equi-joins Catalyst can reorder/broadcast."""
+    idmap = contacts.select("cluster_id", "contact_id")
+    raw_sel = raw.select(
+        "source", "source_row_id",
+        F.col("full_name").alias("_raw_full_name"),
+        F.col("emails").alias("_raw_emails"),
+        F.col("phones").alias("_raw_phones"))
+    return (
+        clustered.join(idmap, "cluster_id")
+        .join(raw_sel, ["source", "source_row_id"], "left")
+        .select(
+            "contact_id", "source", "source_row_id",
+            F.coalesce("_raw_full_name", F.col("full_name"))
+            .alias("source_full_name"),
+            F.col("prefix").alias("source_prefix"),
+            F.col("company").alias("source_company"),
+            F.col("title").alias("source_title"),
+            F.concat_ws("|", F.transform(
+                F.coalesce("emails", F.array()), lambda e: e["value"]))
+            .alias("source_emails"),
+            _render_phones("phones").alias("source_phones"),
+            F.to_json(F.coalesce("addresses", F.array()))
+            .alias("source_addresses_json"),
+            F.concat_ws("|", F.transform(
+                F.coalesce("_raw_emails", F.array()), lambda e: e["value"]))
+            .alias("source_emails_raw"),
+            _render_phones("_raw_phones").alias("source_phones_raw"),
+        )
+    )

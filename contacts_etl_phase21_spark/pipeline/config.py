@@ -1,0 +1,92 @@
+"""Typed pipeline configuration (reference config_loader.py:64-165).
+
+A plain dataclass tree — the engine is a DataFrame program, so config
+stays driver-side and needs no Spark machinery. YAML loading is optional
+(PyYAML ships with pyspark); every knob has the reference's default.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from contacts_etl_phase21_spark.functions.merge_core import DedupeConfig
+from contacts_etl_phase21_spark.functions.record_norm import NormSettings
+
+
+@dataclass(frozen=True)
+class QualityWeights:
+    """validate_quality.py:118-122 defaults (config.yaml quality:)."""
+
+    email_full_score: int = 40
+    email_partial_score: int = 20
+    phone_full_score: int = 30
+    phone_partial_score: int = 15
+    address_any_score: int = 30
+
+
+@dataclass(frozen=True)
+class TaggingSettings:
+    """tagging.py:31-44 (config.yaml tagging:)."""
+
+    prior_companies: tuple[str, ...] = ()
+    prior_domains: tuple[str, ...] = ()
+    local_cities: tuple[str, ...] = ()
+
+    def normalized_companies(self) -> list[str]:
+        return [c.strip().lower() for c in self.prior_companies]
+
+    def normalized_domains(self) -> list[str]:
+        return [d.strip().lower() for d in self.prior_domains]
+
+    def normalized_cities(self) -> list[str]:
+        return [c.strip().lower() for c in self.local_cities]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    normalization: NormSettings = field(default_factory=NormSettings)
+    dedupe: DedupeConfig = field(default_factory=DedupeConfig)
+    quality: QualityWeights = field(default_factory=QualityWeights)
+    tagging: TaggingSettings = field(default_factory=TaggingSettings)
+
+
+def load_config(path: str | None = None) -> PipelineConfig:
+    """YAML file → PipelineConfig; missing path → all defaults."""
+    if not path:
+        return PipelineConfig()
+    import yaml
+
+    with open(path, encoding="utf-8") as fh:
+        raw = yaml.safe_load(fh) or {}
+    norm = raw.get("normalization", {}) or {}
+    dedupe = raw.get("dedupe", {}) or {}
+    quality = raw.get("quality", {}) or {}
+    tagging = raw.get("tagging", {}) or {}
+    return PipelineConfig(
+        normalization=NormSettings(
+            default_phone_country=norm.get("default_phone_country", "US"),
+            drop_invalid_emails=bool(norm.get("drop_invalid_emails", False)),
+            drop_invalid_phones=bool(norm.get("drop_invalid_phones", False))),
+        dedupe=DedupeConfig(
+            merge_score_threshold=float(
+                dedupe.get("merge_score_threshold", 1.2)),
+            relaxed_merge_threshold=float(
+                dedupe.get("relaxed_merge_threshold", 0.6)),
+            first_name_similarity_threshold=float(
+                dedupe.get("first_name_similarity_threshold", 0.88)),
+            nickname_equivalence=bool(
+                dedupe.get("nickname_equivalence", True)),
+            require_corroborator=bool(
+                dedupe.get("require_corroborator", False)),
+            default_phone_country=norm.get("default_phone_country", "US")),
+        quality=QualityWeights(
+            email_full_score=int(quality.get("email_full_score", 40)),
+            email_partial_score=int(quality.get("email_partial_score", 20)),
+            phone_full_score=int(quality.get("phone_full_score", 30)),
+            phone_partial_score=int(quality.get("phone_partial_score", 15)),
+            address_any_score=int(quality.get("address_any_score", 30))),
+        tagging=TaggingSettings(
+            prior_companies=tuple(tagging.get("prior_companies", []) or []),
+            prior_domains=tuple(tagging.get("prior_domains", []) or []),
+            local_cities=tuple(tagging.get("local_cities", []) or [])),
+    )
