@@ -34,6 +34,8 @@ HEADLINE = [
     "dd_minhash_lsh_verified",
     "ann_brute_topk",
     "ta_quality_scores",
+    "e5_connected_components",
+    "st_tumbling_window_counts",
 ]
 
 

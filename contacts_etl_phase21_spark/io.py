@@ -29,8 +29,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if name == "ts" and dtype == "bigint":
             from pyspark.sql import functions as F
 
+            # integer div — float division loses precision at ns-epoch scale
             df = df.withColumn(
-                name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+                name, F.timestamp_micros(F.expr(f"{name} div 1000")))
     return df
 
 

@@ -8,3 +8,5 @@ from contacts_etl_phase21_spark.plans.registry import QUERIES, Query, query  # n
 from contacts_etl_phase21_spark.plans import relational  # noqa: F401,E402
 from contacts_etl_phase21_spark.plans import functions_queries  # noqa: F401,E402
 from contacts_etl_phase21_spark.plans import llm_ops  # noqa: F401,E402
+from contacts_etl_phase21_spark.plans import er_queries  # noqa: F401,E402
+from contacts_etl_phase21_spark.plans import streaming_queries  # noqa: F401,E402

@@ -1,0 +1,67 @@
+"""Streaming-shaped queries (batch twins of streaming/events.py plans).
+
+The driver's oracle harness is batch-only, so these run the shared
+transformations in batch mode; tests/test_streaming.py drives the same
+transforms through readStream/writeStream with availableNow triggers to
+prove stream-mode parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from contacts_etl_phase21_spark.plans.registry import query
+from contacts_etl_phase21_spark.streaming.events import (
+    sessionized_counts_batch, windowed_counts_batch,
+)
+
+
+@query(
+    "st_tumbling_window_counts",
+    survey="streaming-ext",
+    doc="Tumbling 1h window counts + value sums per event_type — the "
+        "watermarked Structured Streaming aggregation's batch twin "
+        "(shared transform). Partial aggregation map-side, one shuffle "
+        "on (window, event_type).",
+    oracle="""
+        SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_counts_batch(spark, sf_dir, "1 hour")
+
+
+@query(
+    "st_session_window_counts",
+    survey="streaming-ext",
+    doc="Per-user session windows (5 min gap) via session_window — "
+        "Spark's built-in stateful sessionization; the oracle is the "
+        "classic gaps-and-islands SQL (lag + running sum).",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+)
+def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized_counts_batch(spark, sf_dir, "5 minutes")

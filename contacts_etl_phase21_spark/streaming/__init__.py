@@ -1,0 +1,17 @@
+"""Structured Streaming extension (SURVEY.md §2.11).
+
+The reference is batch-only; this package adds the streaming ingestion
+variant the engine needs at scale: watermarked windowed aggregation and
+sessionization over the events table, with batch twins for oracle
+checking.
+"""
+
+from contacts_etl_phase21_spark.streaming.events import (
+    read_events_stream, sessionized_counts_batch, stream_windowed_counts,
+    windowed_counts_batch,
+)
+
+__all__ = [
+    "read_events_stream", "stream_windowed_counts",
+    "windowed_counts_batch", "sessionized_counts_batch",
+]
