@@ -39,15 +39,34 @@ def normalized_tokens(text: Column) -> Column:
     return F.array_distinct(F.split(F.trim(text), r"\s+"))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> column —
-    pure JVM (split + transform over an index sequence)."""
-    toks = F.split(F.trim(text), r"\s+")
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a pre-materialized token array.
+
+    `toks` MUST be a plain column reference (project the split() into
+    its own column first): inside a higher-order-function lambda Spark
+    does no common-subexpression elimination, so an inlined split()
+    would re-tokenize the text for every shingle — O(L²) per doc."""
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), count - 1)
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])))
+            " ", F.slice(toks, i + 1, n))))
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """(doc, shingles) — tokenization materialized once per row."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+            .select("doc", shingles_of_tokens(F.col("toks"), n)
+                    .alias("shingles")))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Single-expression variant (convenience; prefer with_shingles in
+    operator plans — see shingles_of_tokens for why)."""
+    toks = F.split(F.trim(text), r"\s+")
+    return shingles_of_tokens(toks, n)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
@@ -71,11 +90,14 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     per-pair shared count → jaccard. One wide shuffle on shingle, one
     on the pair key; no cartesian anywhere.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).select("doc", "shingles", F.size("shingles").alias("n_sh"))
-    posting = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    sh = with_shingles(df, id_col, text_col, n) \
+        .select("doc", "shingles", F.size("shingles").alias("n_sh"))
+    # Join on the 64-bit shingle hash, not the string: ~4× smaller
+    # shuffle, same counts (collision odds ≪ 1e-6 at corpus scale).
+    posting = sh.select(
+        "doc", "n_sh",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("shingle"))
     left = posting.select(F.col("doc").alias("doc_a"),
                           F.col("n_sh").alias("n_a"), "shingle")
     right = posting.select(F.col("doc").alias("doc_b"),
@@ -95,16 +117,22 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
                          n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """Per-doc MinHash signature, entirely JVM-side: explode shingles,
-    per seed take min(xxhash64(seed, shingle)). Output: id, sig array."""
-    posting = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-    mins = [F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+    """Per-doc MinHash signature: hash each shingle string once, then
+    64 codegen'd min-aggregates over the cheap long-mix. The groupBy
+    shuffles only the map-side-combined partials (|docs| rows × 64
+    longs), not the posting list. A row-local nested-transform variant
+    avoids even that shuffle but runs interpreted (no codegen inside
+    HOF lambdas) and measured ~6× slower — aggregation wins."""
+    posting = with_shingles(df, id_col, text_col, n) \
+        .select("doc", F.explode("shingles").alias("shingle")) \
+        .select("doc", F.xxhash64("shingle").alias("sh_hash"))
+    mins = [F.min(F.xxhash64(F.lit(seed), F.col("sh_hash"))).alias(f"h{seed}")
             for seed in range(num_hashes)]
     agg = posting.groupBy("doc").agg(*mins)
-    return agg.select("doc", F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
-                      .alias("signature"))
+    return agg.select(
+        "doc",
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
+        .alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -118,17 +146,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows = num_hashes // bands
     sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.element_at("signature", b * rows + r + 1)
-                               for r in range(rows)]).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols)
-    buckets = banded.select(
+    # Band + explode in ONE projection: the signature expression is
+    # referenced exactly once, so Catalyst evaluates it once per row
+    # (separate per-band columns would re-inline — and recompute — the
+    # whole signature for every band).
+    buckets = sig.select(
         "doc",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
-            for b in range(bands)])).alias("bb"))
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
+                .alias("bucket")))).alias("bb"))
     l = buckets.select(F.col("doc").alias("doc_a"), "bb")
     r = buckets.select(F.col("doc").alias("doc_b"), "bb")
     candidates = (
@@ -137,8 +166,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("doc"),
-                   word_shingles(F.col(text_col), n).alias("shingles"))
+    sh = with_shingles(df, id_col, text_col, n)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     verified = (
