@@ -10,3 +10,4 @@ from contacts_etl_phase21_spark.plans import functions_queries  # noqa: F401,E40
 from contacts_etl_phase21_spark.plans import llm_ops  # noqa: F401,E402
 from contacts_etl_phase21_spark.plans import er_queries  # noqa: F401,E402
 from contacts_etl_phase21_spark.plans import streaming_queries  # noqa: F401,E402
+from contacts_etl_phase21_spark.plans import coverage_queries  # noqa: F401,E402

@@ -1,0 +1,221 @@
+"""Coverage batch 2: map-lookup scalar functions (F2/F3), legacy render
+(P1), per-group top-k (O2), and the flagship end-to-end contacts ER
+pipeline driven from synthetic records.
+
+The testdata has no state/country strings, so the F2/F3 queries derive
+deterministic inputs from c_custkey (mod the mapping size) — the Spark
+side goes string → broadcast-map lookup like production; the oracle
+derives the expected code directly from the same modulus (SQL generated
+from the same Python dict at registration time, so the two can only
+agree if the lookup is right).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from contacts_etl_phase21_spark.functions.data import COUNTRY_ISO2, US_STATES
+from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.plans.registry import query
+
+# --------------------------------------------------------------------------
+# F2/F3: dict normalization as broadcast map lookup
+# --------------------------------------------------------------------------
+
+_STATES = sorted(US_STATES.items())        # [(name, code)...]
+_COUNTRIES = sorted(COUNTRY_ISO2.items())
+
+
+def _mod_case_sql(pairs: list[tuple[str, str]], out: str) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{code}'"
+                     for i, (_, code) in enumerate(pairs))
+    return (f"SELECT c_custkey, CASE (c_custkey % {len(pairs)}) {whens} END"
+            f" AS {out} FROM customer ORDER BY c_custkey")
+
+
+@query(
+    "f2_state_code_lookup",
+    survey="F2",
+    doc="normalize_state (normalization.py:250-256) as a map-literal "
+        "lookup: full state name → USPS code via a broadcast "
+        "create_map — constant-folded JVM expression, no join, no "
+        "shuffle. Input names derived deterministically from c_custkey.",
+    oracle=_mod_case_sql(_STATES, "state_code"),
+)
+def f2_state_code_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    names = F.array(*[F.lit(name) for name, _ in _STATES])
+    mapping = F.create_map(*[F.lit(x) for pair in _STATES for x in pair])
+    state_name = F.element_at(
+        names, (F.col("c_custkey") % len(_STATES)).cast("int") + 1)
+    return (customer
+            .select("c_custkey",
+                    mapping[state_name].alias("state_code"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "f3_country_iso2_lookup",
+    survey="F3",
+    doc="normalize_country_iso2 (normalization.py:259-263), same "
+        "broadcast map-literal pattern over the ~60-alias country dict.",
+    oracle=_mod_case_sql(_COUNTRIES, "country_code"),
+)
+def f3_country_iso2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    names = F.array(*[F.lit(name) for name, _ in _COUNTRIES])
+    mapping = F.create_map(*[F.lit(x) for pair in _COUNTRIES for x in pair])
+    alias = F.element_at(
+        names, (F.col("c_custkey") % len(_COUNTRIES)).cast("int") + 1)
+    return (customer
+            .select("c_custkey", mapping[alias].alias("country_code"))
+            .orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# P1: legacy "value::label|…" render
+# --------------------------------------------------------------------------
+
+
+@query(
+    "p1_legacy_channel_render",
+    survey="P1",
+    doc="The consolidated-output channel serialization "
+        "(combine_contacts.py:1457-1487): collect (value, label) structs "
+        "per group, sort for determinism, render 'value::label|…'. One "
+        "shuffle on the group key; the render is a pure projection.",
+    oracle="""
+        SELECT c_nationkey,
+               STRING_AGG(c_custkey || '::' || c_mktsegment, '|'
+                          ORDER BY c_custkey) AS emails_str
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+)
+def p1_legacy_channel_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("c_custkey", "c_mktsegment"))),
+                lambda s: F.concat(s["c_custkey"].cast("string"),
+                                   F.lit("::"), s["c_mktsegment"])),
+            "|").alias("emails_str"))
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# O2: top-k per group (notebook insight views)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "o2_topk_per_group",
+    survey="O2,O3",
+    doc="Top-3 orders by total price per priority class: rank window + "
+        "filter — the insight-notebook head-of-sorted-frame shape. "
+        "Window shuffles once on the partition key; no global sort.",
+    oracle="""
+        SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+                       AS rnk
+            FROM orders)
+        WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk
+    """,
+)
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+            .orderBy("o_orderpriority", "rnk"))
+
+
+# --------------------------------------------------------------------------
+# Flagship capability: the full contacts ER pipeline on synthetic records
+# --------------------------------------------------------------------------
+
+_FIRST_POOL = 97     # distinct first names
+_LAST_POOL = 500     # distinct surnames → bounded block sizes
+
+
+def synthetic_contact_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTACT_SCHEMA records derived from customer: one
+    gmail record per customer; every third customer also has a linkedin
+    record sharing the email → the ER core must merge those pairs."""
+    customer = load(spark, sf_dir, "customer")
+    first = F.concat(F.lit("First"),
+                     (F.col("c_custkey") % _FIRST_POOL).cast("string"))
+    last = F.concat(F.lit("Surname"),
+                    (F.col("c_custkey") % _LAST_POOL).cast("string"))
+    email = F.lower(F.concat(first, F.lit("."), last, F.lit("."),
+                             F.col("c_custkey").cast("string"),
+                             F.lit("@example.com")))
+
+    def record(source: str, label: str) -> DataFrame:
+        return customer.select(
+            F.lit(source).alias("source"),
+            F.col("c_custkey").cast("string").alias("source_row_id"),
+            F.lit(None).cast("string").alias("source_timestamp"),
+            F.concat(first, F.lit(" "), last).alias("full_name"),
+            F.lit("").alias("prefix"), first.alias("first_name"),
+            F.lit("").alias("middle_name"), last.alias("last_name"),
+            F.lit("").alias("maiden_name"), F.lit("").alias("suffix"),
+            F.lit("").alias("suffix_professional"),
+            F.lit("").alias("nickname"),
+            F.col("c_mktsegment").alias("company"),
+            F.lit("").alias("title"), F.lit("").alias("department"),
+            (F.when(F.lit(source == "linkedin"),
+                    F.concat(F.lit("https://linkedin.com/in/"), email))
+             .otherwise(F.lit(""))).alias("linkedin_url"),
+            F.lit("").alias("notes"),
+            F.array(F.struct(email.alias("value"),
+                             F.lit(label).alias("label"))).alias("emails"),
+            F.array().cast(
+                "array<struct<value:string,label:string,extension:string>>")
+            .alias("phones"),
+            F.array().cast(
+                "array<struct<po_box:string,extended:string,street:string,"
+                "city:string,state:string,postal_code:string,country:string,"
+                "label:string>>").alias("addresses"),
+        )
+
+    gmail = record("gmail", "home")
+    linkedin = record("linkedin", "home").filter(
+        F.col("source_row_id").cast("long") % 3 == 0)
+    return gmail.unionByName(linkedin)
+
+
+@query(
+    "er_full_contacts_pipeline",
+    survey="N1-N5,E1-E10,A1",
+    doc="End-to-end flagship: synthetic contact records → normalization "
+        "cascade → blocked similarity join → decision gates → connected "
+        "components → survivorship merge. Every third customer has a "
+        "gmail+linkedin pair sharing an email, which must merge; output "
+        "is one row per resolved contact with lineage counts. Not "
+        "SQL-expressible (fuzzy scoring + iterative components) → "
+        "rows-only driver check; semantics pinned by "
+        "tests/test_pipeline_contracts.py.",
+    oracle=None,
+)
+def er_full_contacts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.pipeline import consolidate_records
+
+    records = synthetic_contact_records(spark, sf_dir)
+    res = consolidate_records(records)
+    return (res.contacts
+            .select("contact_id", "full_name", "first_name", "last_name",
+                    "company", "source_count", "source_row_count")
+            .orderBy("contact_id"))
