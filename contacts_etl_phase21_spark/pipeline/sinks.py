@@ -56,8 +56,10 @@ def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """QUOTE_ALL utf-8 CSV, reference sink shape (S6). coalesce(1) only
     for the small final exports — never for engine interchange."""
     out = df.coalesce(1) if single_file else df
+    # escape='"' → RFC-4180 doubled quotes like the reference's csv
+    # QUOTE_ALL output (Spark's default backslash-escape is non-standard)
     out.write.mode("overwrite").option("header", True) \
-        .option("quoteAll", True).csv(path)
+        .option("quoteAll", True).option("escape", '"').csv(path)
 
 
 def write_parquet(df: DataFrame, path: str,
