@@ -269,17 +269,19 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                                    F.col("src").alias("dst")))
     cc = vertices.select(F.col("id"), F.col("id").alias("component"))
     cc = cc.localCheckpoint()
+    # Convergence check: labels only ever decrease, so the component sum
+    # is strictly monotone until fixpoint — one cheap aggregate per round
+    # instead of a self-join diff.
+    prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(cc, sym["dst"] == cc["id"]) \
             .select(sym["src"].alias("id"), F.col("component"))
-        new_cc = cc.union(msgs).groupBy("id") \
+        cc = cc.union(msgs).groupBy("id") \
             .agg(F.min("component").alias("component")).localCheckpoint()
-        changed = new_cc.alias("n").join(
-            cc.alias("o"), "id").filter(
-            F.col("n.component") != F.col("o.component")).limit(1).count()
-        cc = new_cc
-        if changed == 0:
+        cur_sum = cc.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return cc
 
 

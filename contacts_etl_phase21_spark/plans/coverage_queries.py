@@ -219,3 +219,185 @@ def er_full_contacts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("contact_id", "full_name", "first_name", "last_name",
                     "company", "source_count", "source_row_count")
             .orderBy("contact_id"))
+
+
+# --------------------------------------------------------------------------
+# Scalar-function family over synthesized strings (F7/F10/F19/F23, A5, C1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f7_phone_extension_extract",
+    survey="F7,F8",
+    doc="Phone-extension splitting (combine_contacts.py:488-526) as "
+        "regexp_extract: synthesized cells 'NNN-NNNN ext K' decompose "
+        "into (value, extension) — pure codegen projection.",
+    oracle="""
+        SELECT c_custkey,
+               TRIM(REGEXP_EXTRACT(cell, '^(.*?)(?:\\s+ext\\s+(\\d+))?$', 1))
+                   AS phone_value,
+               REGEXP_EXTRACT(cell, 'ext\\s+(\\d+)$', 1) AS extension
+        FROM (SELECT c_custkey,
+                     '(617) 555-' || LPAD(CAST(c_custkey % 10000 AS VARCHAR),
+                                          4, '0')
+                     || CASE WHEN c_custkey % 3 = 0
+                             THEN ' ext ' || CAST(c_custkey % 89 AS VARCHAR)
+                             ELSE '' END AS cell
+              FROM customer)
+        ORDER BY c_custkey
+    """,
+)
+def f7_phone_extension_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    cell = F.concat(
+        F.lit("(617) 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit(" ext "),
+                        (F.col("c_custkey") % 89).cast("string")))
+        .otherwise(F.lit("")))
+    return (customer.select("c_custkey", cell.alias("cell"))
+            .select("c_custkey",
+                    F.trim(F.regexp_extract(
+                        "cell", r"^(.*?)(?:\s+ext\s+(\d+))?$", 1))
+                    .alias("phone_value"),
+                    F.regexp_extract("cell", r"ext\s+(\d+)$", 1)
+                    .alias("extension"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "f10_pull_emails_from_text",
+    survey="F10,F9",
+    doc="strip_emails_from_text_and_capture (normalization.py:668-677): "
+        "regexp-find the address embedded in free text, remove it — two "
+        "expressions, no UDF, no side effects.",
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_EXTRACT(blob, '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+)', 1)
+                   AS found_email,
+               TRIM(REGEXP_REPLACE(blob,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '')) AS cleaned
+        FROM (SELECT c_custkey,
+                     c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+                     || '@example.com>' AS blob
+              FROM customer)
+        ORDER BY c_custkey
+    """,
+)
+def f10_pull_emails_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    blob = F.concat(F.col("c_name"), F.lit(" <user"),
+                    F.col("c_custkey").cast("string"),
+                    F.lit("@example.com>"))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    return (customer.select("c_custkey", blob.alias("blob"))
+            .select("c_custkey",
+                    F.regexp_extract("blob", f"({email_re})", 1)
+                    .alias("found_email"),
+                    F.trim(F.regexp_replace("blob", email_re, ""))
+                    .alias("cleaned"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "f19_vcard_unescape",
+    survey="F19",
+    doc="vCard escape-sequence decoding (combine_contacts.py:473-485) as "
+        "an ordered replace chain (\; before \\\\ matters).",
+    oracle=r"""
+        SELECT c_custkey,
+               REPLACE(REPLACE(REPLACE(raw, '\;', ';'), '\,', ','),
+                       '\\', '\') AS unescaped
+        FROM (SELECT c_custkey,
+                     'Acme\, Inc.\; Dept ' || CAST(c_nationkey AS VARCHAR)
+                     || ' \\ HQ' AS raw
+              FROM customer)
+        ORDER BY c_custkey
+    """,
+)
+def f19_vcard_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("Acme\\, Inc.\; Dept "),
+                   F.col("c_nationkey").cast("string"), F.lit(" \\\\ HQ"))
+    unescaped = F.replace(
+        F.replace(F.replace(raw, F.lit("\;"), F.lit(";")),
+                  F.lit("\\,"), F.lit(",")),
+        F.lit("\\\\"), F.lit("\\"))
+    return (customer.select("c_custkey", unescaped.alias("unescaped"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "f23_email_domain_histogram",
+    survey="F23,A6",
+    doc="Domain extraction (tagging.py:19-28) via substring_index + the "
+        "explode-count diagnostic shape: domain histogram, one shuffle.",
+    oracle="""
+        SELECT SPLIT_PART(email, '@', 2) AS domain, COUNT(*) AS n
+        FROM (SELECT LOWER(c_name) || '@corp'
+                     || CAST(c_custkey % 7 AS VARCHAR) || '.com' AS email
+              FROM customer)
+        GROUP BY 1 ORDER BY domain
+    """,
+)
+def f23_email_domain_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    email = F.concat(F.lower("c_name"), F.lit("@corp"),
+                     (F.col("c_custkey") % 7).cast("string"), F.lit(".com"))
+    return (customer.select(
+                F.substring_index(email, "@", -1).alias("domain"))
+            .groupBy("domain").agg(F.count("*").alias("n"))
+            .orderBy("domain"))
+
+
+@query(
+    "a5_duplicate_key_count",
+    survey="A5,P5",
+    doc="The duplicate-id assertion (combine_contacts.py:1519-1525) as "
+        "a groupBy-having diagnostic over an intentionally colliding "
+        "key (custkey mod 700).",
+    oracle="""
+        SELECT dup_key, COUNT(*) AS n
+        FROM (SELECT c_custkey % 700 AS dup_key FROM customer)
+        GROUP BY dup_key HAVING COUNT(*) > 1
+        ORDER BY dup_key
+    """,
+)
+def a5_duplicate_key_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (customer.select((F.col("c_custkey") % 700).alias("dup_key"))
+            .groupBy("dup_key").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .orderBy("dup_key"))
+
+
+@query(
+    "c1_channel_validity_counts",
+    survey="C1",
+    doc="Channel validity counts (validate_quality.py:21-88): per row an "
+        "array of (value,label) entries, valid = non-empty value and "
+        "label != 'invalid' — size(filter(...)) higher-order columns.",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 2 END AS email_valid,
+               2 AS email_total
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def c1_channel_validity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    entries = F.array(
+        F.struct(F.concat(F.lower("c_name"), F.lit("@x.com")).alias("value"),
+                 F.lit("home").alias("label")),
+        F.struct(F.lit("second@x.com").alias("value"),
+                 F.when(F.col("c_custkey") % 4 == 0, "invalid")
+                 .otherwise("work").alias("label")))
+    valid = F.filter(entries, lambda e: (e["value"] != "")
+                     & (F.lower(e["label"]) != "invalid"))
+    return (customer.select(
+                "c_custkey",
+                F.size(valid).alias("email_valid"),
+                F.size(entries).alias("email_total"))
+            .orderBy("c_custkey"))
