@@ -335,3 +335,25 @@ def test_tagging_and_referral(consolidated, spark):
     assert jordan["relationship_category"] == "personal"
     expected = min(100, round(jordan["confidence_score"] * 0.6 + 60))
     assert jordan["referral_priority_score"] == expected
+
+
+# ---------------------------------------------------------------------------
+# E11: post-merge MX re-validation (combine_contacts.py:548-582)
+# ---------------------------------------------------------------------------
+
+
+def test_mx_check_relabels_and_dedupes(spark):
+    from contacts_etl_phase21_spark.operators.mx_check import apply_mx_check
+    from contacts_etl_phase21_spark.schemas import CONSOLIDATED_SCHEMA
+
+    base = {f.name: None for f in CONSOLIDATED_SCHEMA.fields}
+    base.update(contact_id="c1", emails=[
+        {"value": "Good@X.com", "label": "invalid"},
+        {"value": "good@x.com", "label": "work"},   # valid copy wins dedupe
+        {"value": "dead@x.com", "label": "home"},   # checker fails it
+    ])
+    df = spark.createDataFrame([base], CONSOLIDATED_SCHEMA)
+    out = apply_mx_check(df, checker=lambda v: not v.startswith("dead"))
+    [row] = out.collect()
+    emails = [(e["value"], e["label"]) for e in row["emails"]]
+    assert emails == [("good@x.com", "work"), ("dead@x.com", "invalid")]
