@@ -401,3 +401,152 @@ def c1_channel_validity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(valid).alias("email_valid"),
                 F.size(entries).alias("email_total"))
             .orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# F12/F14/F15: name-intelligence family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "f12_initial_from_email",
+    survey="F12",
+    doc="reconcile_name_from_email_and_last (normalization.py:687-694): "
+        "local-part 'jdoe' + surname 'doe' → first initial 'J' — "
+        "endswith + substring column algebra, no UDF.",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN local LIKE '%' || last_low
+                         AND LENGTH(local) - LENGTH(last_low) BETWEEN 1 AND 2
+                    THEN UPPER(SUBSTR(local, 1, 1)) ELSE '' END AS initial
+        FROM (SELECT c_custkey,
+                     CASE WHEN c_custkey % 2 = 0
+                          THEN 'j' || 'surname' || CAST(c_custkey % 50 AS VARCHAR)
+                          ELSE 'someoneelse' END AS local,
+                     'surname' || CAST(c_custkey % 50 AS VARCHAR) AS last_low
+              FROM customer)
+        ORDER BY c_custkey
+    """,
+)
+def f12_initial_from_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    last_low = F.concat(F.lit("surname"),
+                        (F.col("c_custkey") % 50).cast("string"))
+    local = F.when(F.col("c_custkey") % 2 == 0,
+                   F.concat(F.lit("j"), last_low)) \
+        .otherwise(F.lit("someoneelse"))
+    head_len = F.length(local) - F.length(last_low)
+    initial = F.when(
+        local.endswith(last_low) & (head_len >= 1) & (head_len <= 2),
+        F.upper(F.substring(local, 1, 1))).otherwise(F.lit(""))
+    return (customer.select("c_custkey", initial.alias("initial"))
+            .orderBy("c_custkey"))
+
+
+# first-wins dedupe: some variants recur across roots ('cathy', 'john')
+_NICK_SEEN: dict[str, str] = {}
+for _root, _variants in __import__(
+        "contacts_etl_phase21_spark.functions.data",
+        fromlist=["NICKNAME_ROOTS"]).NICKNAME_ROOTS.items():
+    for _v in (_root, *_variants):
+        _NICK_SEEN.setdefault(_v, _root)
+_NICK_VARIANTS = sorted(_NICK_SEEN.items())
+
+
+@query(
+    "f15_nickname_root_lookup",
+    survey="F15",
+    doc="Nickname equivalence roots (normalization.py:697-735): curated "
+        "variant → root map as a broadcast map literal; the oracle CASE "
+        "is generated from the same dict, so both sides must agree on "
+        "every entry.",
+    oracle=(
+        "SELECT c_custkey, CASE (c_custkey % {n}) {whens} END AS root "
+        "FROM customer ORDER BY c_custkey").format(
+            n=len(_NICK_VARIANTS),
+            whens=" ".join(f"WHEN {i} THEN '{root}'"
+                           for i, (_, root) in enumerate(_NICK_VARIANTS))),
+)
+def f15_nickname_root_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    variants = F.array(*[F.lit(v) for v, _ in _NICK_VARIANTS])
+    mapping = F.create_map(*[F.lit(x) for pair in _NICK_VARIANTS
+                             for x in pair])
+    variant = F.element_at(
+        variants, (F.col("c_custkey") % len(_NICK_VARIANTS)).cast("int") + 1)
+    return (customer.select("c_custkey", mapping[variant].alias("root"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "f14_parse_full_name",
+    survey="F13,F14",
+    doc="strip_suffixes_and_parse_name + parse_name_multi_last "
+        "(normalization.py:404-540): the branchy token-scan parser as an "
+        "Arrow pandas UDF over synthesized display names (prefix + "
+        "particles + generational/professional suffixes). Stateful token "
+        "logic → not SQL-expressible → rows-only driver check; exact "
+        "semantics pinned by tests/test_functions.py.",
+    oracle=None,
+)
+def f14_parse_full_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.functions.spark_cols import (
+        udf_parse_full_name,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    prefix = F.when(F.col("c_custkey") % 5 == 0, "Dr. ").otherwise("")
+    particle = F.when(F.col("c_custkey") % 3 == 0, "van der ").otherwise("")
+    suffix = F.when(F.col("c_custkey") % 4 == 0, " Jr., PhD").otherwise("")
+    display = F.concat(prefix, F.lit("Alex "), particle,
+                       F.lit("Name"), (F.col("c_custkey") % 100)
+                       .cast("string"), suffix)
+    return (customer
+            .select("c_custkey", udf_parse_full_name(display).alias("p"))
+            .select("c_custkey", "p.first_name", "p.last_name", "p.prefix",
+                    "p.suffix", "p.suffix_professional")
+            .orderBy("c_custkey"))
+
+
+# --------------------------------------------------------------------------
+# E8: channel-union survivorship (max_by rank + ordered re-collect)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "e8_channel_union_survivorship",
+    survey="E8",
+    doc="The explode → groupBy(cluster, key) → rank-argmax → sorted "
+        "re-collect shape of channel survivorship "
+        "(combine_contacts.py:1266-1316): per (nation, segment) pick the "
+        "best customer by (acctbal, custkey) rank, then re-collect the "
+        "per-nation channel list sorted by key. Two shuffles, both "
+        "map-side combined.",
+    oracle="""
+        SELECT c_nationkey,
+               STRING_AGG(c_mktsegment || '::' || CAST(best AS VARCHAR), '|'
+                          ORDER BY c_mktsegment) AS channels
+        FROM (SELECT c_nationkey, c_mktsegment, c_custkey AS best FROM (
+                  SELECT c_nationkey, c_mktsegment, c_custkey,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                  FROM customer) WHERE rn = 1)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def e8_channel_union_survivorship(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    best = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))")
+        .alias("best"))
+    return (best.groupBy("c_nationkey")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("c_mktsegment", "best"))),
+                    lambda s: F.concat(s["c_mktsegment"], F.lit("::"),
+                                       s["best"].cast("string"))),
+                "|").alias("channels"))
+            .orderBy("c_nationkey"))
