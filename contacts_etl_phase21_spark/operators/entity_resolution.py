@@ -41,10 +41,10 @@ from pyspark.sql.types import (
 
 from contacts_etl_phase21_spark.functions import merge_core
 from contacts_etl_phase21_spark.functions.merge_core import DedupeConfig
-from contacts_etl_phase21_spark.functions.names import nickname_equivalent
 from contacts_etl_phase21_spark.functions.similarity import seq_ratio
-from contacts_etl_phase21_spark.functions.spark_cols import udf_fold_text
-from contacts_etl_phase21_spark.functions.text import fold_text
+from contacts_etl_phase21_spark.functions.spark_cols import (
+    udf_fold_text, udf_nickname_root,
+)
 from contacts_etl_phase21_spark.schemas import CONSOLIDATED_SCHEMA
 
 # Ingest order mirrors the reference's loader order (linkedin, gmail,
@@ -88,6 +88,12 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
                                  % F.lit(1 << 40)))
         .withColumn("_fold_last", udf_fold_text(F.col("last_name")))
         .withColumn("_fold_suffix", udf_fold_text(F.col("suffix")))
+        # fold/root keys computed ONCE per record here, so pair scoring
+        # (quadratic in block size) stays pure column algebra
+        .withColumn("_fold_first", udf_fold_text(F.col("first_name")))
+        .withColumn("_fold_nick", udf_fold_text(F.col("nickname")))
+        .withColumn("_root_first", udf_nickname_root(F.col("first_name")))
+        .withColumn("_root_nick", udf_nickname_root(F.col("nickname")))
         .withColumn("email_values", F.transform(
             F.coalesce("emails", F.array()), lambda e: e["value"]))
         .withColumn("phone_values", F.transform(
@@ -113,7 +119,8 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
 _PAIR_SIDES = (
     "rid", "source", "first_name", "nickname", "last_name", "suffix",
     "linkedin_url", "email_values", "phone_values", "addr_keys",
-    "_fold_last", "_fold_suffix", "name_candidates", "block_key",
+    "_fold_last", "_fold_suffix", "_fold_first", "_fold_nick",
+    "_root_first", "_root_nick", "name_candidates", "block_key",
 )
 
 
@@ -133,57 +140,70 @@ def candidate_pairs(prepared: DataFrame) -> DataFrame:
 # E3: pair scoring
 # ---------------------------------------------------------------------------
 
-_NAME_SIG_SCHEMA = StructType([
-    StructField("first_sim", DoubleType()),
-    StructField("nick_eq", BooleanType()),
-    StructField("names_align", BooleanType()),
-])
+@pandas_udf(DoubleType())
+def _udf_best_first_sim(l_first: pd.Series, l_nick: pd.Series,
+                        r_first: pd.Series, r_nick: pd.Series) -> pd.Series:
+    """max difflib ratio over the first/nickname candidate cross
+    product, with an exact-lower-equality fast path (SequenceMatcher of
+    identical strings is exactly 1.0, so the shortcut is parity-safe).
+    Empty candidate list → reference fallback: ratio of the raw first
+    names (1.0 for two empties — gate 1 vetoes those pairs later)."""
+    out = []
+    for a1, a2, b1, b2 in zip(l_first, l_nick, r_first, r_nick):
+        ca = [v for v in dict.fromkeys(
+            ((a1 or "").strip(), (a2 or "").strip())) if v]
+        cb = [v for v in dict.fromkeys(
+            ((b1 or "").strip(), (b2 or "").strip())) if v]
+        if not ca or not cb:
+            out.append(seq_ratio(a1, b1))
+            continue
+        best = 0.0
+        for x in ca:
+            xl = x.lower()
+            for y in cb:
+                yl = y.lower()
+                if xl == yl:
+                    best = 1.0
+                    break
+                r = seq_ratio(xl, yl)
+                if r > best:
+                    best = r
+            if best >= 1.0:
+                break
+        out.append(best)
+    return pd.Series(out)
 
 
-def _make_name_signal_udf(nickname_equivalence: bool):
-    def candidates(first, nick):
-        out = []
-        for v in (first, nick):
-            v = (v or "").strip()
-            if v and v not in out:
-                out.append(v)
-        return out
-
-    @pandas_udf(_NAME_SIG_SCHEMA)
-    def udf(l_first: pd.Series, l_nick: pd.Series,
-            r_first: pd.Series, r_nick: pd.Series) -> pd.DataFrame:
-        rows = []
-        for lf, ln, rf, rn in zip(l_first, l_nick, r_first, r_nick):
-            a, b = candidates(lf, ln), candidates(rf, rn)
-            sims = [seq_ratio(x, y) for x in a for y in b]
-            first_sim = max(sims) if sims else seq_ratio(lf, rf)
-            nick_eq = nickname_equivalence and any(
-                nickname_equivalent(x, y) for x in a for y in b)
-            if nick_eq:
-                first_sim = max(first_sim, 0.96)
-            align = any(fold_text(x) == fold_text(y)
-                        for x in a for y in b if x and y)
-            rows.append((first_sim, nick_eq, align))
-        return pd.DataFrame(rows, columns=["first_sim", "nick_eq",
-                                           "names_align"])
-
-    return udf
+def _any_cross_eq(l_a: F.Column, l_b: F.Column,
+                  r_a: F.Column, r_b: F.Column) -> F.Column:
+    """Any equality between non-empty left keys and right keys."""
+    return ((l_a != "") & ((l_a == r_a) | (l_a == r_b))) | \
+        ((l_b != "") & ((l_b == r_a) | (l_b == r_b)))
 
 
 def score_pairs(pairs: DataFrame,
                 cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
-    """MergeEvaluator.compute as column algebra; the fuzzy name part is
-    one Arrow-batched UDF (the rest stays in whole-stage codegen)."""
-    name_udf = _make_name_signal_udf(cfg.nickname_equivalence)
+    """MergeEvaluator.compute as column algebra. Name alignment and
+    nickname equivalence compare fold/root keys computed once per record
+    at prepare time — the only Python on the quadratic pair path is the
+    difflib ratio itself (Arrow-batched, equality fast path)."""
     nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
-    scored = pairs.withColumn("_sig", name_udf(
+    align = _any_cross_eq(F.col("l__fold_first"), F.col("l__fold_nick"),
+                          F.col("r__fold_first"), F.col("r__fold_nick"))
+    nick_eq = (_any_cross_eq(
+        F.col("l__root_first"), F.col("l__root_nick"),
+        F.col("r__root_first"), F.col("r__root_nick"))
+        if cfg.nickname_equivalence else F.lit(False))
+    raw_sim = _udf_best_first_sim(
         F.col("l_first_name"), F.col("l_nickname"),
-        F.col("r_first_name"), F.col("r_nickname")))
+        F.col("r_first_name"), F.col("r_nickname"))
     scored = (
-        scored
-        .withColumn("first_sim", F.col("_sig.first_sim"))
-        .withColumn("nick_eq", F.col("_sig.nick_eq"))
-        .withColumn("names_align", F.col("_sig.names_align"))
+        pairs
+        .withColumn("nick_eq", nick_eq)
+        .withColumn("names_align", align)
+        .withColumn("first_sim", F.greatest(
+            raw_sim, F.when(F.col("nick_eq"), F.lit(0.96))
+            .otherwise(F.lit(0.0))))
         .withColumn("suffix_match",
                     (nz("l_suffix") != "")
                     & (F.lower(nz("l_suffix")) == F.lower(nz("r_suffix"))))
@@ -208,7 +228,6 @@ def score_pairs(pairs: DataFrame,
                     + F.when(F.col("phones_overlap"), 1.0).otherwise(0.0)
                     + F.when(F.col("addr_overlap"), 0.5).otherwise(0.0)
                     + F.when(F.col("linkedin_match"), 0.8).otherwise(0.0))
-        .drop("_sig")
     )
     return scored
 
@@ -318,32 +337,50 @@ _LISTY = ("emails", "phones", "addresses", "invalid_emails",
 
 def merge_clusters(clustered: DataFrame,
                    cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
-    """groupBy(cluster_id).applyInPandas over merge_core.merge_cluster —
-    exact sequential survivorship semantics per cluster, Arrow-batched,
-    distributed on the cluster key."""
+    """Survivorship via collect_list + mapInPandas over the pure
+    merge_core.merge_cluster — exact sequential semantics per cluster.
+
+    Why not groupBy().applyInPandas: that spins up a pandas DataFrame
+    per GROUP, and contact clusters are tiny (1-3 records) while there
+    are millions of them — measured ~0.75 ms/cluster of pure overhead.
+    collect_list does the same single shuffle but hands mapInPandas
+    thousands of clusters per Arrow batch; the per-cluster cost is one
+    plain-Python merge_cluster call. rid leads the struct so array_sort
+    restores ingest order."""
     out_fields = [f.name for f in MERGED_SCHEMA.fields]
     country = cfg.default_phone_country
+    rec_struct = F.struct(F.col("rid"),
+                          *[F.col(c) for c in _RECORD_FIELDS])
+    grouped = clustered.groupBy("cluster_id").agg(
+        F.array_sort(F.collect_list(rec_struct)).alias("_records"))
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("rid")
-        records = []
-        for row in pdf[list(_RECORD_FIELDS)].to_dict("records"):
-            rec = {}
-            for key, value in row.items():
-                if key in _LISTY:
-                    rec[key] = ([dict(x) if isinstance(x, dict) else x
-                                 for x in value]
-                                if value is not None else [])
-                else:
-                    rec[key] = value if value is not None else ""
-            records.append(rec)
-        merged = merge_core.merge_cluster(records, default_country=country)
-        merged["cluster_id"] = int(pdf["cluster_id"].iloc[0])
-        return pd.DataFrame([[merged.get(f) for f in out_fields]],
-                            columns=out_fields)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cluster_id, packed in zip(pdf["cluster_id"],
+                                          pdf["_records"]):
+                records = []
+                for row in packed:
+                    rec = {}
+                    for key, value in row.items():
+                        if key == "rid":
+                            continue
+                        if key in _LISTY:
+                            # channel arrays hold structs (→ dict);
+                            # invalid_* arrays hold plain strings
+                            rec[key] = ([dict(x) if isinstance(x, dict)
+                                         else x for x in value]
+                                        if value is not None else [])
+                        else:
+                            rec[key] = value if value is not None else ""
+                    records.append(rec)
+                merged = merge_core.merge_cluster(
+                    records, default_country=country)
+                merged["cluster_id"] = int(cluster_id)
+                rows.append(tuple(merged.get(f) for f in out_fields))
+            yield pd.DataFrame(rows, columns=out_fields)
 
-    return clustered.groupBy("cluster_id").applyInPandas(
-        merge_group, MERGED_SCHEMA)
+    return grouped.mapInPandas(run, MERGED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
