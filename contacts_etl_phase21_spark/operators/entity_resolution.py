@@ -35,9 +35,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (
-    BooleanType, DoubleType, LongType, StringType, StructField, StructType,
-)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from contacts_etl_phase21_spark.functions import merge_core
 from contacts_etl_phase21_spark.functions.merge_core import DedupeConfig
