@@ -181,3 +181,118 @@ def a2_presence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * F.avg((F.col("c_acctbal") > 0).cast("int")), 2)
         .alias("positive_balance_pct"),
         F.round(F.avg("c_acctbal"), 2).alias("avg_balance"))
+
+
+# --------------------------------------------------------------------------
+# E7: weighted first-name vote (grouped, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "e7_first_name_vote",
+    survey="E7",
+    doc="choose_best_first_name (normalization.py:738-780): per cluster, "
+        "weighted vote over explicit names and email-local guesses with "
+        "fuzzy key pooling (seq_ratio >= 0.9). collect_list + mapInPandas "
+        "over the pure vote core — the fuzzy pooling makes it "
+        "non-SQL-expressible, so the driver records a rows-only check; "
+        "semantics pinned in tests/test_pipeline_contracts.py.",
+    oracle=None,
+)
+def e7_first_name_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from contacts_etl_phase21_spark.functions.merge_core import (
+        choose_best_first_name,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    # synthetic clusters of ~5 with mixed sources and name variants
+    members = customer.select(
+        (F.col("c_custkey") % 300).alias("cluster_id"),
+        F.when(F.col("c_custkey") % 5 == 0, "linkedin")
+        .otherwise("gmail").alias("source"),
+        F.when(F.col("c_custkey") % 2 == 0, "Bill")
+        .otherwise("William").alias("first_name"),
+        F.array(F.struct(
+            F.concat(F.lit("will.smith"),
+                     (F.col("c_custkey") % 7).cast("string"),
+                     F.lit("@x.com")).alias("value"),
+            F.lit("home").alias("label"))).alias("emails"))
+    grouped = members.groupBy("cluster_id").agg(
+        F.collect_list(F.struct("source", "first_name", "emails"))
+        .alias("_members"))
+    out_schema = StructType([
+        StructField("cluster_id", LongType()),
+        StructField("best_first", StringType()),
+        StructField("vote_key", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, packed in zip(pdf["cluster_id"], pdf["_members"]):
+                records = [{"source": m["source"],
+                            "first_name": m["first_name"],
+                            "emails": [dict(e) for e in m["emails"]]}
+                           for m in packed]
+                name, key = choose_best_first_name(records)
+                rows.append((int(cid), name, key))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return grouped.mapInPandas(run, out_schema).orderBy("cluster_id")
+
+
+# --------------------------------------------------------------------------
+# N2: email-collection dedupe with label upgrade (window-function oracle)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "n2_email_dedup_label_upgrade",
+    survey="N2,N5",
+    doc="normalize_email_collection's dedupe lattice "
+        "(normalization.py:543-570): first occurrence of a value wins "
+        "position, but an empty label is upgraded by the first labeled "
+        "duplicate. Spark: groupBy(value) + min(seq) + min_by over "
+        "labeled entries; oracle: the same as window SQL.",
+    oracle="""
+        SELECT owner, value,
+               COALESCE(MIN(CASE WHEN label <> '' THEN label END), '')
+                   AS label,
+               MIN(seq) AS first_seq
+        FROM (SELECT c_custkey % 100 AS owner,
+                     'addr' || CAST(c_custkey % 17 AS VARCHAR) || '@x.com'
+                         AS value,
+                     CASE WHEN c_custkey % 3 = 0 THEN 'work'
+                          WHEN c_custkey % 3 = 1 THEN '' ELSE 'home' END
+                         AS label,
+                     c_custkey AS seq
+              FROM customer)
+        GROUP BY owner, value
+        ORDER BY owner, value
+    """,
+)
+def n2_email_dedup_label_upgrade(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    entries = customer.select(
+        (F.col("c_custkey") % 100).alias("owner"),
+        F.concat(F.lit("addr"), (F.col("c_custkey") % 17).cast("string"),
+                 F.lit("@x.com")).alias("value"),
+        F.when(F.col("c_custkey") % 3 == 0, "work")
+        .when(F.col("c_custkey") % 3 == 1, "").otherwise("home")
+        .alias("label"),
+        F.col("c_custkey").alias("seq"))
+    # min() skips NULLs, so nullif turns 'no labeled duplicate' into ''
+    return (entries.groupBy("owner", "value")
+            .agg(F.coalesce(F.min(F.when(F.col("label") != "",
+                                         F.col("label"))), F.lit(""))
+                 .alias("label"),
+                 F.min("seq").alias("first_seq"))
+            .orderBy("owner", "value"))

@@ -224,3 +224,19 @@ def test_linkedin_date():
     assert parse_linkedin_date("03 Jan 2024") == datetime(2024, 1, 3)
     assert parse_linkedin_date("2024-01-03") == datetime(2024, 1, 3)
     assert parse_linkedin_date("") is None
+
+
+def test_register_sql_functions(spark):
+    from contacts_etl_phase21_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT seq_ratio('bill', 'billy') AS r,"
+        "       fold_text('  José  GARCÍA ') AS f,"
+        "       nickname_root('Billy') AS n,"
+        "       parse_full_name('Dr. Jane van der Berg Jr., PhD').last_name AS l"
+    ).collect()[0]
+    assert 0.8 < row["r"] < 1.0
+    assert row["f"] == "jose garcia"
+    assert row["n"] == "william"
+    assert row["l"] == "van der Berg"
