@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the pure scalar cores — the
+invariants the Spark operators rely on, independent of any fixture."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from contacts_etl_phase21_spark.functions.merge_core import (
+    DedupeConfig, merge_cluster, pair_signals,
+)
+from contacts_etl_phase21_spark.functions.phones import (
+    phone_to_e164, render_with_extension,
+)
+from contacts_etl_phase21_spark.functions.record_norm import (
+    normalize_emails, normalize_phones,
+)
+from contacts_etl_phase21_spark.functions.similarity import (
+    jaccard, minhash_signature, seq_ratio,
+)
+from contacts_etl_phase21_spark.functions.text import fold_text
+
+text = st.text(max_size=40)
+name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")),
+    max_size=25)
+
+
+@given(text)
+def test_fold_text_idempotent_mod_strip(s):
+    # parity note: like the reference's _norm (normalization.py:241-247),
+    # fold_text can emit a bare space for whitespace-decomposing chars
+    # ('¸' → NFKD space + combining cedilla); refolding strips it. The
+    # invariant the engine relies on is stability modulo that strip.
+    assert fold_text(fold_text(s)) == fold_text(s).strip()
+
+
+@given(text, text)
+def test_seq_ratio_symmetric_and_bounded(a, b):
+    r = seq_ratio(a, b)
+    assert 0.0 <= r <= 1.0
+    assert abs(r - seq_ratio(b, a)) < 1e-12
+    assert seq_ratio(a, a) == 1.0
+
+
+@given(st.text(alphabet="0123456789 ()+-.", max_size=20))
+def test_phone_e164_stable_when_valid(raw):
+    from contacts_etl_phase21_spark.functions.phones import phone_is_valid
+
+    once = phone_to_e164(raw)
+    # the pipeline re-formats already-normalized numbers during cluster
+    # merge (reference does too); VALID numbers must be fixpoints —
+    # invalid ones go down the non-standard path instead.
+    if once and phone_is_valid(once):
+        assert phone_to_e164(once) == once
+
+
+@given(st.lists(st.tuples(st.emails(), st.sampled_from(
+    ["", "home", "work", "other", "invalid"])), max_size=8))
+def test_normalize_emails_no_value_dupes(entries):
+    out, _ = normalize_emails(
+        [{"value": v, "label": l} for v, l in entries])
+    values = [e["value"] for e in out]
+    assert len(values) == len(set(values))
+
+
+@given(st.lists(st.tuples(
+    st.text(alphabet="0123456789", min_size=10, max_size=10),
+    st.sampled_from(["", "mobile", "work"])), max_size=6))
+def test_normalize_phones_no_key_dupes(entries):
+    out, _ = normalize_phones(
+        [{"value": v, "label": l, "extension": ""} for v, l in entries])
+    keys = [(p["value"], p["extension"]) for p in out]
+    assert len(keys) == len(set(keys))
+
+
+@settings(max_examples=25)
+@given(st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=60),
+       st.sets(st.text(min_size=1, max_size=12), min_size=1, max_size=60))
+def test_minhash_estimates_jaccard(a, b):
+    sig_a, sig_b = minhash_signature(a, 128), minhash_signature(b, 128)
+    est = sum(x == y for x, y in zip(sig_a, sig_b)) / 128
+    assert abs(est - jaccard(a, b)) < 0.35  # 128 hashes → loose bound
+
+
+@given(name, name)
+def test_pair_signals_symmetric(first_a, first_b):
+    a = {"first_name": first_a, "last_name": "X", "emails": [],
+         "phones": [], "addresses": []}
+    b = {"first_name": first_b, "last_name": "X", "emails": [],
+         "phones": [], "addresses": []}
+    sa, sb = pair_signals(a, b), pair_signals(b, a)
+    assert abs(sa.score - sb.score) < 1e-9
+    assert sa.corroborators == sb.corroborators
+
+
+@given(st.lists(st.fixed_dictionaries({
+    "source": st.sampled_from(["gmail", "linkedin", "mac_vcf"]),
+    "source_row_id": st.integers(0, 99).map(str),
+    "first_name": name, "last_name": name,
+}), min_size=1, max_size=5))
+def test_merge_cluster_total_and_deterministic(records):
+    for r in records:
+        r.setdefault("emails", [])
+        r.setdefault("phones", [])
+        r.setdefault("addresses", [])
+    m1 = merge_cluster([dict(r) for r in records])
+    m2 = merge_cluster([dict(r) for r in records])
+    assert m1 == m2  # deterministic
+    assert m1["source_row_count"] == len(records)
+    assert 0 <= len(m1["contact_id"]) == 36  # uuid shape
+
+
+@given(st.text(alphabet="0123456789+", min_size=1, max_size=14),
+       st.text(alphabet="0123456789", max_size=4))
+def test_render_with_extension_roundtrip(value, ext):
+    rendered = render_with_extension(value, ext)
+    assert rendered.startswith(value)
+    if ext:
+        assert rendered.endswith(ext)
+
+
+def test_merge_gates_never_accept_empty_pair():
+    empty = {"first_name": "", "last_name": "", "emails": [], "phones": [],
+             "addresses": []}
+    sig = pair_signals(empty, empty)
+    assert not __import__(
+        "contacts_etl_phase21_spark.functions.merge_core",
+        fromlist=["merge_ok"]).merge_ok(empty, empty, sig, DedupeConfig())
