@@ -274,6 +274,66 @@ def accepted_edges(scored: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
+        F.coalesce(F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("h")
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components_star(vertices: DataFrame, edges: DataFrame,
+                              max_iter: int = 40) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of graph diameter.
+
+    Use this variant for adversarial topologies (long chains, huge
+    sparse components); `connected_components` (min-label propagation,
+    O(diameter) rounds) wins on the near-clique graphs contact ER
+    produces. Both return (id, component = min id of the component).
+
+    Per round: large-star connects every neighbor v > u to the min of
+    u's neighborhood; small-star (edges oriented big→small) connects
+    u's smaller neighbors to their min. Each is one groupBy + one
+    self-join on the node id — shuffle-partitionable, no driver state.
+    """
+    cur = edges.filter(F.col("src") != F.col("dst"))
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star
+        sym = cur.union(cur.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m"))
+        cur = (sym.join(mins, "src")
+               .where(F.col("dst") > F.col("src"))
+               .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+               .where(F.col("src") != F.col("dst"))
+               .distinct())
+        # ---- small-star (orient big → small)
+        oriented = cur.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst")).distinct()
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        cur = (oriented.join(mins, "src")
+               .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+               .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+               .where(F.col("src") != F.col("dst"))
+               .distinct().localCheckpoint())
+        sig = _edge_checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge points child → component root
+    roots = cur.select(F.col("src").alias("id"),
+                       F.col("dst").alias("component"))
+    return (vertices.join(roots, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Min-label propagation: component = min rid reachable. Contact

@@ -357,3 +357,41 @@ def test_mx_check_relabels_and_dedupes(spark):
     [row] = out.collect()
     emails = [(e["value"], e["label"]) for e in row["emails"]]
     assert emails == [("good@x.com", "work"), ("dead@x.com", "invalid")]
+
+
+# ---------------------------------------------------------------------------
+# E5 variants: label propagation vs alternating-star equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    import random
+
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components, connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    lp = {r["id"]: r["component"]
+          for r in connected_components(vertices, edf).collect()}
+    star = {r["id"]: r["component"]
+            for r in connected_components_star(vertices, edf).collect()}
+    assert lp == star
+
+
+def test_connected_components_star_handles_long_chain(spark):
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components_star,
+    )
+
+    n = 2048  # a chain needs ~n label-propagation rounds; star needs ~log n
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = connected_components_star(vertices, chain, max_iter=20).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == n
