@@ -285,3 +285,71 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "byte_len", "n_frames",
         F.round(F.element_at("feature", 1), 6).alias("feat0"))
+
+
+@query(
+    "ann_range_search",
+    survey="LLM-similarity-search(range)",
+    doc="Cosine range search: all corpus vectors within similarity >= "
+        "0.3 of each query — the radius-query companion to top-k; same "
+        "broadcast-queries x streamed-corpus plan, no window needed.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings WHERE vec_id < 5
+        )
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.q_vec), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.q_vec), 6) >= 0.3
+        ORDER BY query_id, vec_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        cosine_col,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = broadcast(emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec")))
+    return (emb.crossJoin(q)
+            .select("query_id", "vec_id",
+                    F.round(cosine_col(F.col("embedding"),
+                                       F.col("q_vec")), 6).alias("cosine"))
+            .filter(F.col("cosine") >= 0.3)
+            .orderBy("query_id", "vec_id"))
+
+
+@query(
+    "agg_rollup_pricing",
+    survey="A-ext(rollup)",
+    doc="ROLLUP grouping sets over lineitem status flags — beyond the "
+        "reference's aggregation surface (SURVEY notes it has none); "
+        "Spark expands the sets map-side, one shuffle.",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+)
+def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (lineitem
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("linestatus"), "n", "total_price")
+            .orderBy("returnflag", "linestatus"))
