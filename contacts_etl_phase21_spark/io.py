@@ -35,6 +35,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee minimum parallelism before a compute-bound stage.
+
+    Small single-row-group parquet files scan as ONE task, and AQE can
+    hand a broadcast join's streamed side that same single task — so a
+    CPU-heavy projection (interpreted HOFs, pandas UDFs, quadratic
+    pair scoring) would run on 1 of N cores. A round-robin repartition
+    up to defaultParallelism fixes that. No-op when the input is
+    already wide (the 100 TB case: many files/row-groups), so this
+    never ADDS a shuffle at scale — it only rescues the small-file
+    layout the local testdata ships with.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for spark.sql use."""
     for t in TABLES:

@@ -31,6 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from contacts_etl_phase21_spark.functions.similarity import simhash64
+from contacts_etl_phase21_spark.io import widen
 
 
 def normalized_tokens(text: Column) -> Column:
@@ -55,9 +56,13 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
 
 def with_shingles(df: DataFrame, id_col: str, text_col: str,
                   n: int = 3) -> DataFrame:
-    """(doc, shingles) — tokenization materialized once per row."""
-    return (df.select(F.col(id_col).alias("doc"),
-                      F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"))
+    """(doc, shingles) — tokenization materialized once per row.
+
+    Input is widened first: shingling runs interpreted (HOF lambdas
+    get no codegen) and must not inherit a 1-task file layout."""
+    return (widen(df.select(F.col(id_col).alias("doc"),
+                            F.split(F.trim(F.col(text_col)), r"\s+")
+                            .alias("toks")))
             .select("doc", shingles_of_tokens(F.col("toks"), n)
                     .alias("shingles")))
 
@@ -115,17 +120,27 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
-                         n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """Per-doc MinHash signature: hash each shingle string once, then
-    64 codegen'd min-aggregates over the cheap long-mix. The groupBy
-    shuffles only the map-side-combined partials (|docs| rows × 64
-    longs), not the posting list. A row-local nested-transform variant
-    avoids even that shuffle but runs interpreted (no codegen inside
-    HOF lambdas) and measured ~6× slower — aggregation wins."""
-    posting = with_shingles(df, id_col, text_col, n) \
-        .select("doc", F.explode("shingles").alias("shingle")) \
-        .select("doc", F.xxhash64("shingle").alias("sh_hash"))
+def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3) -> DataFrame:
+    """(doc, sh_h: array<long>) — 64-bit xxhash64 per distinct shingle.
+    All downstream set math (MinHash mins, Jaccard intersect/union)
+    runs on the longs; collision odds are ≪ 1e-6 at corpus scale and
+    the hash join/compare is ~4× cheaper than on shingle strings."""
+    return with_shingles(df, id_col, text_col, n).select(
+        "doc",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("sh_h"))
+
+
+def _signature_from_hashed(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Per-doc MinHash signature from (doc, sh_h): explode, then
+    num_hashes codegen'd min-aggregates over the cheap long-mix. The
+    groupBy shuffles only the map-side-combined partials (|docs| rows ×
+    num_hashes longs), not the posting list. A row-local
+    nested-transform variant avoids even that shuffle but runs
+    interpreted (no codegen inside HOF lambdas) and measured ~6×
+    slower — aggregation wins."""
+    posting = sh.select("doc", F.explode("sh_h").alias("sh_hash"))
     mins = [F.min(F.xxhash64(F.lit(seed), F.col("sh_hash"))).alias(f"h{seed}")
             for seed in range(num_hashes)]
     agg = posting.groupBy("doc").agg(*mins)
@@ -133,6 +148,13 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
         "doc",
         F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
         .alias("signature"))
+
+
+def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """Per-doc MinHash signature (see _signature_from_hashed)."""
+    return _signature_from_hashed(
+        with_hashed_shingles(df, id_col, text_col, n), num_hashes)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -145,7 +167,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     touches candidates only.
     """
     rows = num_hashes // bands
-    sig = minhash_signature_df(df, id_col, text_col, n, num_hashes)
+    # Shingle + hash ONCE and persist: the same (doc, sh_h) feeds the
+    # signature aggregation AND both sides of the verification join.
+    # Without this the corpus is tokenized/shingled three times — at
+    # 100 TB that's two redundant full-corpus passes.
+    sh = with_hashed_shingles(df, id_col, text_col, n).persist()
+    sig = _signature_from_hashed(sh, num_hashes)
     # Band + explode in ONE projection: the signature expression is
     # referenced exactly once, so Catalyst evaluates it once per row
     # (separate per-band columns would re-inline — and recompute — the
@@ -166,9 +193,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = with_shingles(df, id_col, text_col, n)
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh_h").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh_h").alias("sh_b"))
     verified = (
         candidates.join(a, "doc_a").join(b, "doc_b")
         .select(
@@ -194,7 +220,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     """SimHash near-dup pairs: 64-bit fingerprint (pandas UDF over
     token arrays), blocked on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
     ≥1 identical chunk of 4), verified with exact popcount."""
-    fp = df.select(
+    fp = widen(df).select(
         F.col(id_col).alias("doc"),
         _udf_simhash(F.split(F.trim(F.col(text_col)), r"\s+")).alias("simhash"))
     chunks = fp.select(

@@ -300,7 +300,10 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
     u's smaller neighbors to their min. Each is one groupBy + one
     self-join on the node id — shuffle-partitionable, no driver state.
     """
-    cur = edges.filter(F.col("src") != F.col("dst"))
+    # Materialize the input edges once: round 1 references `cur` several
+    # times (symmetrize + neighborhood-min join) and would otherwise
+    # re-execute the upstream edge plan for each reference.
+    cur = edges.filter(F.col("src") != F.col("dst")).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
         # ---- large-star
@@ -342,8 +345,12 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
     vertices: one column `id`; edges: (src, dst) undirected.
     """
+    # The edge list is loop-invariant: materialize it ONCE. Without this
+    # every round re-executes the whole upstream edge plan (source scan,
+    # window shuffles, distinct) — at 100 TB that is N full corpus reads.
     sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+                                   F.col("src").alias("dst"))) \
+        .localCheckpoint()
     cc = vertices.select(F.col("id"), F.col("id").alias("component"))
     cc = cc.localCheckpoint()
     # Convergence check: labels only ever decrease, so the component sum

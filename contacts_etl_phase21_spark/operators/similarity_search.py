@@ -17,6 +17,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
+from contacts_etl_phase21_spark.io import widen
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -40,7 +42,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     q = broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")))
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+    # widen: the interpreted zip_with/aggregate dot product is the
+    # bottleneck; it must not run on a 1-task file layout.
+    scored = widen(corpus.select(F.col(id_col), F.col(vec_col))) \
+        .crossJoin(q).select(
         query_id_col, id_col,
         F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
@@ -83,7 +88,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             "bucket", hyperplane_bucket(F.col("__vec__"), dim, bits)) \
             .withColumnRenamed("__vec__", vec_col)
 
-    c = bucketed(corpus.select(id_col, vec_col), id_col)
+    c = bucketed(widen(corpus.select(id_col, vec_col)), id_col)
     q = broadcast(bucketed(
         queries.select(query_id_col, vec_col), query_id_col)
         .select(query_id_col, F.col(vec_col).alias("q_vec"), "bucket"))

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.io import load, widen
 from contacts_etl_phase21_spark.plans.registry import query
 
 # --------------------------------------------------------------------------
@@ -268,7 +268,9 @@ def p5_duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j1_blocked_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
+    # widen: AQE broadcasts the right side, so the levenshtein pair loop
+    # runs on the streamed side's scan tasks — which must not be 1.
+    c = widen(load(spark, sf_dir, "customer"))
     left = c.select(
         F.col("c_custkey").alias("l_key"), F.col("c_name").alias("l_name"),
         F.col("c_nationkey").alias("block_nation"),
