@@ -132,16 +132,38 @@ def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
         .alias("sh_h"))
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (SplitMix64) for per-permutation
+    constants — pure stdlib, reproducible everywhere."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 def _signature_from_hashed(sh: DataFrame, num_hashes: int) -> DataFrame:
     """Per-doc MinHash signature from (doc, sh_h): explode, then
-    num_hashes codegen'd min-aggregates over the cheap long-mix. The
-    groupBy shuffles only the map-side-combined partials (|docs| rows ×
-    num_hashes longs), not the posting list. A row-local
-    nested-transform variant avoids even that shuffle but runs
-    interpreted (no codegen inside HOF lambdas) and measured ~6×
-    slower — aggregation wins."""
+    num_hashes codegen'd min-aggregates. The groupBy shuffles only the
+    map-side-combined partials (|docs| rows × num_hashes longs), not
+    the posting list. A row-local nested-transform variant avoids even
+    that shuffle but runs interpreted (no codegen inside HOF lambdas)
+    and measured ~6× slower — aggregation wins.
+
+    Permutation i is `sh_hash XOR C_i` (fixed SplitMix64 constants):
+    for uniform input hashes the min under an XOR-translated order is
+    an (approximately) uniform random element pick, which is all
+    MinHash needs — and one XOR per row beats a full xxhash64 re-mix
+    ~2× on the posting-list hot loop (plus much smaller generated
+    code, so whole-stage codegen compiles faster and stays intact).
+    Candidates are verified with exact Jaccard downstream, so hash-
+    family quality affects only recall, not emitted results."""
     posting = sh.select("doc", F.explode("sh_h").alias("sh_hash"))
-    mins = [F.min(F.xxhash64(F.lit(seed), F.col("sh_hash"))).alias(f"h{seed}")
+    # map to signed 64-bit so the literal fits Spark's LongType
+    consts = [_splitmix64(seed) - (1 << 64)
+              if _splitmix64(seed) >= (1 << 63) else _splitmix64(seed)
+              for seed in range(num_hashes)]
+    mins = [F.min(F.col("sh_hash").bitwiseXOR(F.lit(consts[seed])))
+            .alias(f"h{seed}")
             for seed in range(num_hashes)]
     agg = posting.groupBy("doc").agg(*mins)
     return agg.select(
