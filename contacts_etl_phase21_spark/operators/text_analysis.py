@@ -94,3 +94,22 @@ def content_fingerprint(text: Column) -> Column:
     exact text hashing misses."""
     toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+")))
     return F.md5(F.array_join(toks, " "))
+
+
+# Rabin-Karp rolling-hash parameters: base 131 over code points mod the
+# classic 1e9+7 prime. acc < 1e9+7 so acc*131 + cp stays far below 2^63 —
+# ANSI-overflow-safe on both Spark and the DuckDB oracle (BIGINT).
+_ROLL_BASE = 131
+_ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash_fingerprint(text: Column) -> Column:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash
+    (Rabin-Karp) over the character stream — the streaming-friendly
+    fingerprint a scanner computes in one pass without tokenizing.
+    Pure fold (aggregate HOF), deterministic, engine-agnostic."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % F.lit(_ROLL_MOD))

@@ -121,6 +121,61 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_embedding_cosine_near_dups",
+    survey="LLM-dedup(embedding-cosine)",
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45): exact "
+        "all-pairs via block-matrix self-join — chunk the corpus, join "
+        "the chunk-level upper triangle, one vectorized numpy matmul "
+        "per chunk pair (BLAS, not per-pair interpreted dots). At "
+        "100 TB the LSH-bucketed tier generates candidates and this "
+        "kernel verifies within buckets.",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY vec_a, vec_b
+    """,
+)
+def dd_embedding_cosine_near_dups(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                     threshold=0.45, n_chunks=8) \
+        .orderBy("vec_a", "vec_b")
+
+
+@query(
+    "ta_rolling_fingerprint",
+    survey="LLM-text(fingerprint)",
+    doc="Order-sensitive document fingerprint: Rabin-Karp polynomial "
+        "rolling hash over the character stream (base 131 mod 1e9+7) — "
+        "one streaming pass, no tokenization; pure fold on both "
+        "engines. Complements the order-insensitive md5 token-set "
+        "fingerprint (dd_exact_fingerprint_groups).",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000007)
+                   AS roll_hash
+        FROM documents ORDER BY doc_id
+    """,
+)
+def ta_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.rolling_hash_fingerprint(F.col("text")).alias("roll_hash")) \
+        .orderBy("doc_id")
+
+
+@query(
     "ann_brute_topk",
     survey="LLM-similarity-search(brute)",
     doc="Exact cosine top-10 for the first 10 vectors as queries: "
