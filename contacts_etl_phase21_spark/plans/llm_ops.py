@@ -224,6 +224,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    survey="LLM-similarity-search(ivf)",
+    doc="IVF ANN top-10: corpus coarse-quantized into 16 cells "
+        "(deterministic centroids), queries probe their 4 nearest "
+        "cells, exact rerank within — at scale the corpus is "
+        "partitioned by cell so a query reads n_probe/n_cells of the "
+        "data. Cell assignment is engine-specific → rows-only check; "
+        "recall vs brute force asserted in tests.",
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
+@query(
     "ta_language_id",
     survey="LLM-text(langid)",
     doc="Rule-based language ID: per-language stopword-marker hit "

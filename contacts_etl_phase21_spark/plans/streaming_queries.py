@@ -14,6 +14,7 @@ from contacts_etl_phase21_spark.plans.registry import query
 from contacts_etl_phase21_spark.streaming.events import (
     sessionized_counts_batch, windowed_counts_batch,
 )
+from contacts_etl_phase21_spark.streaming.stateful import first_event_batch
 
 
 @query(
@@ -65,3 +66,27 @@ def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_counts_batch(spark, sf_dir, "5 minutes")
+
+
+@query(
+    "st_stateful_first_event",
+    survey="streaming-ext",
+    doc="First event per (user_id, event_type) — batch twin of the "
+        "applyInPandasWithState custom stateful dedup stream "
+        "(streaming/stateful.py; stream-vs-batch parity pinned in "
+        "tests/test_streaming.py). Batch shape: one window shuffle, "
+        "row_number argmin by (ts, event_id).",
+    oracle="""
+        SELECT user_id, event_type,
+               event_id AS first_event_id, value AS first_value
+        FROM (
+            SELECT user_id, event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+)
+def st_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_event_batch(spark, sf_dir)

@@ -10,8 +10,12 @@ from contacts_etl_phase21_spark.streaming.events import (
     read_events_stream, sessionized_counts_batch, stream_windowed_counts,
     windowed_counts_batch,
 )
+from contacts_etl_phase21_spark.streaming.stateful import (
+    first_event_batch, stream_first_event,
+)
 
 __all__ = [
     "read_events_stream", "stream_windowed_counts",
     "windowed_counts_batch", "sessionized_counts_batch",
+    "first_event_batch", "stream_first_event",
 ]

@@ -56,6 +56,58 @@ def test_ann_lsh_recall(spark, sf_small):
     assert recall > 0.05, f"lsh recall {recall}"
 
 
+def test_ann_ivf_recall(spark, sf_small):
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    ivf = ann.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    # each query is assigned to its own nearest cell (n_probe >= 1), so
+    # it must find itself
+    assert all((q, q) in i for q in range(10))
+    recall = len(b & i) / len(b)
+    # probing 4/16 cells of a random-vector corpus: non-trivial overlap
+    assert recall > 0.1, f"ivf recall {recall}"
+
+
+def test_embedding_cosine_pairs_blocked_equals_bruteforce(spark, sf_small):
+    import itertools
+
+    import numpy as np
+
+    from contacts_etl_phase21_spark.operators import dedup as dd
+
+    emb = load(spark, sf_small, "embeddings")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dd.embedding_cosine_pairs(
+               emb, threshold=0.4, n_chunks=4).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if c >= 0.4:
+            expected[(a, b)] = round(c, 6)
+    assert got == expected
+
+
+def test_rolling_hash_fingerprint_is_order_sensitive(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        rolling_hash_fingerprint,
+    )
+    df = spark.createDataFrame(
+        [("ab c",), ("c ab",), ("ab c",), ("",)], ["text"])
+    vals = [r[0] for r in
+            df.select(rolling_hash_fingerprint(F.col("text"))).collect()]
+    assert vals[0] == vals[2]          # deterministic
+    assert vals[0] != vals[1]          # order matters
+    assert vals[3] == 0                # empty text folds to the seed
+
+
 def test_exact_fingerprint_groups_match_tokenset_dups(spark, sf_small):
     from contacts_etl_phase21_spark.operators.text_analysis import (
         content_fingerprint,

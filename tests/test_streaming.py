@@ -7,7 +7,8 @@ from __future__ import annotations
 import uuid
 
 from contacts_etl_phase21_spark.streaming import (
-    sessionized_counts_batch, stream_windowed_counts, windowed_counts_batch,
+    first_event_batch, sessionized_counts_batch, stream_first_event,
+    stream_windowed_counts, windowed_counts_batch,
 )
 
 
@@ -31,3 +32,24 @@ def test_sessionized_counts_shape(spark, sf_small):
     assert rows
     # sessions are per-user, ordered, non-empty
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stateful_first_event_matches_batch(spark, sf_small):
+    stream_df = stream_first_event(spark, sf_small)
+    assert stream_df.isStreaming
+    name = f"first_event_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update-mode memory sink may hold several emissions per key across
+    # batches; the LAST one is the converged state — but emissions only
+    # improve, so (key → min event) equals taking the final emission.
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        got[(r["user_id"], r["event_type"])] = (
+            r["first_event_id"], r["first_value"])
+    expected = {(r["user_id"], r["event_type"]):
+                (r["first_event_id"], r["first_value"])
+                for r in first_event_batch(spark, sf_small).collect()}
+    assert got == expected
+    assert len(got) > 0
