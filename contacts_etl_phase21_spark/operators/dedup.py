@@ -231,6 +231,41 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return verified
 
 
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 8, w: int = 4, max_df: int = 5,
+                         min_shared: int = 3) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (MOSS-style shared-content
+    detection): docs sharing >= min_shared RARE fingerprints.
+
+    High-document-frequency fingerprints (common English k-grams) are
+    dropped before the pair join (df <= max_df) — the standard
+    stop-fingerprint filter. Without it posting lists for ubiquitous
+    substrings make the inverted-index join Σ|posting|² ≈ O(n²·fp);
+    with it each fingerprint contributes <= max_df² pairs, so the join
+    is linear in corpus size. Same shape at 100 TB: one groupBy for
+    document frequencies, one equi-join on fingerprint.
+    """
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        with_winnow_fingerprints,
+    )
+
+    fp = with_winnow_fingerprints(df, id_col, text_col, k, w)
+    # persist: the posting list feeds the document-frequency aggregate
+    # AND both sides of the pair join — without it the fingerprint UDF
+    # re-runs over the corpus three times.
+    posting = fp.select("doc", F.explode("fingerprints").alias("fp")) \
+        .persist()
+    dfc = posting.groupBy("fp").agg(F.countDistinct("doc").alias("df"))
+    rare = posting.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
+    a = rare.select(F.col("doc").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.45,

@@ -175,6 +175,94 @@ def ta_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+_DUCK_WINNOW = """
+        codes AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS cs
+            FROM documents),
+        kh AS (
+            SELECT doc_id,
+                   CASE WHEN len(cs) >= 8 THEN
+                       [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                 cs[i:i+7]),
+                                    (a, x) -> (a * 131 + x) % 1000000007)
+                        for i in range(1, len(cs) - 6)]
+                   ELSE [] END AS kh
+            FROM codes),
+        fp AS (
+            SELECT doc_id,
+                   CASE WHEN len(kh) >= 4 THEN
+                       list_sort(list_distinct(
+                           [list_min(kh[j:j+3])
+                            for j in range(1, len(kh) - 2)]))
+                   WHEN len(kh) > 0 THEN [list_min(kh)]
+                   ELSE [] END AS fps
+            FROM kh)
+"""
+
+
+@query(
+    "ta_winnow_fingerprints",
+    survey="LLM-text(winnow)",
+    doc="Winnowing fingerprint sets (MOSS): rolling hashes of char "
+        "8-grams, min per window of 4 — any shared substring of length "
+        ">= 11 yields a shared fingerprint at O(L/w) fingerprints/doc. "
+        "Arrow-batched numpy Horner kernel (the nested-HOF formulation "
+        "runs interpreted and is ~10^4x slower).",
+    oracle=f"""
+        WITH {_DUCK_WINNOW}
+        SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+               array_to_string(fps, '|') AS fp_str
+        FROM fp ORDER BY doc_id
+    """,
+)
+def ta_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        with_winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fp = with_winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    return (fp.select(
+        F.col("doc").alias("doc_id"),
+        F.size("fingerprints").alias("n_fp"),
+        F.array_join(F.transform("fingerprints",
+                                 lambda x: x.cast("string")), "|")
+        .alias("fp_str"))
+        .orderBy("doc_id"))
+
+
+@query(
+    "dd_winnow_overlap_pairs",
+    survey="LLM-dedup(winnow)",
+    doc="Shared-content pairs via winnowing fingerprints: drop "
+        "stop-fingerprints (document frequency > 5), inverted-index "
+        "join on the rare ones, keep pairs sharing >= 3 — the "
+        "plagiarism/boilerplate-detection tier; join cost is linear in "
+        "corpus size after the df cap.",
+    oracle=f"""
+        WITH {_DUCK_WINNOW},
+        posting AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        dfc AS (SELECT f FROM posting
+                GROUP BY f HAVING COUNT(DISTINCT doc_id) <= 5),
+        rare AS (SELECT p.doc_id, p.f FROM posting p JOIN dfc USING (f)),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         COUNT(*) AS shared
+                  FROM rare a JOIN rare b
+                    ON a.f = b.f AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+        FROM pairs WHERE shared >= 3 ORDER BY doc_a, doc_b
+    """,
+)
+def dd_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.winnow_overlap_pairs(docs, "doc_id", "text",
+                                   k=8, w=4, max_df=5, min_shared=3) \
+        .orderBy("doc_a", "doc_b")
+
+
 @query(
     "ann_brute_topk",
     survey="LLM-similarity-search(brute)",

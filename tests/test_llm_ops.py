@@ -95,6 +95,21 @@ def test_embedding_cosine_pairs_blocked_equals_bruteforce(spark, sf_small):
     assert got == expected
 
 
+def test_winnow_guarantee_shared_substring_yields_shared_fingerprint():
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        winnow_fingerprint_set,
+    )
+    # any shared substring of length >= k+w-1 (= 11) must yield at
+    # least one shared fingerprint (the winnowing guarantee)
+    common = "xqzjvkwpfbh"  # 11 chars, unlikely elsewhere
+    a = winnow_fingerprint_set("aaaa " + common + " bbbb")
+    b = winnow_fingerprint_set("cccc dddd " + common + " eeee")
+    assert set(a) & set(b)
+    # edges: shorter than k -> empty; k..k+w-2 chars -> single window
+    assert winnow_fingerprint_set("short") == []
+    assert len(winnow_fingerprint_set("exactly8")) == 1
+
+
 def test_rolling_hash_fingerprint_is_order_sensitive(spark):
     from contacts_etl_phase21_spark.operators.text_analysis import (
         rolling_hash_fingerprint,
