@@ -134,6 +134,33 @@ def candidate_pairs(prepared: DataFrame) -> DataFrame:
         & (F.col("l_rid") < F.col("r_rid")))
 
 
+def candidate_pairs_salted(prepared: DataFrame,
+                           n_salt: int = 8) -> DataFrame:
+    """candidate_pairs with explicit salting for adversarially hot
+    block keys (beyond what AQE skew-splitting handles).
+
+    The left side gets a deterministic salt (rid % n_salt); the right
+    side is REPLICATED to every salt; the join key becomes
+    (block_key, salt). Each (i<j) pair still appears exactly once —
+    at j's replica matching i's salt — but a hot block's pair
+    generation is spread over n_salt reducers instead of one.
+    Replication multiplies the right side's shuffle volume by n_salt:
+    use only when a profiled hot key actually exists (the pair SET is
+    identical to candidate_pairs; equivalence is pinned in tests).
+    """
+    left = prepared.select(
+        [F.col(c).alias(f"l_{c}") for c in _PAIR_SIDES]) \
+        .withColumn("_salt", (F.col("l_rid") % n_salt).cast("int"))
+    right = prepared.select(
+        [F.col(c).alias(f"r_{c}") for c in _PAIR_SIDES]) \
+        .withColumn("_salt", F.explode(F.array(
+            *[F.lit(s) for s in range(n_salt)])))
+    return left.join(
+        right, (F.col("l_block_key") == F.col("r_block_key"))
+        & (F.col("l_rid") < F.col("r_rid"))
+        & (left["_salt"] == right["_salt"])).drop("_salt")
+
+
 # ---------------------------------------------------------------------------
 # E3: pair scoring
 # ---------------------------------------------------------------------------

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from contacts_etl_phase21_spark.plans.registry import query
 from contacts_etl_phase21_spark.streaming.events import (
-    sessionized_counts_batch, windowed_counts_batch,
+    sessionized_counts_batch, sliding_window_counts_batch,
+    windowed_counts_batch,
 )
 from contacts_etl_phase21_spark.streaming.stateful import first_event_batch
 
@@ -66,6 +67,32 @@ def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_counts_batch(spark, sf_dir, "5 minutes")
+
+
+@query(
+    "st_sliding_window_counts",
+    survey="streaming-ext",
+    doc="Sliding 1h windows every 30min per event_type — overlapping "
+        "window membership expanded map-side (Expand), then one "
+        "shuffle; the oracle unions the two half-hour-aligned window "
+        "starts each event belongs to.",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800)
+                        AS TIMESTAMP) AS w0, event_type, value FROM events
+            UNION ALL
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800 - 1800)
+                        AS TIMESTAMP) AS w0, event_type, value FROM events
+        )
+        SELECT w0 AS window_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM m
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+)
+def st_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts_batch(spark, sf_dir, "1 hour", "30 minutes")
 
 
 @query(

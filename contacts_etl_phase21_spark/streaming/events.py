@@ -85,6 +85,23 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str,
     return windowed_transform(events, window)
 
 
+def sliding_window_counts_batch(spark: SparkSession, sf_dir: str,
+                                window: str = "1 hour",
+                                slide: str = "30 minutes") -> DataFrame:
+    """Sliding (overlapping) window counts per event_type — each event
+    lands in window/slide windows; Spark expands the membership
+    map-side (Expand node), then it is one shuffle like any agg. Same
+    expression streams with a watermark."""
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value")
+            .orderBy("window_start", "event_type"))
+
+
 def sessionized_counts_batch(spark: SparkSession, sf_dir: str,
                              gap: str = "5 minutes") -> DataFrame:
     """Session windows per user (session_window — the built-in stateful
