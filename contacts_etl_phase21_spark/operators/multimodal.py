@@ -86,3 +86,78 @@ def extract_features(payloads: DataFrame, batch_size: int = 256,
             })
 
     return payloads.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("out_len", LongType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def resize_images(payloads: DataFrame, width: int = 16, height: int = 16,
+                  fake: bool = True) -> DataFrame:
+    """mapInPandas resize over binary payloads. Real path needs an
+    image codec (absent here); fake=True produces the deterministic
+    double — payload truncated/padded to width*height bytes — keeping
+    the Spark plumbing (binary in, binary out, bounded batches) real.
+    At scale this is the shape of any thumbnailing pass: one streamed
+    mapInPandas, output written back as a binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            outs = []
+            for raw in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs not available; pass fake=True")
+                b = bytes(raw)[:target]
+                outs.append(b)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_w": pd.Series([width] * len(pdf), dtype="int32"),
+                "out_h": pd.Series([height] * len(pdf), dtype="int32"),
+                "out_len": pd.Series([len(o) for o in outs],
+                                     dtype="int64"),
+                "resized": outs,
+            })
+
+    return payloads.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_sig", LongType()),
+])
+
+
+def sample_frames(payloads: DataFrame, every_k: int = 2,
+                  fake: bool = True) -> DataFrame:
+    """mapInPandas frame sampling: each payload expands to one row per
+    sampled frame (idx 0, k, 2k, … of its n_frames) — the UDTF-shaped
+    explode a video pipeline needs. Decode is stubbed (fake=True):
+    n_frames = byte_len % 10 + 1 (same double as extract_features),
+    frame_sig a deterministic arithmetic fingerprint. Output
+    cardinality is data-dependent — mapInPandas yields as many rows
+    per input as it likes, which is the point of this plumbing test."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs not available; pass fake=True")
+                blen = len(bytes(raw))
+                n_frames = blen % 10 + 1
+                for idx in range(0, n_frames, every_k):
+                    rows.append((int(doc_id), idx,
+                                 (blen * 131 + idx) % 997))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sig"])
+
+    return payloads.mapInPandas(run, FRAME_SCHEMA)

@@ -18,7 +18,7 @@ from contacts_etl_phase21_spark.operators import dedup as dd
 from contacts_etl_phase21_spark.operators import similarity_search as ann
 from contacts_etl_phase21_spark.operators import text_analysis as ta
 from contacts_etl_phase21_spark.operators.multimodal import (
-    extract_features, with_binary_payload,
+    extract_features, resize_images, sample_frames, with_binary_payload,
 )
 from contacts_etl_phase21_spark.plans.registry import query
 
@@ -446,6 +446,52 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "byte_len", "n_frames",
         F.round(F.element_at("feature", 1), 6).alias("feat0"))
+
+
+@query(
+    "mm_resize_images",
+    survey="LLM-multimodal(resize)",
+    doc="Binary resize pipeline: payload -> mapInPandas -> resized "
+        "binary column + output metadata (stubbed deterministic "
+        "truncate-to-W*H; plumbing real). Oracle recomputes the "
+        "metadata from the text bytes.",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 AS INT) AS out_w, CAST(16 AS INT) AS out_h,
+               CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT)
+                   AS out_len
+        FROM documents ORDER BY doc_id
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    resized = resize_images(with_binary_payload(docs), 16, 16, fake=True)
+    return resized.select("doc_id", "out_w", "out_h", "out_len") \
+        .orderBy("doc_id")
+
+
+@query(
+    "mm_frame_samples",
+    survey="LLM-multimodal(frames)",
+    doc="Frame sampling as a UDTF-shaped mapInPandas: each payload "
+        "expands to one row per sampled frame (every 2nd of "
+        "byte_len%10+1 stub frames) with a deterministic arithmetic "
+        "signature — data-dependent output cardinality, the explode "
+        "shape a video pipeline needs.",
+    oracle="""
+        SELECT doc_id, CAST(u.idx AS INT) AS frame_idx,
+               CAST((octet_length(encode(text)) * 131 + u.idx) % 997
+                    AS BIGINT) AS frame_sig
+        FROM documents,
+             LATERAL (SELECT unnest(range(0,
+                          octet_length(encode(text)) % 10 + 1, 2)) AS idx) u
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(docs), every_k=2, fake=True)
+    return frames.orderBy("doc_id", "frame_idx")
 
 
 @query(
