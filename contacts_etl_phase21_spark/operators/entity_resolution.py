@@ -175,6 +175,13 @@ def _udf_best_first_sim(l_first: pd.Series, l_nick: pd.Series,
     names (1.0 for two empties — gate 1 vetoes those pairs later)."""
     out = []
     for a1, a2, b1, b2 in zip(l_first, l_nick, r_first, r_nick):
+        if a1 is None and a2 is None and b1 is None and b2 is None:
+            # masked row (accepted_edges_fast decided it from bounds):
+            # the value is discarded by the CASE, skip the difflib work.
+            # Genuine all-null rows never reach here: their fallback
+            # ratio is 1.0, which always auto-accepts at the gate.
+            out.append(0.0)
+            continue
         ca = [v for v in dict.fromkeys(
             ((a1 or "").strip(), (a2 or "").strip())) if v]
         cb = [v for v in dict.fromkeys(
@@ -206,12 +213,11 @@ def _any_cross_eq(l_a: F.Column, l_b: F.Column,
         ((l_b != "") & ((l_b == r_a) | (l_b == r_b)))
 
 
-def score_pairs(pairs: DataFrame,
-                cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
-    """MergeEvaluator.compute as column algebra. Name alignment and
-    nickname equivalence compare fold/root keys computed once per record
-    at prepare time — the only Python on the quadratic pair path is the
-    difflib ratio itself (Arrow-batched, equality fast path)."""
+def _pair_signals(pairs: DataFrame,
+                  cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """The sim-independent pair signals as column algebra: alignment,
+    nickname equivalence, channel overlaps, and the evidence score
+    `ev` (= full score minus the 0.7·first_sim name term)."""
     nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
     align = _any_cross_eq(F.col("l__fold_first"), F.col("l__fold_nick"),
                           F.col("r__fold_first"), F.col("r__fold_nick"))
@@ -219,16 +225,10 @@ def score_pairs(pairs: DataFrame,
         F.col("l__root_first"), F.col("l__root_nick"),
         F.col("r__root_first"), F.col("r__root_nick"))
         if cfg.nickname_equivalence else F.lit(False))
-    raw_sim = _udf_best_first_sim(
-        F.col("l_first_name"), F.col("l_nickname"),
-        F.col("r_first_name"), F.col("r_nickname"))
-    scored = (
+    return (
         pairs
         .withColumn("nick_eq", nick_eq)
         .withColumn("names_align", align)
-        .withColumn("first_sim", F.greatest(
-            raw_sim, F.when(F.col("nick_eq"), F.lit(0.96))
-            .otherwise(F.lit(0.0))))
         .withColumn("suffix_match",
                     (nz("l_suffix") != "")
                     & (F.lower(nz("l_suffix")) == F.lower(nz("r_suffix"))))
@@ -246,15 +246,32 @@ def score_pairs(pairs: DataFrame,
                     + F.col("phones_overlap").cast("int")
                     + F.col("addr_overlap").cast("int")
                     + F.col("linkedin_match").cast("int"))
-        .withColumn("score",
-                    0.7 * F.col("first_sim")
-                    + F.when(F.col("suffix_match"), 0.1).otherwise(0.0)
+        .withColumn("ev",
+                    F.when(F.col("suffix_match"), 0.1).otherwise(0.0)
                     + F.when(F.col("emails_overlap"), 1.0).otherwise(0.0)
                     + F.when(F.col("phones_overlap"), 1.0).otherwise(0.0)
                     + F.when(F.col("addr_overlap"), 0.5).otherwise(0.0)
                     + F.when(F.col("linkedin_match"), 0.8).otherwise(0.0))
     )
-    return scored
+
+
+def score_pairs(pairs: DataFrame,
+                cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """MergeEvaluator.compute as column algebra. Name alignment and
+    nickname equivalence compare fold/root keys computed once per record
+    at prepare time — the only Python on the quadratic pair path is the
+    difflib ratio itself (Arrow-batched, equality fast path)."""
+    raw_sim = _udf_best_first_sim(
+        F.col("l_first_name"), F.col("l_nickname"),
+        F.col("r_first_name"), F.col("r_nickname"))
+    return (
+        _pair_signals(pairs, cfg)
+        .withColumn("first_sim", F.greatest(
+            raw_sim, F.when(F.col("nick_eq"), F.lit(0.96))
+            .otherwise(F.lit(0.0))))
+        .withColumn("score", 0.7 * F.col("first_sim") + F.col("ev"))
+        .drop("ev")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +311,97 @@ def accepted_edges(scored: DataFrame,
         ok = ok & has_corrob
     return scored.filter(ok).select(F.col("l_rid").alias("src"),
                                     F.col("r_rid").alias("dst"))
+
+
+def accepted_edges_fast(pairs: DataFrame,
+                        cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+    """accepted_edges ∘ score_pairs with the Arrow/difflib hop pruned
+    to the pairs whose decision actually depends on the exact ratio.
+
+    The accept gate is monotone in first_sim, so JVM-computable bounds
+    decide most pairs outright:
+
+    - LOWER bound: a case-insensitive candidate equality means the
+      difflib fast path returns exactly 1.0; nickname-root equivalence
+      boosts first_sim to >= 0.96. If the gate already passes at the
+      lower bound, accept without the UDF.
+    - UPPER bound: difflib's matched total is at most the LCS, and
+      LCS = (|a|+|b| - indel_distance)/2 with indel >= levenshtein, so
+      ratio <= 1 - lev(a,b)/(|a|+|b|). If the gate cannot pass even at
+      the upper bound, reject without the UDF.
+
+    Only the ambiguous remainder (near-miss names: lev small but not
+    equal) pays the Arrow round-trip. On blocked contact data that is
+    a few percent of pairs — the quadratic path becomes almost
+    entirely whole-stage-codegen. Equivalence with the unpruned path
+    is pinned in tests/test_scale_patterns.py.
+    """
+    sig = _pair_signals(pairs, cfg)
+
+    def lt(c: str) -> F.Column:
+        # regexp trim, not trim(): the UDF's candidates use Python
+        # .strip(), which removes tabs/newlines too — a mismatch would
+        # make the upper bound underestimate the true ratio.
+        return F.lower(F.regexp_replace(
+            F.coalesce(F.col(c), F.lit("")), r"^\s+|\s+$", ""))
+
+    combos = [(lt("l_first_name"), lt("r_first_name")),
+              (lt("l_first_name"), lt("r_nickname")),
+              (lt("l_nickname"), lt("r_first_name")),
+              (lt("l_nickname"), lt("r_nickname"))]
+    combo_eqs, combo_ubs = [], []
+    for cl, cr in combos:
+        both = (cl != "") & (cr != "")
+        combo_eqs.append(both & (cl == cr))
+        combo_ubs.append(
+            F.when(both, 1.0 - F.levenshtein(cl, cr)
+                   / (F.length(cl) + F.length(cr)))
+            .otherwise(F.lit(0.0)))
+    l_has = (lt("l_first_name") != "") | (lt("l_nickname") != "")
+    r_has = (lt("r_first_name") != "") | (lt("r_nickname") != "")
+    # fallback path (either candidate set empty): ratio of the RAW
+    # lowercased first names — 1.0 for two empties, 0.0 one-sided
+    fl = F.lower(F.coalesce(F.col("l_first_name"), F.lit("")))
+    fr = F.lower(F.coalesce(F.col("r_first_name"), F.lit("")))
+    fb_eq = fl == fr
+    fb_ub = (F.when(fb_eq, F.lit(1.0))
+             .when((fl == "") | (fr == ""), F.lit(0.0))
+             .otherwise(1.0 - F.levenshtein(fl, fr)
+                        / (F.length(fl) + F.length(fr))))
+    use_fb = ~l_has | ~r_has
+    cross_eq = F.when(use_fb, fb_eq) \
+        .otherwise(combo_eqs[0] | combo_eqs[1] | combo_eqs[2] | combo_eqs[3])
+    ub_raw = F.when(use_fb, fb_ub).otherwise(F.greatest(*combo_ubs))
+    nick_lb = F.when(F.col("nick_eq"), F.lit(0.96)).otherwise(F.lit(0.0))
+    lb = F.greatest(F.when(cross_eq, F.lit(1.0)).otherwise(F.lit(0.0)),
+                    nick_lb)
+    ub = F.greatest(ub_raw, lb)
+
+    def gate(sim: F.Column) -> F.Column:
+        score = 0.7 * sim + F.col("ev")
+        return (score >= cfg.merge_score_threshold) | (
+            (sim >= cfg.first_name_similarity_threshold)
+            & (score >= cfg.relaxed_merge_threshold))
+
+    # ONE pass — a filter+union split would re-execute the whole pair
+    # join per branch. The UDF still runs over every row, but decided
+    # rows ship NULL inputs (Arrow null bitmaps, no string payload) and
+    # the UDF's mask guard skips them in ~0.1 µs instead of difflib µs.
+    sig = sig.withColumn("_lb", lb).withColumn("_ub", ub)
+    needs = gate(F.col("_ub")) & ~gate(F.col("_lb"))
+    masked = [F.when(needs, F.col(c)) for c in
+              ("l_first_name", "l_nickname", "r_first_name", "r_nickname")]
+    raw_sim = _udf_best_first_sim(*masked)
+    first_sim = (
+        F.when(gate(F.col("_lb")), F.col("_lb"))
+        .when(needs, F.greatest(
+            raw_sim, F.when(F.col("nick_eq"), F.lit(0.96))
+            .otherwise(F.lit(0.0))))
+        .otherwise(F.col("_ub")))
+    scored = (sig.withColumn("first_sim", first_sim)
+              .withColumn("score", 0.7 * F.col("first_sim") + F.col("ev"))
+              .drop("ev", "_lb", "_ub"))
+    return accepted_edges(scored, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -399,8 +507,10 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 def cluster_records(prepared: DataFrame,
                     cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
     """prepare_for_matching output → + cluster_id (min rid of the
-    component). Composition of E2-E5."""
-    edges = accepted_edges(score_pairs(candidate_pairs(prepared), cfg), cfg)
+    component). Composition of E2-E5; uses the bound-pruned gate path
+    (accepted_edges_fast — same edge set, Python only on ambiguous
+    near-miss names)."""
+    edges = accepted_edges_fast(candidate_pairs(prepared), cfg)
     cc = connected_components(
         prepared.select(F.col("rid").alias("id")), edges)
     return prepared.join(cc, prepared["rid"] == cc["id"], "left") \

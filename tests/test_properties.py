@@ -90,7 +90,15 @@ def test_pair_signals_symmetric(first_a, first_b):
     b = {"first_name": first_b, "last_name": "X", "emails": [],
          "phones": [], "addresses": []}
     sa, sb = pair_signals(a, b), pair_signals(b, a)
-    assert abs(sa.score - sb.score) < 1e-9
+    # difflib's ratio is ORDER-DEPENDENT (SequenceMatcher's b2j/junk
+    # heuristics; e.g. ratio('baõ','õbõ') = 2/3 but 1/3 reversed), and
+    # the reference inherits that (normalization.py:392-393), always
+    # scoring pairs in ingest orientation (combine_contacts.py:
+    # 1149-1152) — which we mirror via rid ordering. So only the
+    # NON-name evidence is symmetric; the name term is exempt.
+    ev_a = sa.score - 0.7 * sa.first_similarity
+    ev_b = sb.score - 0.7 * sb.first_similarity
+    assert abs(ev_a - ev_b) < 1e-9
     assert sa.corroborators == sb.corroborators
 
 

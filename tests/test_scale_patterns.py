@@ -7,11 +7,64 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from contacts_etl_phase21_spark.operators.entity_resolution import (
-    candidate_pairs, candidate_pairs_salted, prepare_for_matching,
+    accepted_edges, accepted_edges_fast, candidate_pairs,
+    candidate_pairs_salted, prepare_for_matching, score_pairs,
 )
 from contacts_etl_phase21_spark.plans.coverage_queries import (
     synthetic_contact_records,
 )
+from contacts_etl_phase21_spark.schemas import CONTACT_SCHEMA
+
+
+def _record(**kw):
+    base = {f.name: "" for f in CONTACT_SCHEMA.fields}
+    base["emails"] = []
+    base["phones"] = []
+    base["addresses"] = []
+    base["source_timestamp"] = None
+    base.update(kw)
+    return base
+
+
+def test_pruned_gate_path_equals_exact_path(spark, sf_small):
+    """accepted_edges_fast must produce EXACTLY the edge set of the
+    unpruned accepted_edges(score_pairs(...)) — on the synthetic corpus
+    AND on hand-built near-threshold cases (nickname equivalence,
+    fuzzy near-miss names, empty-candidate fallbacks)."""
+    fixtures = [
+        # nickname equivalence (Bill ≡ William), no channel overlap
+        _record(source="gmail", source_row_id="1", first_name="Bill",
+                last_name="Smith", full_name="Bill Smith"),
+        _record(source="mac_vcf", source_row_id="2", first_name="William",
+                last_name="Smith", full_name="William Smith"),
+        # fuzzy near-miss: ratio(jon, john) ≈ 0.857 < 0.88
+        _record(source="gmail", source_row_id="3", first_name="Jon",
+                last_name="Baker", full_name="Jon Baker"),
+        _record(source="gmail", source_row_id="4", first_name="John",
+                last_name="Baker", full_name="John Baker"),
+        # fuzzy pass: ratio(katherine, katharine) = 8/9 ≈ 0.889 >= 0.88
+        _record(source="gmail", source_row_id="5", first_name="Katherine",
+                last_name="Reed", full_name="Katherine Reed"),
+        _record(source="linkedin", source_row_id="6", first_name="Katharine",
+                last_name="Reed", full_name="Katharine Reed"),
+        # empty first names, shared email -> corroborator path
+        _record(source="gmail", source_row_id="7", last_name="Nguyen",
+                full_name="Nguyen",
+                emails=[{"value": "x@y.com", "label": "home"}]),
+        _record(source="mac_vcf", source_row_id="8", last_name="Nguyen",
+                full_name="Nguyen",
+                emails=[{"value": "x@y.com", "label": "work"}]),
+    ]
+    hand = spark.createDataFrame(fixtures, CONTACT_SCHEMA)
+    for records in (hand, synthetic_contact_records(spark, sf_small)):
+        prepared = prepare_for_matching(records)
+        pairs = candidate_pairs(prepared)
+        exact = {(r["src"], r["dst"]) for r in
+                 accepted_edges(score_pairs(pairs)).collect()}
+        fast = {(r["src"], r["dst"]) for r in
+                accepted_edges_fast(pairs).collect()}
+        assert fast == exact
+    assert len(exact) > 0
 
 
 def test_salted_pairs_equal_unsalted(spark, sf_small):

@@ -59,10 +59,14 @@ def synthetic_records(spark: SparkSession, n_records: int) -> DataFrame:
     # first name keyed on k DIV last_pool: members of one surname block
     # (k ≡ c mod last_pool) then carry DISTINCT first names, so the only
     # intended merges are the email-sharing linkedin+gmail pairs and the
-    # expected contact count is exactly n_customers.
+    # expected contact count is exactly n_customers. The index is
+    # scrambled (×7919 mod 997, coprime -> still distinct per block):
+    # consecutive indices would make ~40% of in-block pairs lev<=1
+    # near-misses ("First604" vs "First605"), which real given-name
+    # distributions do not remotely exhibit.
     first = F.concat(F.lit("First"),
-                     ((F.col("k") / last_pool).cast("long") % first_pool)
-                     .cast("string"))
+                     (((F.col("k") / last_pool).cast("long") * 7919 + 13)
+                      % first_pool).cast("string"))
     last = F.concat(F.lit("Surname"), (F.col("k") % last_pool).cast("string"))
     email = F.lower(F.concat(first, F.lit("."), last, F.lit("."),
                              F.col("k").cast("string"),
