@@ -44,17 +44,26 @@ def _csv(out_dir: str, name: str) -> str:
 
 def run_consolidate(spark: SparkSession, args: argparse.Namespace,
                     config: PipelineConfig) -> None:
+    # Stage the parsed sources as parquet FIRST and re-read: the
+    # text-format parsers (Gmail column families, vCard blocks) are the
+    # most expensive scan in the job, and without staging every sink
+    # that transitively reads `raw` re-parses the source files.
     raw = load_sources(spark, args.linkedin_csv, args.gmail_csv, args.mac_vcf)
+    write_parquet(raw, _pq(args.out_dir, "raw_records"))
+    raw = spark.read.parquet(_pq(args.out_dir, "raw_records"))
     res = consolidate_records(raw, config)
     assert_unique_contact_ids(res.contacts)
     write_parquet(res.contacts, _pq(args.out_dir, "contacts"))
+    # lineage/flattened feed both a parquet and a CSV sink — write
+    # parquet once, re-read, render CSV from the columnar copy.
     write_parquet(res.lineage, _pq(args.out_dir, "lineage"))
+    lineage = spark.read.parquet(_pq(args.out_dir, "lineage"))
     write_parquet(res.flattened, _pq(args.out_dir, "flattened"))
-    write_parquet(raw, _pq(args.out_dir, "raw_records"))
+    flattened = spark.read.parquet(_pq(args.out_dir, "flattened"))
     write_csv(render_legacy_contacts(res.contacts),
               _csv(args.out_dir, "consolidated_contacts.csv"))
-    write_csv(res.lineage, _csv(args.out_dir, "consolidated_lineage.csv"))
-    write_csv(res.flattened, _csv(args.out_dir, "flattened_contacts.csv"))
+    write_csv(lineage, _csv(args.out_dir, "consolidated_lineage.csv"))
+    write_csv(flattened, _csv(args.out_dir, "flattened_contacts.csv"))
 
 
 def run_validate(spark: SparkSession, args: argparse.Namespace,

@@ -14,6 +14,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from contacts_etl_phase21_spark.functions.labels import gmail_label
@@ -120,13 +121,19 @@ def load_gmail(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.option("header", True).option("multiLine", True) \
         .option("escape", '"').csv(path)
     columns = raw.columns
+    # File-order row ids are assigned in ONE narrow JVM pass
+    # (monotonically_increasing_id on a single partition is consecutive
+    # from 0 in file order), then the rows are spread so the per-row
+    # Python parse runs on every core instead of one.
+    sc = spark.sparkContext
+    with_ids = raw.coalesce(1).withColumn(
+        "__row_id", F.monotonically_increasing_id().cast("string")) \
+        .repartition(sc.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
         for pdf in batches:
-            out = [parse_gmail_row(row, str(seen + i), columns)
-                   for i, (_, row) in enumerate(pdf.iterrows())]
-            seen += len(pdf)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame([
+                parse_gmail_row(row, row["__row_id"], columns)
+                for _, row in pdf.iterrows()])
 
-    return raw.coalesce(1).mapInPandas(run, CONTACT_SCHEMA)
+    return with_ids.mapInPandas(run, CONTACT_SCHEMA)

@@ -141,9 +141,12 @@ def load_vcards(spark: SparkSession, path: str) -> DataFrame:
     """text scan split on END:VCARD → ordered row ids → mapInPandas."""
     blocks = spark.read.option("lineSep", "END:VCARD").text(path)
     w = Window.orderBy(F.monotonically_increasing_id())
+    # row ids need file order (the window forces one task — cheap, no
+    # Python); the block PARSE is then spread across all cores.
     ordered = (
         blocks.filter(F.col("value").contains("BEGIN:VCARD"))
         .withColumn("row_id", (F.row_number().over(w) - 1).cast("string"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
