@@ -34,6 +34,61 @@ def test_sessionized_counts_shape(spark, sf_small):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_stateful_first_event_multibatch_state(spark, sf_small, tmp_path):
+    """Two files drained one per micro-batch: GroupState must carry the
+    best-so-far across batches, and the LAST emission per key must
+    equal the batch argmin over BOTH halves. Later-half events are fed
+    FIRST so the state actually gets improved (not just initialized)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.stateful import (
+        _OUT_SCHEMA, _STATE_SCHEMA, _first_event_fn, first_event_batch,
+    )
+
+    events = load(spark, sf_small, "events")
+    half = events.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    stream_dir = tmp_path / "events_stream"
+    # lexicographic file order == processing order for the file source:
+    # feed the LATE half first, the early half second
+    events.filter(F.col("event_id") >= half).coalesce(1) \
+        .write.parquet(str(stream_dir / "a_late"))
+    events.filter(F.col("event_id") < half).coalesce(1) \
+        .write.parquet(str(stream_dir / "b_early"))
+    schema = events.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", True)
+              .parquet(str(stream_dir))
+              .groupBy("user_id", "event_type")
+              .applyInPandasWithState(
+                  _first_event_fn, _OUT_SCHEMA, _STATE_SCHEMA,
+                  "update", "NoTimeout"))
+    name = f"first_event_mb_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sink = spark.sql(f"SELECT * FROM {name}").collect()
+    # update-mode sink keeps one row per key per EMITTING batch (<= 2
+    # here). The converged value must be among each key's emissions;
+    # extra emissions are batch-1 (late-half) bests later improved on.
+    emissions: dict = {}
+    for r in sink:
+        emissions.setdefault((r["user_id"], r["event_type"]), set()).add(
+            (r["first_event_id"], r["first_value"]))
+    expected = {(r["user_id"], r["event_type"]):
+                (r["first_event_id"], r["first_value"])
+                for r in first_event_batch(spark, sf_small).collect()}
+    assert set(emissions) == set(expected)
+    for key, value in expected.items():
+        assert value in emissions[key]
+        assert len(emissions[key]) <= 2
+    # the late-first ordering must improve at least one key's state in
+    # batch 2 -> that key emits twice
+    assert len(sink) > len(expected)
+
+
 def test_stateful_first_event_matches_batch(spark, sf_small):
     stream_df = stream_first_event(spark, sf_small)
     assert stream_df.isStreaming
