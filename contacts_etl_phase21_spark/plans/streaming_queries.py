@@ -96,6 +96,45 @@ def st_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_incremental_er_assign",
+    survey="streaming-ext,E1-E5",
+    doc="Incremental streaming entity resolution: arriving contact "
+        "records are assigned to clusters statefully per block_key "
+        "(applyInPandasWithState; one GroupState per block holding "
+        "members+clusters, scored with the SAME pure merge_core pair "
+        "semantics as batch). First-wins assignment; on direct-link "
+        "merge topologies it equals the batch fixpoint exactly "
+        "(pinned in tests/test_streaming.py). Streaming drain -> "
+        "rows-only driver check.",
+    oracle=None,
+)
+def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.plans.coverage_queries import (
+        synthetic_contact_records,
+    )
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, incremental_er_assignments,
+        stream_records_from_dir,
+    )
+
+    records = synthetic_contact_records(spark, sf_dir)
+    staged = tempfile.mkdtemp(prefix="er_ingest_q_")
+    records.coalesce(2).write.mode("overwrite").parquet(staged)
+    stream = stream_records_from_dir(spark, records.schema, staged,
+                                     files_per_trigger=1)
+    assigned = drain_to_table(
+        incremental_er_assignments(prepare_for_matching(stream)),
+        f"er_assign_{_uuid.uuid4().hex[:8]}")
+    return assigned.orderBy("rid")
+
+
+@query(
     "st_stateful_first_event",
     survey="streaming-ext",
     doc="First event per (user_id, event_type) — batch twin of the "

@@ -10,6 +10,9 @@ from contacts_etl_phase21_spark.streaming.events import (
     read_events_stream, sessionized_counts_batch, stream_windowed_counts,
     windowed_counts_batch,
 )
+from contacts_etl_phase21_spark.streaming.er_ingest import (
+    incremental_er_assignments,
+)
 from contacts_etl_phase21_spark.streaming.stateful import (
     first_event_batch, stream_first_event,
 )
@@ -18,4 +21,5 @@ __all__ = [
     "read_events_stream", "stream_windowed_counts",
     "windowed_counts_batch", "sessionized_counts_batch",
     "first_event_batch", "stream_first_event",
+    "incremental_er_assignments",
 ]

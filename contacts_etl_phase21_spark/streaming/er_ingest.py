@@ -1,0 +1,131 @@
+"""Incremental (streaming) entity resolution: assign arriving contact
+records to clusters statefully, per blocking key.
+
+The batch ER core is a global fixpoint (blocked pairs -> gates ->
+connected components). A stream cannot wait for the fixpoint, so the
+standard design is INCREMENTAL ASSIGNMENT: one GroupState per
+block_key holds the block's previously-seen records with their cluster
+ids; each arriving record is scored against the stored members with
+the SAME pure pair semantics as the batch path
+(merge_core.pair_signals + merge_ok, ingest orientation preserved) and
+joins the earliest accepted member's cluster, else founds its own
+(cluster id = its rid).
+
+Known, documented divergence from batch CC: an arrival that matches
+members of two different existing clusters joins the earliest one but
+does NOT retroactively union them (no relabeling of emitted rows) —
+the streaming answer is first-wins; a periodic batch reconciliation
+(cluster_records over the accumulated corpus) restores the fixpoint.
+On corpora whose merges are direct pairwise links (e.g. records
+sharing an email with one prior record), incremental == batch exactly;
+tests pin that equality.
+
+Scale: state is O(records) partitioned by block_key — the same key
+that bounds the batch pair join; per-arrival work is O(block size).
+Watermark + GroupStateTimeout evict idle blocks for unbounded streams.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from contacts_etl_phase21_spark.functions.merge_core import (
+    DedupeConfig, merge_ok, pair_signals,
+)
+
+ASSIGN_SCHEMA = StructType([
+    StructField("block_key", StringType()),
+    StructField("rid", LongType()),
+    StructField("cluster_id", LongType()),
+])
+
+# members serialized as one JSON string: schema-stable regardless of
+# how many records a block accumulates
+_STATE_SCHEMA = StructType([StructField("members_json", StringType())])
+
+# the record fields pair_signals/merge_ok consult
+_ER_FIELDS = ("source", "first_name", "nickname", "last_name", "suffix",
+              "linkedin_url", "emails", "phones", "addresses")
+
+
+def _as_record(row: pd.Series) -> dict[str, Any]:
+    rec: dict[str, Any] = {}
+    for f in _ER_FIELDS:
+        v = row.get(f)
+        if f in ("emails", "phones", "addresses"):
+            rec[f] = [dict(x) for x in v] if v is not None else []
+        else:
+            rec[f] = v if v is not None else ""
+    return rec
+
+
+def _make_assign_fn(cfg: DedupeConfig):
+    def assign(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        members: list[dict] = (
+            json.loads(state.get[0]) if state.exists else [])
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # rid order = ingest order: orientation matches the batch
+            # path's l_rid < r_rid pair construction
+            for _, row in pdf.sort_values("rid").iterrows():
+                rec = _as_record(row)
+                rid = int(row["rid"])
+                # first-wins: JOIN the earliest accepted member's
+                # cluster (never re-found a smaller id — the member's
+                # assignment is already emitted and must stay stable)
+                accepted = [
+                    int(m["cluster_id"]) for m in members
+                    if merge_ok(m["rec"], rec,
+                                pair_signals(m["rec"], rec,
+                                             cfg.nickname_equivalence),
+                                cfg)]
+                cid = min(accepted) if accepted else rid
+                members.append({"rec": rec, "cluster_id": cid})
+                out.append((key[0], rid, cid))
+        state.update((json.dumps(members),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ASSIGN_SCHEMA.fields])
+
+    return assign
+
+
+def incremental_er_assignments(prepared_stream: DataFrame,
+                               cfg: DedupeConfig = DedupeConfig()
+                               ) -> DataFrame:
+    """prepared (streaming) records with block_key + rid ->
+    (block_key, rid, cluster_id) assignments, update mode."""
+    cols = prepared_stream.select("block_key", "rid", *_ER_FIELDS)
+    return cols.groupBy("block_key").applyInPandasWithState(
+        _make_assign_fn(cfg), ASSIGN_SCHEMA, _STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout)
+
+
+def drain_to_table(stream: DataFrame, name: str,
+                   timeout_s: int = 180) -> DataFrame:
+    """availableNow -> memory sink helper (tests + driver harness)."""
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return stream.sparkSession.table(name)
+
+
+def stream_records_from_dir(spark, schema, staged_dir: str,
+                            files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over staged CONTACT_SCHEMA parquet files."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(files_per_trigger))
+            .option("recursiveFileLookup", True)
+            .parquet(staged_dir))

@@ -89,6 +89,85 @@ def test_stateful_first_event_multibatch_state(spark, sf_small, tmp_path):
     assert len(sink) > len(expected)
 
 
+def test_incremental_er_matches_batch_on_direct_links(spark, sf_small,
+                                                      tmp_path):
+    """Single batch over the synthetic corpus (merges are direct
+    email-twin links): incremental assignment must equal the batch
+    cluster_records fixpoint exactly."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        cluster_records, prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.plans.coverage_queries import (
+        synthetic_contact_records,
+    )
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, incremental_er_assignments,
+        stream_records_from_dir,
+    )
+
+    records = synthetic_contact_records(spark, sf_small)
+    staged = str(tmp_path / "er_one")
+    records.coalesce(1).write.parquet(staged)
+    stream = stream_records_from_dir(spark, records.schema, staged)
+    assigned = drain_to_table(
+        incremental_er_assignments(prepare_for_matching(stream)),
+        f"er_inc_{uuid.uuid4().hex[:8]}")
+    got = {r["rid"]: r["cluster_id"] for r in assigned.collect()}
+    batch = cluster_records(prepare_for_matching(records))
+    expected = {r["rid"]: r["cluster_id"]
+                for r in batch.select("rid", "cluster_id").collect()}
+    assert got == expected
+    assert len(set(expected.values())) < len(expected)  # merges happened
+
+
+def test_incremental_er_carries_state_across_batches(spark, tmp_path):
+    """A linkedin record arriving in batch 2 must join the cluster its
+    gmail email-twin founded in batch 1."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.schemas import CONTACT_SCHEMA
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, incremental_er_assignments,
+        stream_records_from_dir,
+    )
+
+    def rec(source, row_id, first, last, email):
+        base = {f.name: "" for f in CONTACT_SCHEMA.fields}
+        base.update(source=source, source_row_id=row_id,
+                    source_timestamp=None, first_name=first,
+                    last_name=last, full_name=f"{first} {last}",
+                    emails=[{"value": email, "label": "home"}],
+                    phones=[], addresses=[])
+        return base
+
+    batch1 = [rec("gmail", "0", "Jordan", "Example", "j@acme.com"),
+              rec("gmail", "1", "Dana", "Solo", "d@solo.com")]
+    batch2 = [rec("linkedin", "0", "Jordan", "Example", "j@acme.com")]
+    staged = tmp_path / "er_two"
+    spark.createDataFrame(batch1, CONTACT_SCHEMA).coalesce(1) \
+        .write.parquet(str(staged / "a_first"))
+    spark.createDataFrame(batch2, CONTACT_SCHEMA).coalesce(1) \
+        .write.parquet(str(staged / "b_second"))
+    schema = spark.createDataFrame(batch1, CONTACT_SCHEMA).schema
+    stream = stream_records_from_dir(spark, schema, str(staged))
+    assigned = drain_to_table(
+        incremental_er_assignments(prepare_for_matching(stream)),
+        f"er_inc2_{uuid.uuid4().hex[:8]}")
+    rows = {(r["block_key"], r["rid"]): r["cluster_id"]
+            for r in assigned.collect()}
+    assert len(rows) == 3
+    by_block: dict = {}
+    for (block, _rid), cid in rows.items():
+        by_block.setdefault(block, set()).add(cid)
+    # Jordan's block: both records share ONE cluster (founded by the
+    # gmail row in batch 1); Dana's block: its own singleton cluster
+    jordan = [c for b, c in by_block.items() if "example" in b][0]
+    dana = [c for b, c in by_block.items() if "solo" in b][0]
+    assert len(jordan) == 1
+    assert len(dana) == 1
+
+
 def test_stateful_first_event_matches_batch(spark, sf_small):
     stream_df = stream_first_event(spark, sf_small)
     assert stream_df.isStreaming
