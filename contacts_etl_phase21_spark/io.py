@@ -46,6 +46,11 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     already wide (the 100 TB case: many files/row-groups), so this
     never ADDS a shuffle at scale — it only rescues the small-file
     layout the local testdata ships with.
+
+    Caveat: the partition probe goes through df.rdd, which forces
+    physical planning and, under AQE, can execute upstream query
+    stages just to learn the count — call this on SCAN-stage
+    DataFrames (its intended use), not downstream of shuffles.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism

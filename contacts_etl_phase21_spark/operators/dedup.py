@@ -194,7 +194,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # Shingle + hash ONCE and persist: the same (doc, sh_h) feeds the
     # signature aggregation AND both sides of the verification join.
     # Without this the corpus is tokenized/shingled three times — at
-    # 100 TB that's two redundant full-corpus passes.
+    # 100 TB that's two redundant full-corpus passes. The cache entry
+    # outlives the (lazy) result on purpose; Spark's cache manager
+    # dedupes by analyzed plan (repeat calls share ONE entry) and
+    # MEMORY_AND_DISK evicts LRU, so the footprint is bounded per
+    # distinct input, not per call.
     sh = with_hashed_shingles(df, id_col, text_col, n).persist()
     sig = _signature_from_hashed(sh, num_hashes)
     # Band + explode in ONE projection: the signature expression is

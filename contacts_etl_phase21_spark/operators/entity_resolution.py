@@ -165,45 +165,52 @@ def candidate_pairs_salted(prepared: DataFrame,
 # E3: pair scoring
 # ---------------------------------------------------------------------------
 
-@pandas_udf(DoubleType())
-def _udf_best_first_sim(l_first: pd.Series, l_nick: pd.Series,
-                        r_first: pd.Series, r_nick: pd.Series) -> pd.Series:
+def _best_first_sim(a1, a2, b1, b2) -> float:
     """max difflib ratio over the first/nickname candidate cross
     product, with an exact-lower-equality fast path (SequenceMatcher of
     identical strings is exactly 1.0, so the shortcut is parity-safe).
     Empty candidate list → reference fallback: ratio of the raw first
     names (1.0 for two empties — gate 1 vetoes those pairs later)."""
-    out = []
-    for a1, a2, b1, b2 in zip(l_first, l_nick, r_first, r_nick):
-        if a1 is None and a2 is None and b1 is None and b2 is None:
-            # masked row (accepted_edges_fast decided it from bounds):
-            # the value is discarded by the CASE, skip the difflib work.
-            # Genuine all-null rows never reach here: their fallback
-            # ratio is 1.0, which always auto-accepts at the gate.
-            out.append(0.0)
-            continue
-        ca = [v for v in dict.fromkeys(
-            ((a1 or "").strip(), (a2 or "").strip())) if v]
-        cb = [v for v in dict.fromkeys(
-            ((b1 or "").strip(), (b2 or "").strip())) if v]
-        if not ca or not cb:
-            out.append(seq_ratio(a1, b1))
-            continue
-        best = 0.0
-        for x in ca:
-            xl = x.lower()
-            for y in cb:
-                yl = y.lower()
-                if xl == yl:
-                    best = 1.0
-                    break
-                r = seq_ratio(xl, yl)
-                if r > best:
-                    best = r
-            if best >= 1.0:
-                break
-        out.append(best)
-    return pd.Series(out)
+    ca = [v for v in dict.fromkeys(
+        ((a1 or "").strip(), (a2 or "").strip())) if v]
+    cb = [v for v in dict.fromkeys(
+        ((b1 or "").strip(), (b2 or "").strip())) if v]
+    if not ca or not cb:
+        return seq_ratio(a1, b1)
+    best = 0.0
+    for x in ca:
+        xl = x.lower()
+        for y in cb:
+            yl = y.lower()
+            if xl == yl:
+                return 1.0
+            r = seq_ratio(xl, yl)
+            if r > best:
+                best = r
+    return best
+
+
+@pandas_udf(DoubleType())
+def _udf_best_first_sim(l_first: pd.Series, l_nick: pd.Series,
+                        r_first: pd.Series, r_nick: pd.Series) -> pd.Series:
+    """Exact-path UDF: every row is a genuine pair (see _best_first_sim
+    for semantics — NULL-NULL names fall back to ratio 1.0)."""
+    return pd.Series([
+        _best_first_sim(a1, a2, b1, b2)
+        for a1, a2, b1, b2 in zip(l_first, l_nick, r_first, r_nick)])
+
+
+@pandas_udf(DoubleType())
+def _udf_best_first_sim_masked(needs: pd.Series, l_first: pd.Series,
+                               l_nick: pd.Series, r_first: pd.Series,
+                               r_nick: pd.Series) -> pd.Series:
+    """accepted_edges_fast variant: rows with needs=False were decided
+    from JVM bounds — their value is discarded by the CASE, so skip the
+    difflib work (~0.1 µs guard exit vs µs of SequenceMatcher)."""
+    return pd.Series([
+        _best_first_sim(a1, a2, b1, b2) if n else 0.0
+        for n, a1, a2, b1, b2 in zip(needs, l_first, l_nick,
+                                     r_first, r_nick)])
 
 
 def _any_cross_eq(l_a: F.Column, l_b: F.Column,
@@ -339,11 +346,13 @@ def accepted_edges_fast(pairs: DataFrame,
     sig = _pair_signals(pairs, cfg)
 
     def lt(c: str) -> F.Column:
-        # regexp trim, not trim(): the UDF's candidates use Python
-        # .strip(), which removes tabs/newlines too — a mismatch would
-        # make the upper bound underestimate the true ratio.
+        # (?U) Unicode-aware regexp trim, not trim(): the UDF's
+        # candidates use Python .strip(), which removes tabs/newlines
+        # AND Unicode whitespace (NBSP etc.) — a narrower trim here
+        # would make the upper bound underestimate the true ratio and
+        # wrongly reject pairs the exact path accepts.
         return F.lower(F.regexp_replace(
-            F.coalesce(F.col(c), F.lit("")), r"^\s+|\s+$", ""))
+            F.coalesce(F.col(c), F.lit("")), r"(?U)^\s+|\s+$", ""))
 
     combos = [(lt("l_first_name"), lt("r_first_name")),
               (lt("l_first_name"), lt("r_nickname")),
@@ -385,13 +394,16 @@ def accepted_edges_fast(pairs: DataFrame,
 
     # ONE pass — a filter+union split would re-execute the whole pair
     # join per branch. The UDF still runs over every row, but decided
-    # rows ship NULL inputs (Arrow null bitmaps, no string payload) and
-    # the UDF's mask guard skips them in ~0.1 µs instead of difflib µs.
+    # rows ship an explicit needs=False flag plus NULL name inputs
+    # (Arrow null bitmaps, no string payload) and the masked UDF skips
+    # them in ~0.1 µs instead of difflib µs. The flag — not null-ness —
+    # controls skipping, so genuinely NULL-named pairs that DO need the
+    # ratio still get the reference fallback semantics.
     sig = sig.withColumn("_lb", lb).withColumn("_ub", ub)
     needs = gate(F.col("_ub")) & ~gate(F.col("_lb"))
     masked = [F.when(needs, F.col(c)) for c in
               ("l_first_name", "l_nickname", "r_first_name", "r_nickname")]
-    raw_sim = _udf_best_first_sim(*masked)
+    raw_sim = _udf_best_first_sim_masked(needs, *masked)
     first_sim = (
         F.when(gate(F.col("_lb")), F.col("_lb"))
         .when(needs, F.greatest(

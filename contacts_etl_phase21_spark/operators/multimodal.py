@@ -101,19 +101,20 @@ def resize_images(payloads: DataFrame, width: int = 16, height: int = 16,
                   fake: bool = True) -> DataFrame:
     """mapInPandas resize over binary payloads. Real path needs an
     image codec (absent here); fake=True produces the deterministic
-    double — payload truncated/padded to width*height bytes — keeping
-    the Spark plumbing (binary in, binary out, bounded batches) real.
-    At scale this is the shape of any thumbnailing pass: one streamed
-    mapInPandas, output written back as a binary column."""
+    double — payload truncated to AT MOST width*height bytes (shorter
+    payloads keep their length) — keeping the Spark plumbing (binary
+    in, binary out, bounded batches) real. At scale this is the shape
+    of any thumbnailing pass: one streamed mapInPandas, output written
+    back as a binary column."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available; pass fake=True")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             outs = []
             for raw in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "image codecs not available; pass fake=True")
                 b = bytes(raw)[:target]
                 outs.append(b)
             yield pd.DataFrame({
@@ -144,14 +145,14 @@ def sample_frames(payloads: DataFrame, every_k: int = 2,
     frame_sig a deterministic arithmetic fingerprint. Output
     cardinality is data-dependent — mapInPandas yields as many rows
     per input as it likes, which is the point of this plumbing test."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs not available; pass fake=True")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "video codecs not available; pass fake=True")
                 blen = len(bytes(raw))
                 n_frames = blen % 10 + 1
                 for idx in range(0, n_frames, every_k):

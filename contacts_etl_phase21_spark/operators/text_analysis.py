@@ -174,8 +174,4 @@ def rolling_hash_fingerprint(text: Column) -> Column:
     (Rabin-Karp) over the character stream — the streaming-friendly
     fingerprint a scanner computes in one pass without tokenizing.
     Pure fold (aggregate HOF), deterministic, engine-agnostic."""
-    chars = F.filter(F.split(text, ""), lambda c: c != "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * _ROLL_BASE + F.ascii(c)) % F.lit(_ROLL_MOD))
+    return _roll(_char_codes(text))

@@ -123,14 +123,21 @@ def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_records_from_dir,
     )
 
+    import shutil
+
     records = synthetic_contact_records(spark, sf_dir)
     staged = tempfile.mkdtemp(prefix="er_ingest_q_")
-    records.coalesce(2).write.mode("overwrite").parquet(staged)
-    stream = stream_records_from_dir(spark, records.schema, staged,
-                                     files_per_trigger=1)
-    assigned = drain_to_table(
-        incremental_er_assignments(prepare_for_matching(stream)),
-        f"er_assign_{_uuid.uuid4().hex[:8]}")
+    try:
+        records.coalesce(2).write.mode("overwrite").parquet(staged)
+        stream = stream_records_from_dir(spark, records.schema, staged,
+                                         files_per_trigger=1)
+        assigned = drain_to_table(
+            incremental_er_assignments(prepare_for_matching(stream)),
+            f"er_assign_{_uuid.uuid4().hex[:8]}")
+    finally:
+        # the memory sink holds the rows on the driver; the staged
+        # parquet is fully consumed once the drain returns
+        shutil.rmtree(staged, ignore_errors=True)
     return assigned.orderBy("rid")
 
 

@@ -74,25 +74,33 @@ def _make_assign_fn(cfg: DedupeConfig):
         members: list[dict] = (
             json.loads(state.get[0]) if state.exists else [])
         out = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            # rid order = ingest order: orientation matches the batch
-            # path's l_rid < r_rid pair construction
-            for _, row in pdf.sort_values("rid").iterrows():
+        # concatenate FIRST: the iterator yields Arrow chunks, and a
+        # per-chunk sort would interleave rid order across chunks
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        batch = (pd.concat(chunks) if len(chunks) > 1
+                 else (chunks[0] if chunks else None))
+        if batch is not None:
+            for _, row in batch.sort_values("rid").iterrows():
                 rec = _as_record(row)
                 rid = int(row["rid"])
+                # Orientation matches the batch path's l_rid < r_rid
+                # pair construction even when a LATER arrival has a
+                # SMALLER rid (difflib's ratio is order-dependent).
                 # first-wins: JOIN the earliest accepted member's
                 # cluster (never re-found a smaller id — the member's
-                # assignment is already emitted and must stay stable)
-                accepted = [
-                    int(m["cluster_id"]) for m in members
-                    if merge_ok(m["rec"], rec,
-                                pair_signals(m["rec"], rec,
+                # assignment is already emitted and must stay stable).
+                accepted = []
+                for m in members:
+                    l, r = ((m["rec"], rec) if int(m["rid"]) < rid
+                            else (rec, m["rec"]))
+                    if merge_ok(l, r,
+                                pair_signals(l, r,
                                              cfg.nickname_equivalence),
-                                cfg)]
+                                cfg):
+                        accepted.append(int(m["cluster_id"]))
                 cid = min(accepted) if accepted else rid
-                members.append({"rec": rec, "cluster_id": cid})
+                members.append({"rec": rec, "rid": rid,
+                                "cluster_id": cid})
                 out.append((key[0], rid, cid))
         state.update((json.dumps(members),))
         if out:
@@ -115,10 +123,15 @@ def incremental_er_assignments(prepared_stream: DataFrame,
 
 def drain_to_table(stream: DataFrame, name: str,
                    timeout_s: int = 180) -> DataFrame:
-    """availableNow -> memory sink helper (tests + driver harness)."""
+    """availableNow -> memory sink helper (tests + driver harness).
+    Raises on timeout — a partially-drained sink must never be
+    mistaken for the converged result."""
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{name}' did not drain within {timeout_s}s")
     return stream.sparkSession.table(name)
 
 

@@ -54,6 +54,21 @@ def test_pruned_gate_path_equals_exact_path(spark, sf_small):
         _record(source="mac_vcf", source_row_id="8", last_name="Nguyen",
                 full_name="Nguyen",
                 emails=[{"value": "x@y.com", "label": "work"}]),
+        # NULL first names + shared email: the UDF fallback ratio for
+        # two NULLs is exactly 1.0 and the pair must merge
+        _record(source="gmail", source_row_id="9", first_name=None,
+                nickname=None, last_name="Ito", full_name="Ito",
+                emails=[{"value": "n@y.com", "label": "home"}]),
+        _record(source="mac_vcf", source_row_id="10", first_name=None,
+                nickname=None, last_name="Ito", full_name="Ito",
+                emails=[{"value": "n@y.com", "label": "work"}]),
+        # NBSP-padded name: Python .strip() removes U+00A0, the JVM
+        # bound's Unicode trim must too, or the pair is wrongly pruned
+        _record(source="gmail", source_row_id="11",
+                first_name="Bob ", last_name="Pratt",
+                full_name="Bob Pratt"),
+        _record(source="mac_vcf", source_row_id="12", first_name="Bob",
+                last_name="Pratt", full_name="Bob Pratt"),
     ]
     hand = spark.createDataFrame(fixtures, CONTACT_SCHEMA)
     for records in (hand, synthetic_contact_records(spark, sf_small)):

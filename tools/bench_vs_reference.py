@@ -142,7 +142,7 @@ def main() -> None:
                 "metric": "pipeline_head_to_head_sec",
                 "records": n, "persons": persons,
                 "reference": ref, "spark": ours,
-                "speedup": round(ref["total"] / ours["total"], 2),
+                "speedup": round(ref["total"] / max(ours["total"], 0.1), 2),
             }), flush=True)
 
 
