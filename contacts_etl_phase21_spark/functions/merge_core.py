@@ -293,10 +293,15 @@ def merge_cluster(records: list[dict],
             extension = phone.get("extension") or ""
             label = phone.get("label") or ""
             if not is_confident:
+                # Reference (combine_contacts.py:1292-1304) keys non-confident
+                # phones by the extension-rendered value, so the merged Phone
+                # value is e.g. '12345x77' and the contact_id key material
+                # renders it again as '12345x77x77'. Mirror that exactly.
                 rendered_value = render_with_extension(value, extension)
                 non_standard.add(f"{rendered_value}::{label}" if label
                                  else rendered_value)
                 label = label or "invalid"
+                value = rendered_value
             key = (value, extension)
             existing = all_phones.get(key)
             if existing is None or should_replace_label(
