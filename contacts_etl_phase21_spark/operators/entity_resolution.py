@@ -80,10 +80,26 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
         lambda x: x.isNotNull())
     return (
         df
-        .withColumn("rid", _source_order_col().cast("long") * F.lit(1 << 40)
-                    + F.coalesce(F.expr("try_cast(source_row_id AS long)"),
-                                 F.abs(F.xxhash64("source", "source_row_id"))
-                                 % F.lit(1 << 40)))
+        .withColumn("rid", _source_order_col().cast("long") * F.lit(1 << 60)
+                    + F.coalesce(
+                        # numeric ids keep their ingest order, namespaced
+                        # below bit 59 so they can never collide with the
+                        # hash fallback; ids outside [0, 2^59) fall through
+                        # to the hash branch instead of bleeding into the
+                        # next source's range
+                        F.when(
+                            (F.expr("try_cast(source_row_id AS long)")
+                             >= 0)
+                            & (F.expr("try_cast(source_row_id AS long)")
+                               < F.lit(1 << 59)),
+                            F.expr("try_cast(source_row_id AS long)")),
+                        # pmod (not abs%) is ANSI-safe at Long.MIN_VALUE;
+                        # 59 bits pushes the birthday bound to ~2^29.5
+                        # records per source — assert_unique_rids guards
+                        # the residual risk
+                        F.lit(1 << 59)
+                        + F.pmod(F.xxhash64("source", "source_row_id"),
+                                 F.lit(1 << 59))))
         .withColumn("_fold_last", udf_fold_text(F.col("last_name")))
         .withColumn("_fold_suffix", udf_fold_text(F.col("suffix")))
         # fold/root keys computed ONCE per record here, so pair scoring
@@ -213,11 +229,37 @@ def _udf_best_first_sim_masked(needs: pd.Series, l_first: pd.Series,
                                      r_first, r_nick)])
 
 
-def _any_cross_eq(l_a: F.Column, l_b: F.Column,
-                  r_a: F.Column, r_b: F.Column) -> F.Column:
-    """Any equality between non-empty left keys and right keys."""
-    return ((l_a != "") & ((l_a == r_a) | (l_a == r_b))) | \
-        ((l_b != "") & ((l_b == r_a) | (l_b == r_b)))
+# Python str.strip()'s whitespace set is (?U)\s (Unicode White_Space)
+# PLUS the bidi-B separators U+001C-001F, which Java's (?U)\s omits.
+_PY_WS = r"[\s\x1c-\x1f]+"
+
+
+def _py_trim(c: F.Column) -> F.Column:
+    """JVM-side equivalent of Python str.strip() on a string column."""
+    return F.regexp_replace(F.coalesce(c, F.lit("")),
+                            rf"(?U)^{_PY_WS}|{_PY_WS}$", "")
+
+
+def _any_cross_eq(l_raw_a: F.Column, l_raw_b: F.Column,
+                  r_raw_a: F.Column, r_raw_b: F.Column,
+                  l_key_a: F.Column, l_key_b: F.Column,
+                  r_key_a: F.Column, r_key_b: F.Column) -> F.Column:
+    """Exists (x, y) in the candidate cross product with key(x)==key(y).
+
+    Candidacy is the RAW trimmed value being non-empty — mirroring
+    merge_core.first_name_candidates / the reference's `if x and y` —
+    NOT the derived key being non-empty: a name of only combining marks
+    folds to '' yet still aligns ('' == '') in the pure core, so
+    guarding on the key would make the batch path diverge from the
+    pure-core/streaming paths on gate 2."""
+    la = _py_trim(l_raw_a) != ""
+    lb = _py_trim(l_raw_b) != ""
+    ra = _py_trim(r_raw_a) != ""
+    rb = _py_trim(r_raw_b) != ""
+    return (la & ra & (l_key_a == r_key_a)) \
+        | (la & rb & (l_key_a == r_key_b)) \
+        | (lb & ra & (l_key_b == r_key_a)) \
+        | (lb & rb & (l_key_b == r_key_b))
 
 
 def _pair_signals(pairs: DataFrame,
@@ -226,9 +268,14 @@ def _pair_signals(pairs: DataFrame,
     nickname equivalence, channel overlaps, and the evidence score
     `ev` (= full score minus the 0.7·first_sim name term)."""
     nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
-    align = _any_cross_eq(F.col("l__fold_first"), F.col("l__fold_nick"),
-                          F.col("r__fold_first"), F.col("r__fold_nick"))
+    raws = (F.col("l_first_name"), F.col("l_nickname"),
+            F.col("r_first_name"), F.col("r_nickname"))
+    align = _any_cross_eq(
+        *raws,
+        F.col("l__fold_first"), F.col("l__fold_nick"),
+        F.col("r__fold_first"), F.col("r__fold_nick"))
     nick_eq = (_any_cross_eq(
+        *raws,
         F.col("l__root_first"), F.col("l__root_nick"),
         F.col("r__root_first"), F.col("r__root_nick"))
         if cfg.nickname_equivalence else F.lit(False))
@@ -346,13 +393,12 @@ def accepted_edges_fast(pairs: DataFrame,
     sig = _pair_signals(pairs, cfg)
 
     def lt(c: str) -> F.Column:
-        # (?U) Unicode-aware regexp trim, not trim(): the UDF's
-        # candidates use Python .strip(), which removes tabs/newlines
-        # AND Unicode whitespace (NBSP etc.) — a narrower trim here
-        # would make the upper bound underestimate the true ratio and
+        # _py_trim, not trim(): the UDF's candidates use Python
+        # .strip(), which removes tabs/newlines, Unicode whitespace
+        # (NBSP etc.) AND U+001C-001F — a narrower trim here would
+        # make the upper bound underestimate the true ratio and
         # wrongly reject pairs the exact path accepts.
-        return F.lower(F.regexp_replace(
-            F.coalesce(F.col(c), F.lit("")), r"(?U)^\s+|\s+$", ""))
+        return F.lower(_py_trim(F.col(c)))
 
     combos = [(lt("l_first_name"), lt("r_first_name")),
               (lt("l_first_name"), lt("r_nickname")),
@@ -509,7 +555,12 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             .select(sym["src"].alias("id"), F.col("component"))
         cc = cc.union(msgs).groupBy("id") \
             .agg(F.min("component").alias("component")).localCheckpoint()
-        cur_sum = cc.agg(F.sum("component")).collect()[0][0]
+        # decimal accumulator: component labels are rids (up to ~2^62),
+        # and a LongType sum overflows under ANSI mode at scale — same
+        # hazard _edge_checksum guards against
+        cur_sum = cc.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
