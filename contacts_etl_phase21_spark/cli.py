@@ -72,7 +72,20 @@ def run_validate(spark: SparkSession, args: argparse.Namespace,
     flattened = spark.read.parquet(_pq(args.out_dir, "flattened"))
     report = validation_report(contacts, flattened, config.quality)
     write_parquet(report, _pq(args.out_dir, "validation"))
+    report = spark.read.parquet(_pq(args.out_dir, "validation"))
     write_csv(report, _csv(args.out_dir, "validation_report.csv"))
+    # validate stage's second artifact (reference validate_quality.py:197-221):
+    # full legacy contact rows left-joined with the per-channel counts/score.
+    scored_cols = [
+        "email_valid_count", "email_total", "phone_valid_count",
+        "phone_total", "addr_valid_count", "addr_total", "quality_score",
+        "department_missing", "home_email_present", "work_email_present",
+        "home_phone_present", "work_phone_present", "home_address_present",
+        "work_address_present",
+    ]
+    write_csv(render_legacy_contacts(contacts).join(
+        report.select("contact_id", *scored_cols), "contact_id", "left"),
+        _csv(args.out_dir, "contact_quality_scored.csv"))
     summary = validation_summary(report).collect()[0].asDict()
     print(summary)
 

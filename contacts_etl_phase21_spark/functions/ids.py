@@ -14,8 +14,10 @@ from datetime import datetime
 
 from dateutil import parser as dateparser
 
-# Fixed namespace: ids must be stable across runs AND across engines.
-_NAMESPACE = uuid.NAMESPACE_URL
+# Fixed namespace: ids must be stable across runs AND across engines —
+# the same constant the reference pipeline hashes under (common.py:72-74),
+# so a user switching engines keeps identical contact_ids.
+_NAMESPACE = uuid.UUID("12345678-1234-5678-1234-567812345678")
 
 
 def stable_uuid(key_material: str) -> str:

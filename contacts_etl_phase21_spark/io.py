@@ -26,12 +26,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for name, dtype in df.dtypes:
-        if name == "ts" and dtype == "bigint":
-            from pyspark.sql import functions as F
+        if name != "ts":
+            continue
+        from pyspark.sql import functions as F
 
+        if dtype == "bigint":
             # integer div — float division loses precision at ns-epoch scale
             df = df.withColumn(
                 name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+        elif dtype == "timestamp_ntz":
+            # some Spark builds surface TIMESTAMP(NANOS) as NTZ instead of
+            # honoring nanosAsLong; session tz is UTC so this cast is a
+            # value-preserving reinterpretation, and watermarks/windows
+            # require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

@@ -26,12 +26,18 @@ from contacts_etl_phase21_spark.io import load
 
 
 def _event_ts(df: DataFrame) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) read as long (see
-    io.load); normalize to micros TimestampType for both batch and
-    stream."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """events.parquet carries TIMESTAMP(NANOS); depending on the Spark
+    build it surfaces as long (nanosAsLong) or TIMESTAMP_NTZ. Normalize
+    either to session-zone TimestampType — watermarks/windows require
+    TIMESTAMP, not NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         # integer div — float division loses precision at ns-epoch scale
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # testdata timestamps are wall-clock; session tz is UTC in tests,
+        # so this is a metadata-only reinterpretation, not a shift
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
