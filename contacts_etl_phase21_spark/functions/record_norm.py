@@ -15,6 +15,9 @@ import json
 import re
 from dataclasses import dataclass, field
 
+from contacts_etl_phase21_spark.functions.data import (
+    GENERATIONAL_SUFFIXES, HONORIFIC_PREFIXES, PROFESSIONAL_SUFFIXES,
+)
 from contacts_etl_phase21_spark.functions.emails import clean_email
 from contacts_etl_phase21_spark.functions.geo import (
     country_iso2, split_embedded_city_state_zip, state_code,
@@ -36,8 +39,13 @@ class NormSettings:
     default_phone_country: str = "US"
     drop_invalid_emails: bool = False
     drop_invalid_phones: bool = False
-    extra_gen_suffixes: frozenset[str] = field(default_factory=frozenset)
-    extra_prof_suffixes: frozenset[str] = field(default_factory=frozenset)
+    email_dns_mx_check: bool = False
+    # name-parser token sets (reference config_loader.py:96-105 feeds
+    # these from config.yaml normalization:); defaults mirror the
+    # reference's shipped config.yaml lists
+    generational_suffixes: frozenset[str] = GENERATIONAL_SUFFIXES
+    professional_suffixes: frozenset[str] = PROFESSIONAL_SUFFIXES
+    name_prefixes: frozenset[str] = HONORIFIC_PREFIXES
 
 
 def _first_valid_email(emails: list[dict]) -> str:
@@ -176,7 +184,9 @@ def normalize_record(rec: dict,
 
     # 1. Pull emails embedded in the display name, then parse it.
     raw_name, captured = pull_emails(rec.get("full_name") or "")
-    parsed = parse_full_name(raw_name)
+    parsed = parse_full_name(raw_name, settings.generational_suffixes,
+                             settings.professional_suffixes,
+                             settings.name_prefixes)
     existing_values = {e.get("value") for e in emails}
     emails.extend({"value": v, "label": ""} for v in captured
                   if v and v not in existing_values)

@@ -82,14 +82,25 @@ def confidence_report(contacts: DataFrame, validation: DataFrame,
         .otherwise("low"))
 
 
+_BUCKETS = ("very_high", "high", "medium", "low")
+
+
 def confidence_summary(scored: DataFrame) -> DataFrame:
-    """A3: bucket histogram with percentages + overall average
-    (confidence_report.py:239-262). Two-level agg — the per-bucket
-    counts shuffle ~4 rows, the total broadcasts."""
-    counts = scored.groupBy("confidence_bucket").count()
-    total = scored.count()
-    return counts.select(
-        F.col("confidence_bucket").alias("bucket"),
-        F.col("count"),
-        F.round(100.0 * F.col("count") / F.lit(total), 2).alias("pct"),
-    ).orderBy(F.desc("count"), "bucket")
+    """A3: bucket histogram with percentages (confidence_report.py:239-262).
+
+    The reference always emits all four buckets in severity order,
+    zero-filled. ONE map-side-combined aggregation produces a single
+    row of conditional counts; stack() pivots it to the 4-row layout —
+    no second job and no shuffle of the big table beyond the agg."""
+    agg = scored.agg(
+        F.count("*").alias("total"),
+        *[F.count(F.when(F.col("confidence_bucket") == b, 1))
+          .alias(f"c{i}") for i, b in enumerate(_BUCKETS)])
+    quoted = ", ".join(f"'{b}', c{i}" for i, b in enumerate(_BUCKETS))
+    return agg.select(
+        F.expr(f"stack({len(_BUCKETS)}, {quoted}) AS (bucket, count)"),
+        "total",
+    ).select(
+        "bucket", "count",
+        F.coalesce(F.round(100.0 * F.col("count") / F.col("total"), 2),
+                   F.lit(0.0)).alias("pct"))

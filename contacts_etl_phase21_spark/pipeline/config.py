@@ -24,13 +24,21 @@ class QualityWeights:
     address_any_score: int = 30
 
 
+# reference tag_contacts.py:19-31 — the fallback when config omits
+# tagging.local_cities
+DEFAULT_LOCAL_CITIES = (
+    "braintree", "quincy", "weymouth", "dedham", "milton", "hingham",
+    "needham", "brookline", "cambridge", "somerville", "boston",
+)
+
+
 @dataclass(frozen=True)
 class TaggingSettings:
     """tagging.py:31-44 (config.yaml tagging:)."""
 
     prior_companies: tuple[str, ...] = ()
     prior_domains: tuple[str, ...] = ()
-    local_cities: tuple[str, ...] = ()
+    local_cities: tuple[str, ...] = DEFAULT_LOCAL_CITIES
 
     def normalized_companies(self) -> list[str]:
         return [c.strip().lower() for c in self.prior_companies]
@@ -62,11 +70,29 @@ def load_config(path: str | None = None) -> PipelineConfig:
     dedupe = raw.get("dedupe", {}) or {}
     quality = raw.get("quality", {}) or {}
     tagging = raw.get("tagging", {}) or {}
+    def _token_set(key: str, default: frozenset[str]) -> frozenset[str]:
+        """YAML list → squashed-lowercase token set; absent key keeps the
+        engine default (≡ the reference's shipped config.yaml lists)."""
+        values = norm.get(key)
+        if values is None:
+            return default
+        from contacts_etl_phase21_spark.functions.names import squash_token
+
+        return frozenset(squash_token(v) for v in values if squash_token(v))
+
     return PipelineConfig(
         normalization=NormSettings(
             default_phone_country=norm.get("default_phone_country", "US"),
             drop_invalid_emails=bool(norm.get("drop_invalid_emails", False)),
-            drop_invalid_phones=bool(norm.get("drop_invalid_phones", False))),
+            drop_invalid_phones=bool(norm.get("drop_invalid_phones", False)),
+            email_dns_mx_check=bool(norm.get("email_dns_mx_check", False)),
+            generational_suffixes=_token_set(
+                "keep_generational_suffixes",
+                NormSettings.generational_suffixes),
+            professional_suffixes=_token_set(
+                "professional_suffixes", NormSettings.professional_suffixes),
+            name_prefixes=_token_set(
+                "name_prefixes", NormSettings.name_prefixes)),
         dedupe=DedupeConfig(
             merge_score_threshold=float(
                 dedupe.get("merge_score_threshold", 1.2)),
@@ -88,5 +114,8 @@ def load_config(path: str | None = None) -> PipelineConfig:
         tagging=TaggingSettings(
             prior_companies=tuple(tagging.get("prior_companies", []) or []),
             prior_domains=tuple(tagging.get("prior_domains", []) or []),
-            local_cities=tuple(tagging.get("local_cities", []) or [])),
+            # empty/absent list falls back like the reference
+            # (tag_contacts.py:130: `... or DEFAULT_LOCAL_CITIES`)
+            local_cities=tuple(tagging.get("local_cities", [])
+                               or DEFAULT_LOCAL_CITIES)),
     )

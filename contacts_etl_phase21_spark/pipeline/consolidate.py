@@ -34,15 +34,26 @@ class ConsolidateResult:
 
 
 def consolidate_records(raw: DataFrame,
-                        config: PipelineConfig = PipelineConfig()
-                        ) -> ConsolidateResult:
+                        config: PipelineConfig = PipelineConfig(),
+                        mx_checker=None) -> ConsolidateResult:
     """raw CONTACT_SCHEMA records → consolidated contacts + lineage +
     flattened. Caches the clustered records — they feed both the merge
-    and the lineage join."""
+    and the lineage join.
+
+    When config normalization.email_dns_mx_check is on, merged contacts
+    get the E11 post-merge deliverability pass (reference
+    combine_contacts.py:1453-1455) before flattening/export;
+    `mx_checker` injects a deterministic checker for tests."""
     normalized = normalize_records(raw, config.normalization)
     clustered = cluster_records(
         prepare_for_matching(normalized), config.dedupe).cache()
-    contacts = merge_clusters(clustered, config.dedupe).cache()
+    contacts = merge_clusters(clustered, config.dedupe)
+    if config.normalization.email_dns_mx_check:
+        from contacts_etl_phase21_spark.operators.mx_check import \
+            apply_mx_check
+
+        contacts = apply_mx_check(contacts, mx_checker)
+    contacts = contacts.cache()
     lineage = build_lineage(clustered, contacts, raw)
     return ConsolidateResult(
         contacts=contacts,

@@ -47,7 +47,7 @@ def render_tagged(tagged: DataFrame) -> DataFrame:
     """tagged_contacts.csv layout: legacy columns + score/tags/category."""
     legacy = render_legacy_contacts(tagged)
     extra = tagged.select("contact_id", "confidence_score", "tags",
-                          "relationship_category",
+                          "relationship_category", "notes_blob",
                           "referral_priority_score")
     return legacy.join(extra, "contact_id")
 

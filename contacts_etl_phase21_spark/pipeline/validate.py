@@ -42,14 +42,22 @@ def validation_report(contacts: DataFrame, flattened: DataFrame,
         F.to_json(F.transform(emails, lambda e: F.struct(
             e["value"].alias("email"), e["label"].alias("label"),
             email_valid(e).alias("valid")))).alias("emails_detail"),
-        F.to_json(F.transform(phones, lambda p: F.struct(
-            p["value"].alias("value"), p["label"].alias("label"),
-            phone_valid(p).alias("valid")))).alias("phones_detail"),
+        # reference phones_detail is the VALID rendered values only, as a
+        # JSON string list — not objects (validate_quality.py:38-58)
+        F.to_json(F.transform(
+            F.filter(phones, phone_valid),
+            lambda p: F.when(p["extension"] != "",
+                             F.concat(p["value"], F.lit("x"),
+                                      p["extension"]))
+            .otherwise(p["value"]))).alias("phones_detail"),
+        # reference strips every address field in the detail objects
+        # (validate_quality.py:71-88)
         F.to_json(F.transform(addresses, lambda a: F.struct(
-            a["street"].alias("street"), a["city"].alias("city"),
-            a["state"].alias("state"),
-            a["postal_code"].alias("postal_code"),
-            a["country"].alias("country"),
+            F.trim(a["street"]).alias("street"),
+            F.trim(a["city"]).alias("city"),
+            F.trim(a["state"]).alias("state"),
+            F.trim(a["postal_code"]).alias("postal_code"),
+            F.trim(a["country"]).alias("country"),
             addr_valid(a).alias("valid")))).alias("addresses_detail"),
     ).withColumn(
         "department_missing",

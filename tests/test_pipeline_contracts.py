@@ -395,3 +395,78 @@ def test_connected_components_star_handles_long_chain(spark):
     out = connected_components_star(vertices, chain, max_iter=20).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == n
+
+
+# ---------------------------------------------------------------------------
+# Config surface end-to-end (reference config_loader.py:96-105, config.yaml
+# normalization:) — a custom suffix list must change parse output through
+# the CLI config path, and email_dns_mx_check must reach apply_mx_check.
+# ---------------------------------------------------------------------------
+
+
+def test_custom_professional_suffix_list_changes_parse(spark, tmp_path):
+    from contacts_etl_phase21_spark import cli
+
+    vcf = tmp_path / "mac.vcf"
+    vcf.write_text("BEGIN:VCARD\nVERSION:3.0\nFN:Pat Doe Xyz\n"
+                   "N:;Pat;;;\nEND:VCARD\n")
+    config = tmp_path / "config.yaml"
+    config.write_text(
+        "normalization:\n  professional_suffixes:\n  - xyz\n")
+
+    def consolidated(out_dir, *extra):
+        cli.main(["consolidate", "--mac-vcf", str(vcf),
+                  "--out-dir", str(out_dir), *extra])
+        import csv
+        import glob
+        [part] = glob.glob(f"{out_dir}/consolidated_contacts.csv/part-*.csv")
+        with open(part, newline="", encoding="utf-8") as fh:
+            [row] = list(csv.DictReader(fh))
+        return row
+
+    default = consolidated(tmp_path / "out_default")
+    assert default["last_name"] == "Xyz"
+    assert default["suffix_professional"] == ""
+
+    custom = consolidated(tmp_path / "out_custom", "--config", str(config))
+    assert custom["last_name"] == "Doe"
+    assert custom["suffix_professional"] == "Xyz"
+
+
+def test_custom_generational_and_prefix_lists(tmp_path):
+    from contacts_etl_phase21_spark.pipeline.config import load_config
+
+    config = tmp_path / "config.yaml"
+    config.write_text(
+        "normalization:\n"
+        "  keep_generational_suffixes:\n  - xiv\n"
+        "  name_prefixes:\n  - captain\n")
+    settings = load_config(str(config)).normalization
+    out = normalize_record(rec(full_name="Captain Ann Blake XIV"), settings)
+    assert out["prefix"] == "Captain"
+    assert out["suffix"] == "XIV"
+    assert (out["first_name"], out["last_name"]) == ("Ann", "Blake")
+    # replaced, not extended: the defaults' 'jr' is no longer generational
+    out2 = normalize_record(rec(full_name="Bo Vance Jr"), settings)
+    assert out2["suffix"] == ""
+    assert out2["last_name"] == "Jr"
+
+
+def test_mx_check_through_pipeline_path(spark):
+    from contacts_etl_phase21_spark.functions.record_norm import NormSettings
+
+    cfg = PipelineConfig(normalization=NormSettings(email_dns_mx_check=True))
+    records = [rec(first_name="Ada", last_name="Lake", emails=[
+        {"value": "ada@dead-domain.example", "label": "home"},
+        {"value": "ada@ok.example", "label": "work"}])]
+    df = spark.createDataFrame(records, CONTACT_SCHEMA)
+    res = consolidate_records(
+        df, cfg, mx_checker=lambda v: not v.startswith("ada@dead"))
+    [row] = res.contacts.collect()
+    labels = {e["value"]: e["label"] for e in row["emails"]}
+    assert labels["ada@dead-domain.example"] == "invalid"
+    assert labels["ada@ok.example"] == "work"
+    # flattened pivot sees the relabel: no home email survives
+    [flat] = res.flattened.collect()
+    assert flat["home_email"] == ""
+    assert flat["work_email"] == "ada@ok.example"
