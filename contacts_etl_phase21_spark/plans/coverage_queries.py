@@ -206,8 +206,11 @@ def synthetic_contact_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gmail+linkedin pair sharing an email, which must merge; output "
         "is one row per resolved contact with lineage counts. Not "
         "SQL-expressible (fuzzy scoring + iterative components) → "
-        "rows-only driver check; semantics pinned by "
-        "tests/test_pipeline_contracts.py.",
+        "rows-only driver check here; full-pipeline output is instead "
+        "held to CELL-LEVEL parity with the reference pipeline's nine "
+        "CSV artifacts by tests/test_reference_parity.py "
+        "(tools/parity_vs_reference.py), and merge semantics are pinned "
+        "by tests/test_pipeline_contracts.py.",
     oracle=None,
 )
 def er_full_contacts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,10 +487,24 @@ def f15_nickname_root_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="strip_suffixes_and_parse_name + parse_name_multi_last "
         "(normalization.py:404-540): the branchy token-scan parser as an "
         "Arrow pandas UDF over synthesized display names (prefix + "
-        "particles + generational/professional suffixes). Stateful token "
-        "logic → not SQL-expressible → rows-only driver check; exact "
-        "semantics pinned by tests/test_functions.py.",
-    oracle=None,
+        "particles + generational/professional suffixes). The display "
+        "names form a closed 2x2x2 pattern grid, so the oracle states "
+        "the expected parse for each pattern in closed form (golden "
+        "oracle); the parser's general token logic is pinned by "
+        "tests/test_functions.py.",
+    oracle="""
+        SELECT c_custkey,
+               'Alex' AS first_name,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'van der Name' || CAST(c_custkey % 100 AS VARCHAR)
+                    ELSE 'Name' || CAST(c_custkey % 100 AS VARCHAR)
+               END AS last_name,
+               CASE WHEN c_custkey % 5 = 0 THEN 'Dr.' ELSE '' END AS prefix,
+               CASE WHEN c_custkey % 4 = 0 THEN 'Jr.' ELSE '' END AS suffix,
+               CASE WHEN c_custkey % 4 = 0 THEN 'PhD' ELSE '' END
+                   AS suffix_professional
+        FROM customer ORDER BY c_custkey
+    """,
 )
 def f14_parse_full_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contacts_etl_phase21_spark.functions.spark_cols import (

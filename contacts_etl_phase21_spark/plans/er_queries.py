@@ -188,16 +188,56 @@ def a2_presence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_DUCK_FIRST_NAME_VOTE = """
+        WITH members AS (
+            SELECT c_custkey % 300 AS cluster_id,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'linkedin'
+                        ELSE 'gmail' END AS source,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'Bill'
+                        ELSE 'William' END AS first_name
+            FROM customer
+        ),
+        explicit_votes AS (
+            SELECT cluster_id, lower(first_name) AS key,
+                   MIN(first_name) AS cased,
+                   SUM(CASE WHEN source = 'linkedin'
+                            THEN 2.0 ELSE 1.0 END) AS score,
+                   TRUE AS is_explicit
+            FROM members GROUP BY cluster_id, lower(first_name)
+        ),
+        guess_votes AS (
+            -- every member carries email local 'will.smithN' → guess
+            -- 'Will' at 1.5 per record (merge_core.py:210-218)
+            SELECT cluster_id, 'will' AS key, 'Will' AS cased,
+                   1.5 * COUNT(*) AS score, FALSE AS is_explicit
+            FROM members GROUP BY cluster_id
+        ),
+        votes AS (
+            SELECT * FROM explicit_votes UNION ALL SELECT * FROM guess_votes
+        )
+        SELECT cluster_id, best_first, vote_key FROM (
+            SELECT cluster_id, cased AS best_first, key AS vote_key,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY is_explicit DESC, score DESC, key) AS rn
+            FROM votes
+        ) WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 @query(
     "e7_first_name_vote",
     survey="E7",
     doc="choose_best_first_name (normalization.py:738-780): per cluster, "
         "weighted vote over explicit names and email-local guesses with "
         "fuzzy key pooling (seq_ratio >= 0.9). collect_list + mapInPandas "
-        "over the pure vote core — the fuzzy pooling makes it "
-        "non-SQL-expressible, so the driver records a rows-only check; "
-        "semantics pinned in tests/test_pipeline_contracts.py.",
-    oracle=None,
+        "over the pure vote core. The oracle re-expresses the vote in "
+        "SQL: on this dataset the candidate keys are {bill, william, "
+        "will}, whose pairwise seq_ratios (0.55/0.75/0.73) are all "
+        "below the 0.9 pooling threshold, and explicit names always "
+        "out-rank guesses — so weighted argmax with explicit preference "
+        "is exactly equivalent; the pooling branch itself is pinned in "
+        "tests/test_pipeline_contracts.py.",
+    oracle=_DUCK_FIRST_NAME_VOTE,
 )
 def e7_first_name_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator

@@ -106,14 +106,47 @@ def dd_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n=3, num_hashes=64, bands=16, threshold=0.8)
 
 
+# DuckDB twin of functions/similarity._hash64: md5(f"{seed}:{tok}") first
+# 8 bytes little-endian → UBIGINT (byte-reversed hex substrings).
+_DUCK_HASH64 = ("('0x'||" + "||".join(
+    f"substr(m,{i},2)" for i in range(15, 0, -2)) + ")::UBIGINT")
+
+_DUCK_SIMHASH_PAIRS = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, {_DUCK_HASH64} AS h64
+            FROM (SELECT doc_id, md5('0:'||tok) AS m FROM t)
+        ),
+        bits AS (
+            SELECT doc_id, b,
+                   CASE WHEN SUM(CASE WHEN (h64 >> b) & 1 = 1
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN 1::UBIGINT ELSE 0::UBIGINT END AS v
+            FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (SELECT doc_id, bit_or(v << b) AS f FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
 @query(
     "dd_simhash_near_dups",
     survey="LLM-dedup(simhash)",
     doc="SimHash-64 near-dup pairs (hamming ≤ 3) blocked by 16-bit "
-        "chunks (pigeonhole guarantee) — pandas-UDF fingerprint, chunk "
-        "equi-join. Hash-specific → rows-only driver check; recall vs "
-        "the exact pair set asserted in unit tests.",
-    oracle=None,
+        "chunks (pigeonhole guarantee: hamming ≤ 3 over 4 chunks ⇒ ≥1 "
+        "chunk identical, so recall is exactly 1) — pandas-UDF "
+        "fingerprint, chunk equi-join. The oracle recomputes the md5 "
+        "SimHash bit-for-bit in SQL and takes the quadratic "
+        "hamming ≤ 3 pair set.",
+    oracle=_DUCK_SIMHASH_PAIRS,
 )
 def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -295,14 +328,49 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.col("rank").cast("int"))
 
 
+# DuckDB twin of similarity_search.hyperplane_bucket: the plane weights
+# are a pure integer mix of (bit, component), so the bucket id is exactly
+# reproducible in SQL (i is 1-based in DuckDB list lambdas → i-1).
+_DUCK_LSH_BUCKET = "(" + " + ".join(
+    f"(CASE WHEN list_sum(list_transform(v, (x, i) -> x * "
+    f"(CAST((({b} * 1000003 + (i - 1) * 7919) % 104729) AS DOUBLE)"
+    f" / 104729.0 - 0.5))) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(8)) + ")"
+
+_DUCK_LSH_TOPK = f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bucketed AS (
+            SELECT vec_id, v, {_DUCK_LSH_BUCKET} AS bucket FROM emb
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket
+            FROM bucketed WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+            FROM bucketed c JOIN q ON c.bucket = q.bucket
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+"""
+
+
 @query(
     "ann_lsh_topk",
     survey="LLM-similarity-search(lsh)",
     doc="Sign-LSH bucketed ANN top-10 (8 fixed pseudo-random "
         "hyperplanes → 256 buckets, exact rerank within bucket) — the "
         "scale path; recall vs brute force reported in tests/bench. "
-        "Bucketing is engine-specific → rows-only check.",
-    oracle=None,
+        "The plane weights are a deterministic integer mix, so the "
+        "oracle reproduces the bucketing exactly in SQL.",
+    oracle=_DUCK_LSH_TOPK,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -311,16 +379,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(emb, queries, k=10, dim=64, bits=8)
 
 
+_DUCK_IVF_TOPK = """
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 16
+        ),
+        cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM emb e CROSS JOIN cents c
+            ) WHERE cr = 1
+        ),
+        qassign AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM emb e CROSS JOIN cents c WHERE e.vec_id < 10
+            ) WHERE cr <= 4
+        ),
+        scored AS (
+            SELECT q.query_id, a.vec_id,
+                   ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+            FROM cassign a JOIN qassign q USING (cell)
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+"""
+
+
 @query(
     "ann_ivf_topk",
     survey="LLM-similarity-search(ivf)",
     doc="IVF ANN top-10: corpus coarse-quantized into 16 cells "
-        "(deterministic centroids), queries probe their 4 nearest "
-        "cells, exact rerank within — at scale the corpus is "
+        "(deterministic first-16-by-id centroids), queries probe their "
+        "4 nearest cells, exact rerank within — at scale the corpus is "
         "partitioned by cell so a query reads n_probe/n_cells of the "
-        "data. Cell assignment is engine-specific → rows-only check; "
-        "recall vs brute force asserted in tests.",
-    oracle=None,
+        "data. The quantizer is fully relational, so the oracle "
+        "reproduces cell assignment, probing and rerank in SQL.",
+    oracle=_DUCK_IVF_TOPK,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
