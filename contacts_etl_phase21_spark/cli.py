@@ -52,6 +52,10 @@ def run_consolidate(spark: SparkSession, args: argparse.Namespace,
     write_parquet(raw, _pq(args.out_dir, "raw_records"))
     raw = spark.read.parquet(_pq(args.out_dir, "raw_records"))
     res = consolidate_records(raw, config)
+    from contacts_etl_phase21_spark.operators.entity_resolution import \
+        assert_unique_rids
+
+    assert_unique_rids(res.clustered)  # cached — one cheap agg
     assert_unique_contact_ids(res.contacts)
     write_parquet(res.contacts, _pq(args.out_dir, "contacts"))
     # lineage/flattened feed both a parquet and a CSV sink — write

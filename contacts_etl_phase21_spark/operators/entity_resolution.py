@@ -119,9 +119,14 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
             nonblank(udf_fold_text(F.get("email_values", 0))),
             nonblank(udf_fold_text(F.get("phone_values", 0))),
             F.concat(F.lit("__blank_"), F.col("rid").cast("string"))))
+        # _py_trim (≡ Python str.strip), not F.trim: candidacy in the
+        # decision gates uses Python-strip semantics, so a name of only
+        # non-space whitespace (tab, NBSP, U+001C) must not count as a
+        # candidate here either — keeps gate 1/2 aligned with
+        # merge_core.first_name_candidates and the streaming path
         .withColumn("name_candidates", F.array_distinct(F.filter(
-            F.array(F.trim(F.coalesce("first_name", F.lit(""))),
-                    F.trim(F.coalesce("nickname", F.lit("")))),
+            F.array(_py_trim(F.col("first_name")),
+                    _py_trim(F.col("nickname"))),
             lambda x: x != "")))
     )
 
@@ -136,6 +141,23 @@ _PAIR_SIDES = (
     "_fold_last", "_fold_suffix", "_fold_first", "_fold_nick",
     "_root_first", "_root_nick", "name_candidates", "block_key",
 )
+
+
+def duplicate_rids(prepared: DataFrame) -> DataFrame:
+    """Colliding rids (two records silently treated as one in pairing /
+    components / merge). Non-empty ⇒ abort."""
+    return prepared.groupBy("rid").count().filter(F.col("count") > 1)
+
+
+def assert_unique_rids(prepared: DataFrame) -> None:
+    """Guard for the residual birthday risk of the hash-fallback rid
+    branch (~2^29.5 records per source at 59 bits) — one cheap
+    count-per-key aggregation, run against the cached clustered frame
+    in the CLI pipeline."""
+    dupes = duplicate_rids(prepared).limit(5).collect()
+    if dupes:
+        raise ValueError(
+            f"rid collision for rids: {[r['rid'] for r in dupes]}")
 
 
 def candidate_pairs(prepared: DataFrame) -> DataFrame:

@@ -601,6 +601,111 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("doc_id", "frame_idx")
 
 
+# --------------------------------------------------------------------------
+# mm real-codec tier: deterministic payload synthesis → REAL pure-Python
+# codec (stdlib wave / hand-rolled P6 parser) → integer projections. The
+# oracles recompute the expected values arithmetically from the synthesis
+# formulas WITHOUT touching the binary, so a bug anywhere in the
+# encode→decode→transform loop is a hash mismatch.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_wav_decode_real",
+    survey="LLM-multimodal(audio)",
+    doc="REAL WAV round trip: per doc, synthesize (d%5+1)*4 int16 "
+        "samples with sample_i = (d*7+i*13)%2003-1001, encode to RIFF "
+        "via stdlib wave, decode back (multimodal.decode_wav), emit "
+        "frame count + integer sample sums. Oracle recomputes the sums "
+        "from the formula — int-exact.",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, (doc_id % 5 + 1) * 4 AS n FROM documents
+        ),
+        samp AS (
+            SELECT s.doc_id, s.n,
+                   ((s.doc_id * 7 + i.i * 13) % 2003 - 1001) AS v
+            FROM s JOIN (SELECT unnest(range(20)) AS i) i ON i.i < s.n
+        )
+        SELECT doc_id, CAST(MAX(n) AS INT) AS n_frames,
+               CAST(SUM(v) AS BIGINT) AS sum_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        FROM samp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        synth_wav_payloads, wav_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return wav_stats(synth_wav_payloads(docs)).orderBy("doc_id")
+
+
+def _ppm_avg4(ox: int, c: int) -> str:
+    """SQL for the box-filtered output byte at (ox, 0) channel c of the
+    4x2→2x1 resize; input byte i = (doc_id*31 + i*17) % 256."""
+    terms = " + ".join(
+        f"((doc_id * 31 + {((dy * 4 + ox * 2 + dx) * 3 + c)} * 17) % 256)"
+        for dy in range(2) for dx in range(2))
+    return f"CAST(FLOOR(({terms}) / 4) AS INT)"
+
+
+@query(
+    "mm_ppm_resize_real",
+    survey="LLM-multimodal(image)",
+    doc="REAL image resize round trip: per doc, synthesize a 4x2 P6 "
+        "image (byte_i = (d*31+i*17)%256), box-filter to 2x1 with the "
+        "pure-Python codec (decode_ppm → integer pixel-area mean → "
+        "encode_ppm → decode again), emit the resized RGB ints. Oracle "
+        "computes the six output bytes arithmetically.",
+    oracle=f"""
+        SELECT doc_id, 2 AS out_w, 1 AS out_h,
+               [{", ".join(_ppm_avg4(ox, c)
+                           for ox in range(2) for c in range(3))}] AS pixels
+        FROM documents ORDER BY doc_id
+    """,
+)
+def mm_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        ppm_resize_pixels, synth_ppm_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ppm_resize_pixels(
+        synth_ppm_payloads(docs, w=4, h=2), out_w=2, out_h=1) \
+        .orderBy("doc_id")
+
+
+@query(
+    "mm_ppm_frames_real",
+    survey="LLM-multimodal(video)",
+    doc="REAL frame sampling: per doc, a 3-frame concatenated-P6 "
+        "sequence (frame f byte_i = (d*31+f*101+i*17)%256) is split on "
+        "parsed frame boundaries, every 2nd frame kept (idx 0, 2), "
+        "fingerprinted as sum(pixel bytes) % 997. Oracle recomputes "
+        "both signatures from the formula.",
+    oracle="""
+        SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx,
+               CAST(SUM((d.doc_id * 31 + f.f * 101 + i.i * 17) % 256) % 997
+                    AS BIGINT) AS frame_sig
+        FROM documents d
+        CROSS JOIN (SELECT unnest([0, 2]) AS f) f
+        CROSS JOIN (SELECT unnest(range(24)) AS i) i
+        GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+    """,
+)
+def mm_ppm_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        ppm_frame_samples, synth_ppm_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ppm_frame_samples(
+        synth_ppm_payloads(docs, w=4, h=2, frames=3), every_k=2) \
+        .orderBy("doc_id", "frame_idx")
+
+
 @query(
     "ann_range_search",
     survey="LLM-similarity-search(range)",

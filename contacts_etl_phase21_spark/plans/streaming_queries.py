@@ -103,9 +103,11 @@ def st_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(applyInPandasWithState; one GroupState per block holding "
         "members+clusters, scored with the SAME pure merge_core pair "
         "semantics as batch). First-wins assignment; on direct-link "
-        "merge topologies it equals the batch fixpoint exactly "
-        "(pinned in tests/test_streaming.py). Streaming drain -> "
-        "rows-only driver check.",
+        "merge topologies it equals the batch fixpoint exactly, and "
+        "reconcile_assignments (er_ingest.py) is the periodic batch "
+        "compaction that heals bridge-induced divergence back to the "
+        "fixpoint — both pinned in tests/test_streaming.py. Streaming "
+        "drain -> rows-only driver check.",
     oracle=None,
 )
 def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

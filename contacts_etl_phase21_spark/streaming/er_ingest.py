@@ -121,6 +121,45 @@ def incremental_er_assignments(prepared_stream: DataFrame,
         "update", GroupStateTimeout.NoTimeout)
 
 
+def reconcile_assignments(prepared_corpus: DataFrame,
+                          streamed_assignments: DataFrame,
+                          cfg: DedupeConfig | None = None) -> DataFrame:
+    """Periodic batch-fixpoint compaction over the accumulated corpus.
+
+    Incremental assignment is first-wins: a bridge arrival that links
+    two existing clusters joins the earlier one without re-labeling the
+    other (module docstring). This compaction re-runs the batch ER core
+    (cluster_records: blocked pairs → gates → connected components) on
+    everything ingested so far and emits the healed assignment per rid,
+    with the streaming label alongside so sinks can re-key:
+
+        (rid, cluster_id, stream_cluster_id, healed)
+
+    `healed` marks rows whose streaming label diverged from the
+    fixpoint. Run it from foreachBatch every N triggers or as a
+    scheduled batch job over the staged corpus — the input is the SAME
+    prepare_for_matching projection the stream consumes, so batch and
+    stream agree on rids and block keys by construction. At scale this
+    is the standard lambda-style repair: the stream stays low-latency,
+    the compaction restores exactness, and its cost is the batch ER
+    core's (blocked equi-joins + log-round components, no quadratic
+    blowup)."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        cluster_records,
+    )
+    import pyspark.sql.functions as F
+
+    batch = cluster_records(prepared_corpus, cfg or DedupeConfig()) \
+        .select("rid", "cluster_id")
+    old = streamed_assignments.select(
+        "rid", F.col("cluster_id").alias("stream_cluster_id"))
+    return (batch.join(old, "rid", "left")
+            .withColumn("healed",
+                        F.col("stream_cluster_id").isNotNull()
+                        & (F.col("cluster_id")
+                           != F.col("stream_cluster_id"))))
+
+
 def drain_to_table(stream: DataFrame, name: str,
                    timeout_s: int = 180) -> DataFrame:
     """availableNow -> memory sink helper (tests + driver harness).

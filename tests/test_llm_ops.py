@@ -144,3 +144,94 @@ def test_multimodal_stub_gating(spark, sf_small):
     for r in out:
         assert r["n_frames"] == r["byte_len"] % 10 + 1
         assert len(r["feature"]) == 4
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs (PPM / WAV): unit semantics + Spark round trips
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_codec_round_trip_and_comments():
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        box_resize_ppm, decode_ppm, encode_ppm, split_ppm_frames,
+    )
+
+    body = bytes(range(24))  # 4x2 RGB
+    payload = encode_ppm(4, 2, 255, body)
+    w, h, maxval, got, end = decode_ppm(payload)
+    assert (w, h, maxval, got, end) == (4, 2, 255, body, len(payload))
+
+    # header comments and extra whitespace are legal PPM
+    commented = b"P6\n# a comment\n 4\t2 #w h\n255\n" + body
+    assert decode_ppm(commented)[:4] == (4, 2, 255, body)
+
+    # box filter 4x2 -> 2x1: each output byte is the floor-mean of its
+    # 2x2 block, per channel
+    resized = box_resize_ppm(payload, 2, 1)
+    _, _, _, rbody, _ = decode_ppm(resized)
+    expect = bytes(
+        sum(body[((dy * 4) + ox * 2 + dx) * 3 + c]
+            for dy in (0, 1) for dx in (0, 1)) // 4
+        for ox in (0, 1) for c in (0, 1, 2))
+    assert rbody == expect
+
+    seq = payload + encode_ppm(4, 2, 255, bytes(reversed(body)))
+    frames = split_ppm_frames(seq)
+    assert len(frames) == 2 and frames[0] == payload
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # not P6
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated body
+    with pytest.raises(ValueError):
+        box_resize_ppm(payload, 3, 1)  # non-divisible grid
+
+
+def test_wav_codec_round_trip():
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        decode_wav, encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    n, got = decode_wav(encode_wav(samples))
+    assert n == len(samples) and got == samples
+
+
+def test_decode_payload_real_mime_dispatch():
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        encode_ppm, encode_wav,
+    )
+
+    # WAV: real decode even with fake=False
+    n, feature = _decode_payload(encode_wav([16384, -16384, 0, 8192, 99]),
+                                 fake=False, mime="audio/x-wav")
+    assert n == 5
+    assert feature == [0.5, -0.5, 0.0, 0.25]
+
+    # PPM: per-channel means normalized by maxval
+    body = bytes([10, 20, 30] * 8)
+    n, feature = _decode_payload(encode_ppm(4, 2, 255, body), fake=False,
+                                 mime="image/x-portable-pixmap")
+    assert n == 1
+    assert [round(x, 6) for x in feature] == [
+        round(10 / 255, 6), round(20 / 255, 6), round(30 / 255, 6)]
+
+    # unknown mime still requires fake=True
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"abc", fake=False, mime="image/jpeg")
+
+
+def test_extract_features_real_wav_through_spark(spark, sf_small):
+    from contacts_etl_phase21_spark.operators.multimodal import (
+        synth_wav_payloads,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(10)
+    out = extract_features(synth_wav_payloads(docs), fake=False).collect()
+    assert len(out) == 10
+    for r in out:
+        d = r["doc_id"]
+        assert r["n_frames"] == (d % 5 + 1) * 4
+        expect = [((d * 7 + i * 13) % 2003 - 1001) / 32768.0
+                  for i in range(4)]
+        assert r["feature"] == pytest.approx(expect)

@@ -5,6 +5,7 @@ on beyond AQE."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from contacts_etl_phase21_spark.operators.entity_resolution import (
     accepted_edges, accepted_edges_fast, candidate_pairs,
@@ -69,6 +70,22 @@ def test_pruned_gate_path_equals_exact_path(spark, sf_small):
                 full_name="Bob Pratt"),
         _record(source="mac_vcf", source_row_id="12", first_name="Bob",
                 last_name="Pratt", full_name="Bob Pratt"),
+        # U+001C-padded name: Python .strip() removes the bidi-B
+        # separators that Java's (?U)\s misses — both the candidacy
+        # check and the fuzzy bound must use the widened trim
+        _record(source="gmail", source_row_id="13",
+                first_name="Ann\x1c", last_name="Wray",
+                full_name="Ann Wray"),
+        _record(source="mac_vcf", source_row_id="14", first_name="Ann",
+                last_name="Wray", full_name="Ann Wray"),
+        # a name that is ONLY U+001C: not a candidate under Python
+        # strip — must behave exactly like an empty first name
+        _record(source="gmail", source_row_id="15", first_name="\x1c",
+                last_name="Zhou", full_name="Zhou",
+                emails=[{"value": "z@y.com", "label": "home"}]),
+        _record(source="mac_vcf", source_row_id="16", first_name="",
+                last_name="Zhou", full_name="Zhou",
+                emails=[{"value": "z@y.com", "label": "work"}]),
     ]
     hand = spark.createDataFrame(fixtures, CONTACT_SCHEMA)
     for records in (hand, synthetic_contact_records(spark, sf_small)):
@@ -121,3 +138,74 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_left", "bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_rid_namespacing_numeric_vs_hash_branches(spark):
+    """rid layout: bits 60+ namespace the source, numeric row ids keep
+    ingest order below bit 59, non-numeric / out-of-range ids land in
+    the hash band [2^59, 2^60) — the two bands can never collide."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        assert_unique_rids, duplicate_rids, prepare_for_matching,
+    )
+
+    records = [
+        _record(source="gmail", source_row_id="7", last_name="A"),
+        _record(source="gmail", source_row_id="11", last_name="B"),
+        # same numeric id under a different source → different namespace
+        _record(source="linkedin", source_row_id="7", last_name="C"),
+        # hash-branch citizens: non-numeric, negative, >= 2^59
+        _record(source="gmail", source_row_id="row-x", last_name="D"),
+        _record(source="gmail", source_row_id="-4", last_name="E"),
+        _record(source="gmail", source_row_id=str(1 << 60), last_name="F"),
+    ]
+    prepared = prepare_for_matching(
+        spark.createDataFrame(records, CONTACT_SCHEMA))
+    rid = {(r["source"], r["source_row_id"]): r["rid"] for r in
+           prepared.select("source_row_id", "rid", "source").collect()}
+    hash_band = lambda r: (r >> 59) & 1 == 1  # noqa: E731
+    local = lambda r: r - (r >> 60 << 60)  # noqa: E731
+
+    gmail_base = rid[("gmail", "7")] - 7
+    assert rid[("gmail", "11")] == gmail_base + 11  # ingest order kept
+    # cross-source same numeric id: distinct namespaces, no collision
+    assert rid[("gmail", "7")] >> 60 != rid[("linkedin", "7")] >> 60
+    assert len(set(rid.values())) == len(rid)
+    # the three fallback ids sit in the hash band of their namespace
+    for k in ("row-x", "-4", str(1 << 60)):
+        assert hash_band(local(rid[("gmail", k)])), k
+    # numeric ids sit below the hash band
+    for k in ("7", "11"):
+        assert not hash_band(local(rid[("gmail", k)])), k
+    assert duplicate_rids(prepared).count() == 0
+    assert_unique_rids(prepared)  # must not raise
+
+
+def test_assert_unique_rids_raises_on_collision(spark):
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        assert_unique_rids,
+    )
+
+    clashing = spark.createDataFrame([(1,), (1,), (2,)], ["rid"])
+    with pytest.raises(ValueError, match="rid collision"):
+        assert_unique_rids(clashing)
+
+
+def test_connected_components_with_rids_near_2_62(spark):
+    """CC convergence must survive ids near the top of the long range —
+    the decimal-sum convergence check cannot overflow or lose
+    precision there (ANSI mode would throw on a long-sum overflow)."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    base = (1 << 62) + 3
+    ids = [base + i for i in range(6)]
+    vertices = spark.createDataFrame([(i,) for i in ids], ["id"])
+    edges = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[3], ids[4])],
+        ["src", "dst"])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(vertices, edges).collect()}
+    assert comp[ids[0]] == comp[ids[1]] == comp[ids[2]] == ids[0]
+    assert comp[ids[3]] == comp[ids[4]] == ids[3]
+    assert comp[ids[5]] == ids[5]

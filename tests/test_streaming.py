@@ -187,3 +187,62 @@ def test_stateful_first_event_matches_batch(spark, sf_small):
                 for r in first_event_batch(spark, sf_small).collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_incremental_er_bridge_healed_by_reconciliation(spark, tmp_path):
+    """A bridge record arriving in a LATER micro-batch links two
+    already-founded clusters. Streaming first-wins keeps them separate;
+    reconcile_assignments (the periodic batch-fixpoint compaction) must
+    heal the assignments to equal cluster_records exactly."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        cluster_records, prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.schemas import CONTACT_SCHEMA
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, incremental_er_assignments,
+        reconcile_assignments, stream_records_from_dir,
+    )
+
+    def rec(source, row_id, first, last, emails):
+        base = {f.name: "" for f in CONTACT_SCHEMA.fields}
+        base.update(source=source, source_row_id=row_id,
+                    source_timestamp=None, first_name=first,
+                    last_name=last, full_name=f"{first} {last}",
+                    emails=[{"value": e, "label": "home"} for e in emails],
+                    phones=[], addresses=[])
+        return base
+
+    # same block (last name). ratio(Art, Arlo) ≈ 0.571, so A–C scores
+    # 0.7·0.571 = 0.4 — no merge. B shares an email with EACH:
+    # A–B = 0.7 + 1.0 = 1.7, C–B = 0.4 + 1.0 = 1.4, both ≥ 1.2 and
+    # gate 2 passes on the email overlap — B is the bridge.
+    batch1 = [rec("gmail", "0", "Art", "Keys", ["a@x.com"])]
+    batch2 = [rec("gmail", "1", "Arlo", "Keys", ["c@x.com"])]
+    batch3 = [rec("gmail", "2", "Art", "Keys", ["a@x.com", "c@x.com"])]
+    staged = tmp_path / "er_bridge"
+    for i, batch in enumerate((batch1, batch2, batch3)):
+        spark.createDataFrame(batch, CONTACT_SCHEMA).coalesce(1) \
+            .write.parquet(str(staged / f"t{i}"))
+    schema = spark.createDataFrame(batch1, CONTACT_SCHEMA).schema
+    stream = stream_records_from_dir(spark, schema, str(staged))
+    assigned = drain_to_table(
+        incremental_er_assignments(prepare_for_matching(stream)),
+        f"er_bridge_{uuid.uuid4().hex[:8]}")
+    streamed = {r["rid"]: r["cluster_id"] for r in assigned.collect()}
+    rid_a, rid_c, rid_b = sorted(streamed)  # rids follow row ids A=0,C=1,B=2
+    # first-wins divergence: the bridge B joined A's cluster, C kept its own
+    assert streamed[rid_a] == streamed[rid_b] == rid_a
+    assert streamed[rid_c] == rid_c
+
+    corpus = spark.createDataFrame(batch1 + batch2 + batch3, CONTACT_SCHEMA)
+    prepared = prepare_for_matching(corpus)
+    healed = reconcile_assignments(prepared, assigned)
+    got = {r["rid"]: (r["cluster_id"], r["healed"]) for r in healed.collect()}
+    expected = {r["rid"]: r["cluster_id"] for r in
+                cluster_records(prepared)
+                .select("rid", "cluster_id").collect()}
+    assert {k: v[0] for k, v in got.items()} == expected
+    # the fixpoint is one cluster; exactly C's label was healed
+    assert expected == {rid_a: rid_a, rid_b: rid_a, rid_c: rid_a}
+    assert got[rid_c][1] is True
+    assert got[rid_a][1] is False and got[rid_b][1] is False
