@@ -76,25 +76,70 @@ def hyperplane_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     return total
 
 
+def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
+                     n_iter: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd's k-means coarse quantizer → (cell, c_vec).
+
+    Init = first n_cells vectors by id (deterministic, re-runnable);
+    each round is one broadcast-join assignment pass over the corpus
+    plus one elementwise-mean aggregation (posexplode → avg per
+    (cell, dim) → array rebuild). Per iteration: no corpus shuffle for
+    the assignment (centroids broadcast), one shuffle keyed on
+    (cell, dim) whose cardinality is n_cells × dim — tiny regardless of
+    corpus size. Cells that lose all members drop out (standard Lloyd
+    degeneracy; k shrinks rather than seeding randomly, keeping runs
+    deterministic)."""
+    cents = broadcast(
+        corpus.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("cell"),
+                F.col(vec_col).alias("c_vec")))
+    vecs = corpus.select(id_col, vec_col)
+    for _ in range(n_iter):
+        scored = vecs.crossJoin(cents).select(
+            id_col, vec_col, "cell",
+            cosine_col(F.col(vec_col), F.col("c_vec")).alias("_cs"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
+        assigned = (scored.withColumn("_cr", F.row_number().over(w))
+                    .filter(F.col("_cr") == 1))
+        cents = broadcast(
+            assigned.select("cell", F.posexplode(vec_col))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("_s"))
+            .select("cell",
+                    F.transform("_s", lambda x: x["m"]).alias("c_vec")))
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             quantizer: str = "first") -> DataFrame:
     """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
     cells, probe only the closest n_probe cells per query.
 
-    Centroids are the first n_cells corpus vectors by id — a
-    deterministic coarse quantizer (k-means would improve cell balance;
-    the partition/probe plumbing is identical). Cell assignment is one
+    quantizer='first': centroids are the first n_cells corpus vectors
+    by id — deterministic and fully relational (the oracle-checkable
+    tier). quantizer='kmeans': Lloyd-refined centroids
+    (kmeans_centroids) — better cell balance, higher recall at equal
+    n_probe; still deterministic. Cell assignment is one
     broadcast-join pass over the corpus; at 100 TB the corpus is
     written partitioned by cell, so a query touches n_probe/n_cells of
     the data — the classic IVF selectivity win. Recall < 1 by
     construction; the bench pairs it with brute_force_topk.
     """
-    cents = broadcast(
-        corpus.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cell"),
-                F.col(vec_col).alias("c_vec")))
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, id_col=id_col,
+                                 vec_col=vec_col)
+    else:
+        cents = broadcast(
+            corpus.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell"),
+                    F.col(vec_col).alias("c_vec")))
 
     def assign(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
         scored = df.crossJoin(cents).select(

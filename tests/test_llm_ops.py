@@ -235,3 +235,37 @@ def test_extract_features_real_wav_through_spark(spark, sf_small):
         expect = [((d * 7 + i * 13) % 2003 - 1001) / 32768.0
                   for i in range(4)]
         assert r["feature"] == pytest.approx(expect)
+
+
+def test_ann_ivf_kmeans_quantizer(spark, sf_small):
+    """Lloyd-refined centroids: deterministic across runs, self-recall
+    preserved, and aggregate recall vs brute force at least as good as
+    a sane floor (cell balance should help, never catastrophically
+    hurt)."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    km = ann.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4,
+                      quantizer="kmeans")
+    rows1 = {(r["query_id"], r["rank"], r["vec_id"]) for r in km.collect()}
+    rows2 = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in ann.ivf_topk(emb, queries, k=10, n_cells=16,
+                                   n_probe=4, quantizer="kmeans").collect()}
+    assert rows1 == rows2  # deterministic
+    got = {(q, v) for q, _, v in rows1}
+    assert all((q, q) in got for q in range(10))  # self-recall
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    recall = len(b & got) / len(b)
+    assert recall >= 0.3, f"kmeans-ivf recall {recall}"
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_small):
+    emb = load(spark, sf_small, "embeddings")
+    c1 = {r["cell"]: tuple(r["c_vec"])
+          for r in ann.kmeans_centroids(emb, n_cells=8, n_iter=3).collect()}
+    c2 = {r["cell"]: tuple(r["c_vec"])
+          for r in ann.kmeans_centroids(emb, n_cells=8, n_iter=3).collect()}
+    assert c1 == c2
+    assert 0 < len(c1) <= 8
+    assert all(len(v) == 64 for v in c1.values())
