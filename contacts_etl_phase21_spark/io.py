@@ -43,6 +43,40 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap driver-side estimate of a scan's task count from its input
+    files (Spark's split-packing formula: bytes + per-file open cost,
+    packed into maxPartitionBytes bins). None when the plan isn't a
+    local-file scan — caller falls back to the exact probe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.stat(unquote(parsed.path)).st_size
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    raw = str(conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    try:
+        max_pb = int(raw.lower().removesuffix("b"))
+    except ValueError:
+        return None
+    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+    return max(1, math.ceil((total + open_cost * len(files)) / max_pb))
+
+
 def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guarantee minimum parallelism before a compute-bound stage.
 
@@ -55,13 +89,17 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     never ADDS a shuffle at scale — it only rescues the small-file
     layout the local testdata ships with.
 
-    Caveat: the partition probe goes through df.rdd, which forces
-    physical planning and, under AQE, can execute upstream query
-    stages just to learn the count — call this on SCAN-stage
-    DataFrames (its intended use), not downstream of shuffles.
+    The partition count comes from a driver-side file-size estimate
+    when the input is a local-file scan (its intended use) — no job,
+    no physical planning. Only non-scan inputs pay the df.rdd probe,
+    which forces planning and, under AQE, can execute upstream stages;
+    avoid calling this downstream of shuffles.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    est = _estimate_scan_partitions(df)
+    if est is not None:
+        return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
