@@ -536,11 +536,13 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst")).distinct()
         mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        # lazy checkpoint: _edge_checksum's collect materializes it —
+        # one job per round instead of two
         cur = (oriented.join(mins, "src")
                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                .union(mins.select(F.col("src"), F.col("m").alias("dst")))
                .where(F.col("src") != F.col("dst"))
-               .distinct().localCheckpoint())
+               .distinct().localCheckpoint(eager=False))
         sig = _edge_checksum(cur)
         if sig == prev_sig:
             break
@@ -575,8 +577,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         msgs = sym.join(cc, sym["dst"] == cc["id"]) \
             .select(sym["src"].alias("id"), F.col("component"))
+        # lazy checkpoint: the convergence aggregate below is the
+        # action that materializes it — ONE job per round, not two
         cc = cc.union(msgs).groupBy("id") \
-            .agg(F.min("component").alias("component")).localCheckpoint()
+            .agg(F.min("component").alias("component")) \
+            .localCheckpoint(eager=False)
         # decimal accumulator: component labels are rids (up to ~2^62),
         # and a LongType sum overflows under ANSI mode at scale — same
         # hazard _edge_checksum guards against
