@@ -123,10 +123,16 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
         # decision gates uses Python-strip semantics, so a name of only
         # non-space whitespace (tab, NBSP, U+001C) must not count as a
         # candidate here either — keeps gate 1/2 aligned with
-        # merge_core.first_name_candidates and the streaming path
+        # merge_core.first_name_candidates and the streaming path.
+        # The regex trim runs HERE, once per record, and the quadratic
+        # pair path reads the materialized columns — running it per
+        # pair instead measured ~4x on the 10^6 cluster stage.
+        .withColumn("_pt_first", _py_trim(F.col("first_name")))
+        .withColumn("_pt_nick", _py_trim(F.col("nickname")))
+        .withColumn("_lt_first", F.lower(F.col("_pt_first")))
+        .withColumn("_lt_nick", F.lower(F.col("_pt_nick")))
         .withColumn("name_candidates", F.array_distinct(F.filter(
-            F.array(_py_trim(F.col("first_name")),
-                    _py_trim(F.col("nickname"))),
+            F.array(F.col("_pt_first"), F.col("_pt_nick")),
             lambda x: x != "")))
     )
 
@@ -139,7 +145,8 @@ _PAIR_SIDES = (
     "rid", "source", "first_name", "nickname", "last_name", "suffix",
     "linkedin_url", "email_values", "phone_values", "addr_keys",
     "_fold_last", "_fold_suffix", "_fold_first", "_fold_nick",
-    "_root_first", "_root_nick", "name_candidates", "block_key",
+    "_root_first", "_root_nick", "_lt_first", "_lt_nick",
+    "name_candidates", "block_key",
 )
 
 
@@ -262,26 +269,25 @@ def _py_trim(c: F.Column) -> F.Column:
                             rf"(?U)^{_PY_WS}|{_PY_WS}$", "")
 
 
-def _any_cross_eq(l_raw_a: F.Column, l_raw_b: F.Column,
-                  r_raw_a: F.Column, r_raw_b: F.Column,
+def _any_cross_eq(l_ne_a: F.Column, l_ne_b: F.Column,
+                  r_ne_a: F.Column, r_ne_b: F.Column,
                   l_key_a: F.Column, l_key_b: F.Column,
                   r_key_a: F.Column, r_key_b: F.Column) -> F.Column:
     """Exists (x, y) in the candidate cross product with key(x)==key(y).
 
-    Candidacy is the RAW trimmed value being non-empty — mirroring
-    merge_core.first_name_candidates / the reference's `if x and y` —
-    NOT the derived key being non-empty: a name of only combining marks
-    folds to '' yet still aligns ('' == '') in the pure core, so
-    guarding on the key would make the batch path diverge from the
-    pure-core/streaming paths on gate 2."""
-    la = _py_trim(l_raw_a) != ""
-    lb = _py_trim(l_raw_b) != ""
-    ra = _py_trim(r_raw_a) != ""
-    rb = _py_trim(r_raw_b) != ""
-    return (la & ra & (l_key_a == r_key_a)) \
-        | (la & rb & (l_key_a == r_key_b)) \
-        | (lb & ra & (l_key_b == r_key_a)) \
-        | (lb & rb & (l_key_b == r_key_b))
+    Candidacy (the *_ne_* booleans) is the RAW Python-trimmed value
+    being non-empty — mirroring merge_core.first_name_candidates / the
+    reference's `if x and y` — NOT the derived key being non-empty: a
+    name of only combining marks folds to '' yet still aligns
+    ('' == '') in the pure core, so guarding on the key would make the
+    batch path diverge from the pure-core/streaming paths on gate 2.
+    Callers derive the booleans from the per-record materialized
+    `_lt_first`/`_lt_nick` columns (prepare_for_matching) — the trim
+    regex must NOT run here on the quadratic pair path."""
+    return (l_ne_a & r_ne_a & (l_key_a == r_key_a)) \
+        | (l_ne_a & r_ne_b & (l_key_a == r_key_b)) \
+        | (l_ne_b & r_ne_a & (l_key_b == r_key_a)) \
+        | (l_ne_b & r_ne_b & (l_key_b == r_key_b))
 
 
 def _pair_signals(pairs: DataFrame,
@@ -290,14 +296,14 @@ def _pair_signals(pairs: DataFrame,
     nickname equivalence, channel overlaps, and the evidence score
     `ev` (= full score minus the 0.7·first_sim name term)."""
     nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
-    raws = (F.col("l_first_name"), F.col("l_nickname"),
-            F.col("r_first_name"), F.col("r_nickname"))
+    nonempty = (F.col("l__lt_first") != "", F.col("l__lt_nick") != "",
+                F.col("r__lt_first") != "", F.col("r__lt_nick") != "")
     align = _any_cross_eq(
-        *raws,
+        *nonempty,
         F.col("l__fold_first"), F.col("l__fold_nick"),
         F.col("r__fold_first"), F.col("r__fold_nick"))
     nick_eq = (_any_cross_eq(
-        *raws,
+        *nonempty,
         F.col("l__root_first"), F.col("l__root_nick"),
         F.col("r__root_first"), F.col("r__root_nick"))
         if cfg.nickname_equivalence else F.lit(False))
@@ -415,17 +421,20 @@ def accepted_edges_fast(pairs: DataFrame,
     sig = _pair_signals(pairs, cfg)
 
     def lt(c: str) -> F.Column:
-        # _py_trim, not trim(): the UDF's candidates use Python
-        # .strip(), which removes tabs/newlines, Unicode whitespace
-        # (NBSP etc.) AND U+001C-001F — a narrower trim here would
-        # make the upper bound underestimate the true ratio and
-        # wrongly reject pairs the exact path accepts.
-        return F.lower(_py_trim(F.col(c)))
+        # the Python-strip-parity lowercase trim (_py_trim ∘ lower) is
+        # materialized per RECORD in prepare_for_matching (_lt_first /
+        # _lt_nick): the UDF's candidates use Python .strip(), which
+        # removes tabs/newlines, Unicode whitespace (NBSP etc.) AND
+        # U+001C-001F — a narrower trim here would make the upper
+        # bound underestimate the true ratio and wrongly reject pairs
+        # the exact path accepts. Re-running the trim regex here, per
+        # pair, measured ~4x on the 10^6-record cluster stage.
+        return F.col(c)
 
-    combos = [(lt("l_first_name"), lt("r_first_name")),
-              (lt("l_first_name"), lt("r_nickname")),
-              (lt("l_nickname"), lt("r_first_name")),
-              (lt("l_nickname"), lt("r_nickname"))]
+    combos = [(lt("l__lt_first"), lt("r__lt_first")),
+              (lt("l__lt_first"), lt("r__lt_nick")),
+              (lt("l__lt_nick"), lt("r__lt_first")),
+              (lt("l__lt_nick"), lt("r__lt_nick"))]
     combo_eqs, combo_ubs = [], []
     for cl, cr in combos:
         both = (cl != "") & (cr != "")
@@ -434,8 +443,8 @@ def accepted_edges_fast(pairs: DataFrame,
             F.when(both, 1.0 - F.levenshtein(cl, cr)
                    / (F.length(cl) + F.length(cr)))
             .otherwise(F.lit(0.0)))
-    l_has = (lt("l_first_name") != "") | (lt("l_nickname") != "")
-    r_has = (lt("r_first_name") != "") | (lt("r_nickname") != "")
+    l_has = (lt("l__lt_first") != "") | (lt("l__lt_nick") != "")
+    r_has = (lt("r__lt_first") != "") | (lt("r__lt_nick") != "")
     # fallback path (either candidate set empty): ratio of the RAW
     # lowercased first names — 1.0 for two empties, 0.0 one-sided
     fl = F.lower(F.coalesce(F.col("l_first_name"), F.lit("")))
@@ -599,7 +608,15 @@ def cluster_records(prepared: DataFrame,
     """prepare_for_matching output → + cluster_id (min rid of the
     component). Composition of E2-E5; uses the bound-pruned gate path
     (accepted_edges_fast — same edge set, Python only on ambiguous
-    near-miss names)."""
+    near-miss names).
+
+    `prepared` is persisted here: its six Arrow-UDF fold/root columns
+    are consumed by the pair join (exchange-reused across l/r), the CC
+    vertex set, and the final label join — without the persist the UDF
+    chain re-executes per consumer (~2x the whole prepare cost at 10^6
+    records). Same bounded-cache rationale as dedup's shingle persist:
+    Spark dedupes the entry by analyzed plan and evicts LRU."""
+    prepared = prepared.persist()
     edges = accepted_edges_fast(candidate_pairs(prepared), cfg)
     cc = connected_components(
         prepared.select(F.col("rid").alias("id")), edges)
