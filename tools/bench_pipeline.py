@@ -32,6 +32,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# The 10^7 protocol caches the prepared frame; the 8g test default
+# GC-thrashes there (GCLocker retry warnings, ~3x wall-clock). Use a
+# scale-appropriate heap unless the caller overrides.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
