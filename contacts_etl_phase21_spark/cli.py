@@ -140,11 +140,22 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mac-vcf")
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--config")
+    parser.add_argument("--log-level")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    # reference precedence (logging_utils.py:22-39): env var > CLI flag
+    # > config.yaml logging.level > WARNING; applied to both the Python
+    # root logger and the Spark JVM log level.
+    import logging
+
+    from contacts_etl_phase21_spark.pipeline.config import resolve_log_level
+    level = resolve_log_level(config, args.log_level)
+    logging.basicConfig(level=getattr(logging, level, logging.WARNING))
     spark = get_spark("contacts-etl-phase21-cli")
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+        "WARN" if level == "WARNING" else level
+        if level in ("DEBUG", "INFO", "ERROR") else "WARN")
     stages = ([*STAGES] if args.stage == "pipeline" else [args.stage])
     for stage in stages:
         STAGES[stage](spark, args, config)

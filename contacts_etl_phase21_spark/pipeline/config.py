@@ -56,6 +56,19 @@ class PipelineConfig:
     dedupe: DedupeConfig = field(default_factory=DedupeConfig)
     quality: QualityWeights = field(default_factory=QualityWeights)
     tagging: TaggingSettings = field(default_factory=TaggingSettings)
+    log_level: str = ""  # config.yaml logging.level; "" -> default
+
+
+def resolve_log_level(config: "PipelineConfig",
+                      override: str | None = None) -> str:
+    """Effective log level with the reference's precedence
+    (logging_utils.py:22-39): env CONTACTS_ETL_LOG_LEVEL > caller
+    override (CLI flag) > config.yaml logging.level > WARNING."""
+    import os
+
+    name = (os.getenv("CONTACTS_ETL_LOG_LEVEL") or override
+            or config.log_level or "WARNING")
+    return str(name).upper()
 
 
 def load_config(path: str | None = None) -> PipelineConfig:
@@ -67,6 +80,7 @@ def load_config(path: str | None = None) -> PipelineConfig:
     with open(path, encoding="utf-8") as fh:
         raw = yaml.safe_load(fh) or {}
     norm = raw.get("normalization", {}) or {}
+    logging_cfg = raw.get("logging", {}) or {}
     dedupe = raw.get("dedupe", {}) or {}
     quality = raw.get("quality", {}) or {}
     tagging = raw.get("tagging", {}) or {}
@@ -118,4 +132,5 @@ def load_config(path: str | None = None) -> PipelineConfig:
             # (tag_contacts.py:130: `... or DEFAULT_LOCAL_CITIES`)
             local_cities=tuple(tagging.get("local_cities", [])
                                or DEFAULT_LOCAL_CITIES)),
+        log_level=str(logging_cfg.get("level", "") or ""),
     )

@@ -470,3 +470,21 @@ def test_mx_check_through_pipeline_path(spark):
     [flat] = res.flattened.collect()
     assert flat["home_email"] == ""
     assert flat["work_email"] == "ada@ok.example"
+
+
+def test_log_level_precedence(tmp_path, monkeypatch):
+    """Reference logging_utils.py:22-39: env > CLI override > config
+    yaml > WARNING default."""
+    from contacts_etl_phase21_spark.pipeline.config import (
+        load_config, resolve_log_level,
+    )
+
+    config = tmp_path / "config.yaml"
+    config.write_text("logging:\n  level: info\n")
+    cfg = load_config(str(config))
+    monkeypatch.delenv("CONTACTS_ETL_LOG_LEVEL", raising=False)
+    assert resolve_log_level(PipelineConfig()) == "WARNING"
+    assert resolve_log_level(cfg) == "INFO"
+    assert resolve_log_level(cfg, "debug") == "DEBUG"
+    monkeypatch.setenv("CONTACTS_ETL_LOG_LEVEL", "error")
+    assert resolve_log_level(cfg, "debug") == "ERROR"

@@ -209,3 +209,32 @@ def test_connected_components_with_rids_near_2_62(spark):
     assert comp[ids[0]] == comp[ids[1]] == comp[ids[2]] == ids[0]
     assert comp[ids[3]] == comp[ids[4]] == ids[3]
     assert comp[ids[5]] == ids[5]
+
+
+def test_py_trim_matches_python_strip(spark):
+    """_py_trim is the JVM twin of str.strip() -- the load-bearing
+    candidacy/bound semantics on the ER pair path. Exercise the
+    adversarial alphabet: ASCII/Unicode whitespace, the U+001C-001F
+    separators Python strips but Java's (?U)\\s misses, NEL, and
+    non-whitespace lookalikes (ZWSP, word-joiner) that must NOT be
+    stripped."""
+    import itertools
+    import random
+
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        _py_trim,
+    )
+
+    edge = ["", " ", "\t", "\n", "\r", "\x1c", "\x1d", "\x1e", "\x1f",
+            "\x85", "\u00a0", "\u2028", "\u2029", "\u3000",
+            "\u200b", "\u2060", "a", "\u00e9", "\u540d"]
+    cases = {"".join(t) for t in itertools.product(edge, repeat=2)}
+    rng = random.Random(11)
+    for _ in range(300):
+        cases.add("".join(rng.choice(edge) for _ in range(rng.randint(3, 8))))
+    rows = [(c,) for c in sorted(cases)]
+    df = spark.createDataFrame(rows, ["s"])
+    got = [(r["s"], r["t"])
+           for r in df.select("s", _py_trim(F.col("s")).alias("t")).collect()]
+    for s, t in got:
+        assert t == s.strip(), repr((s, t, s.strip()))
