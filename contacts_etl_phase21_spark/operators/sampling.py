@@ -1,0 +1,73 @@
+"""Deterministic sampling + sequence packing — training-data pipeline
+primitives (corpus downsampling, context-window packing).
+
+Both are pure column algebra (no RNG state, no Python): reproducible
+across runs, engines, and partitionings — the property a 100 TB
+pipeline needs so a re-run selects the SAME sample and a DuckDB twin
+can verify the exact row set.
+
+At scale:
+- hash sampling is a filter pushed into the scan's projection — no
+  shuffle, no driver coordination, stable under repartitioning.
+- packing windows per partition key (language here): one shuffle on
+  the key; no global ordering bottleneck. A global pack would funnel
+  the corpus through one task — always partition the pack space.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Knuth multiplicative constant (2^32 / phi). The id is reduced mod
+# 2^31 BEFORE multiplying so the product stays under 2^62 — no ANSI
+# long overflow for any id.
+_KNUTH = 2654435761
+_ID_MOD = 1 << 31
+
+
+def hash_bucket(id_col: Column, modulus: int = 1000) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, modulus) from an
+    integer id — the reproducible sampling key."""
+    return F.pmod(F.pmod(id_col, F.lit(_ID_MOD)) * F.lit(_KNUTH),
+                  F.lit(modulus))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate_permille: int,
+                         modulus: int = 1000) -> DataFrame:
+    """Keep rows whose hash bucket falls under rate_permille/modulus —
+    exact, reproducible fraction sampling with no RNG."""
+    return df.filter(hash_bucket(F.col(id_col), modulus) < rate_permille)
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates_permille: dict[str, int],
+                      default_permille: int = 0,
+                      modulus: int = 1000) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones): threshold chosen by stratum
+    value, selection by the same id hash."""
+    threshold: Column = F.lit(default_permille)
+    for value, rate in sorted(rates_permille.items()):
+        threshold = F.when(F.col(strata_col) == value, rate) \
+            .otherwise(threshold)
+    return df.filter(hash_bucket(F.col(id_col), modulus) < threshold)
+
+
+def pack_sequences(df: DataFrame, part_col: str, id_col: str,
+                   tokens_col: Column, budget: int) -> DataFrame:
+    """Assign each document to a context-window pack by prefix-sum
+    binning: within a partition key (language), documents in id order
+    fill pack k = floor(tokens_before / budget).
+
+    Deterministic and single-window (one shuffle on part_col); a pack
+    may overflow by at most one document — the standard streaming
+    packing trade-off (exact bin packing is NP-hard and non-parallel).
+    """
+    w = Window.partitionBy(part_col).orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    tokens = tokens_col.alias("n_tokens")
+    return df.select(part_col, id_col, tokens).select(
+        "*",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
+        .cast("int").alias("pack_id"))

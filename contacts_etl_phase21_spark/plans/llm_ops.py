@@ -533,6 +533,65 @@ def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_hash_sample_stratified",
+    survey="LLM-sampling",
+    doc="Deterministic stratified corpus sampling: per-language keep "
+        "rates applied through a Knuth multiplicative id hash — no "
+        "RNG, reproducible across runs/engines/partitionings, filter "
+        "pushes to the scan (no shuffle). The oracle recomputes the "
+        "exact same row set arithmetically.",
+    oracle="""
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
+              CASE WHEN lang = 'en' THEN 80
+                   WHEN lang = 'de' THEN 300 ELSE 1000 END
+        ORDER BY doc_id
+    """,
+)
+def sp_hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 80, "de": 300}, default_permille=1000).orderBy("doc_id")
+
+
+@query(
+    "sp_pack_sequences",
+    survey="LLM-sampling(pack)",
+    doc="Context-window packing: within each language, documents in "
+        "id order are prefix-sum-binned into packs of ~2048 whitespace "
+        "tokens (pack = floor(tokens_before/budget)) — one window "
+        "shuffle on the partition key, no global ordering bottleneck. "
+        "Oracle is the identical SQL window.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) / 2048) AS INT) AS pack_id
+        FROM t ORDER BY lang, doc_id
+    """,
+)
+def sp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "lang", "doc_id",
+        ta.whitespace_token_count(F.col("text")).cast("int"),
+        budget=2048).orderBy("lang", "doc_id")
+
+
+@query(
     "mm_decode_features",
     survey="LLM-multimodal",
     doc="Binary-payload decode pipeline: documents → opaque binary "

@@ -269,3 +269,55 @@ def test_kmeans_centroids_shape_and_determinism(spark, sf_small):
     assert c1 == c2
     assert 0 < len(c1) <= 8
     assert all(len(v) == 64 for v in c1.values())
+
+
+def test_deterministic_sampling_invariants(spark, sf_small):
+    from contacts_etl_phase21_spark.operators import sampling as sp
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "lang")
+    total = docs.count()
+    kept = sp.deterministic_sample(docs, "doc_id", 100)  # 10%
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    # reproducible and partition-invariant
+    ids2 = {r["doc_id"] for r in
+            sp.deterministic_sample(docs.repartition(7), "doc_id", 100)
+            .collect()}
+    assert ids1 == ids2
+    # roughly the requested fraction (multiplicative hash is uniform)
+    assert 0.05 < len(ids1) / total < 0.15
+    # monotone: raising the rate only adds rows
+    ids_more = {r["doc_id"] for r in
+                sp.deterministic_sample(docs, "doc_id", 300).collect()}
+    assert ids1 <= ids_more
+
+
+def test_pack_sequences_budget_property(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators import sampling as sp
+    from contacts_etl_phase21_spark.operators import text_analysis as ta
+
+    docs = load(spark, sf_small, "documents")
+    packed = sp.pack_sequences(
+        docs, "lang", "doc_id",
+        ta.whitespace_token_count(F.col("text")).cast("int"), budget=500)
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == \
+        {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # prefix-sum binning: total tokens of packs 0..k-1 within a lang
+    # is >= k*budget - (one straggler doc) and pack ids are contiguous
+    from collections import defaultdict
+    by_pack = defaultdict(int)
+    for r in rows:
+        by_pack[(r["lang"], r["pack_id"])] += r["n_tokens"]
+    for (lang, pid), tok in by_pack.items():
+        if pid > 0:
+            assert (lang, pid - 1) in by_pack  # contiguous ids
+    # every non-final pack holds >= budget tokens minus the overflow
+    # slack of its last doc; weaker invariant: no pack except possibly
+    # the last per lang is empty and most packs are near budget
+    langs = {lang for lang, _ in by_pack}
+    for lang in langs:
+        packs = sorted(p for lg, p in by_pack if lg == lang)
+        for pid in packs[:-1]:
+            assert by_pack[(lang, pid)] > 0
