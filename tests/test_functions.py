@@ -240,3 +240,24 @@ def test_register_sql_functions(spark):
     assert row["f"] == "jose garcia"
     assert row["n"] == "william"
     assert row["l"] == "van der Berg"
+
+
+def test_e7_oracle_pooling_claims():
+    """The e7_first_name_vote DuckDB oracle is valid because the fuzzy
+    pooling branch (seq_ratio >= 0.9) provably never fires on its
+    candidate keys {bill, william, will} and explicit names out-rank
+    guesses — pin exactly those claims."""
+    assert seq_ratio("bill", "william") < 0.9
+    assert seq_ratio("bill", "will") < 0.9
+    assert seq_ratio("william", "will") < 0.9
+    from contacts_etl_phase21_spark.functions.merge_core import (
+        choose_best_first_name,
+    )
+
+    # 5 explicit 'Bill' voters + will-guess emails: explicit wins even
+    # though the guesses pool 1.5 x 5 = 7.5 > 5.0
+    records = [{"source": "gmail", "first_name": "Bill",
+                "emails": [{"value": f"will.smith{i}@x.com"}]}
+               for i in range(5)]
+    best, key = choose_best_first_name(records)
+    assert (best, key) == ("Bill", "bill")
