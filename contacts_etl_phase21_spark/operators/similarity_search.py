@@ -57,21 +57,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def hyperplane_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, dim: int, bits: int = 8,
+                      table: int = 0) -> Column:
     """Sign-LSH bucket id from `bits` fixed pseudo-random hyperplanes.
 
     Plane weights are deterministic pseudo-randoms derived from
     (bit, component) via a hash-like integer mix — no state, no
-    broadcast table, reproducible everywhere.
+    broadcast table, reproducible everywhere. `table` offsets the
+    plane family so multi-table LSH gets independent buckets.
     """
     total = F.lit(0)
     for b in range(bits):
-        # plane weight for (b, i): integer mix → [-0.5, 0.5), fixed
+        plane = table * bits + b
+        # plane weight for (plane, i): integer mix → [-0.5, 0.5), fixed
         dot = F.expr(
             "aggregate(zip_with(__vec__, sequence(0, {d1}), (x, i) -> "
             "cast(x as double) * ((cast((({b} * 1000003 + i * 7919) % 104729) as double)"
             " / 104729.0) - 0.5)), cast(0.0 as double), (acc, v) -> acc + v)"
-            .format(d1=dim - 1, b=b))
+            .format(d1=dim - 1, b=plane))
         total = total + (F.when(dot >= 0, 1).otherwise(0) * F.lit(2 ** b))
     return total
 
@@ -166,24 +169,38 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             dim: int = 64, bits: int = 8,
+             dim: int = 64, bits: int = 8, n_tables: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id") -> DataFrame:
     """ANN top-k: bucket corpus + queries by sign-LSH, rerank exactly
     within matching buckets. Recall < 1 by construction; the bench
-    pairs it with brute_force_topk to report recall."""
+    pairs it with brute_force_topk to report recall.
+
+    n_tables > 1 is the standard L-tables construction: each table
+    hashes with an independent plane family, candidates are the UNION
+    of per-table bucket matches (explode over table ids → one
+    (table, bucket) equi-join → distinct) — recall rises ~L-fold at
+    small bucket collision rates while the join stays an equi-join.
+    At 100 TB the corpus is written once with L bucket columns
+    (partitioned by table 0's bucket, the others as row metadata)."""
     def bucketed(df: DataFrame, idc: str) -> DataFrame:
-        return df.withColumnRenamed(vec_col, "__vec__").withColumn(
-            "bucket", hyperplane_bucket(F.col("__vec__"), dim, bits)) \
+        renamed = df.withColumnRenamed(vec_col, "__vec__")
+        tables = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     hyperplane_bucket(F.col("__vec__"), dim, bits, t)
+                     .alias("bucket"))
+            for t in range(n_tables)])
+        return renamed.withColumn("tb", F.explode(tables)) \
             .withColumnRenamed("__vec__", vec_col)
 
     c = bucketed(widen(corpus.select(id_col, vec_col)), id_col)
     q = broadcast(bucketed(
         queries.select(query_id_col, vec_col), query_id_col)
-        .select(query_id_col, F.col(vec_col).alias("q_vec"), "bucket"))
-    scored = c.join(q, "bucket").select(
+        .select(query_id_col, F.col(vec_col).alias("q_vec"), "tb"))
+    scored = c.join(q, "tb").select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
+        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        .alias("cosine")).distinct()
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -321,3 +321,24 @@ def test_pack_sequences_budget_property(spark, sf_small):
         packs = sorted(p for lg, p in by_pack if lg == lang)
         for pid in packs[:-1]:
             assert by_pack[(lang, pid)] > 0
+
+
+def test_ann_lsh_multi_table_recall_improves(spark, sf_small):
+    """L-tables LSH: the candidate set is a union over independent
+    plane families, so single-table results are a subset and recall vs
+    brute force is monotone in L."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"]) for r in
+             ann.brute_force_topk(emb, queries, k=10).collect()}
+
+    def hits(n_tables):
+        got = {(r["query_id"], r["vec_id"]) for r in
+               ann.lsh_topk(emb, queries, k=10, dim=64, bits=8,
+                            n_tables=n_tables).collect()}
+        return len(brute & got) / len(brute)
+
+    r1, r4 = hits(1), hits(4)
+    assert r4 >= r1
+    assert r4 > 0.1
