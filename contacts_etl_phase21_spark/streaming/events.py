@@ -91,6 +91,36 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str,
     return windowed_transform(events, window)
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str,
+                          watermark: str = "2 hours",
+                          window: str = "1 hour",
+                          slide: str = "30 minutes") -> DataFrame:
+    """Streaming sliding-window counts: the same Expand-then-aggregate
+    expression as the batch twin, bounded by a watermark."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def stream_sessionized_counts(spark: SparkSession, sf_dir: str,
+                              watermark: str = "2 hours",
+                              gap: str = "5 minutes") -> DataFrame:
+    """Streaming session windows per user — session_window is the
+    built-in stateful sessionization; with a watermark closed sessions
+    are emitted and their state evicted."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("s.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
 def sliding_window_counts_batch(spark: SparkSession, sf_dir: str,
                                 window: str = "1 hour",
                                 slide: str = "30 minutes") -> DataFrame:

@@ -246,3 +246,45 @@ def test_incremental_er_bridge_healed_by_reconciliation(spark, tmp_path):
     assert expected == {rid_a: rid_a, rid_b: rid_a, rid_c: rid_a}
     assert got[rid_c][1] is True
     assert got[rid_a][1] is False and got[rid_b][1] is False
+
+
+def test_stream_sliding_counts_matches_batch(spark, sf_small):
+    from contacts_etl_phase21_spark.streaming import (
+        sliding_window_counts_batch, stream_sliding_counts,
+    )
+
+    stream_df = stream_sliding_counts(spark, sf_small)
+    assert stream_df.isStreaming
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    expected = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+                for r in sliding_window_counts_batch(spark, sf_small)
+                .collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stream_sessionized_counts_matches_batch(spark, sf_small):
+    from contacts_etl_phase21_spark.streaming import (
+        sessionized_counts_batch, stream_sessionized_counts,
+    )
+
+    stream_df = stream_sessionized_counts(spark, sf_small)
+    assert stream_df.isStreaming
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                r["sum_value"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    expected = {(r["user_id"], r["session_start"]): (r["n_events"],
+                                                     r["sum_value"])
+                for r in sessionized_counts_batch(spark, sf_small)
+                .collect()}
+    assert got == expected
+    assert len(got) > 0
