@@ -151,11 +151,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from contacts_etl_phase21_spark.pipeline.config import resolve_log_level
     level = resolve_log_level(config, args.log_level)
-    logging.basicConfig(level=getattr(logging, level, logging.WARNING))
+    logging.basicConfig(level=level)
     spark = get_spark("contacts-etl-phase21-cli")
-    spark.sparkContext.setLogLevel(
-        "WARN" if level == "WARNING" else level
-        if level in ("DEBUG", "INFO", "ERROR") else "WARN")
+    jvm_level = logging.getLevelName(level) if level in (
+        logging.DEBUG, logging.INFO, logging.ERROR) else "WARN"
+    spark.sparkContext.setLogLevel(jvm_level)
     stages = ([*STAGES] if args.stage == "pipeline" else [args.stage])
     for stage in stages:
         STAGES[stage](spark, args, config)

@@ -43,16 +43,43 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def _bytes_conf(df: DataFrame, key: str, default: int) -> int | None:
+    raw = str(df.sparkSession.conf.get(key, f"{default}b"))
+    try:
+        return int(raw.lower().removesuffix("b"))
+    except ValueError:
+        return None
+
+
+_EXCHANGE_NODES = (
+    "Join", "Aggregate", "Repartition", "Sort", "Window",
+    "Distinct", "Deduplicate",
+)
+
+
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True when the analyzed logical plan contains a node that plans to
+    a shuffle — inputFiles() would still report the leaf-scan files, so
+    the file-size estimate would not describe the partitioning this
+    DataFrame actually has. Analysis only; no physical planning."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # can't inspect → don't trust the file estimate
+    return any(node in plan for node in _EXCHANGE_NODES)
+
+
 def _estimate_scan_partitions(df: DataFrame) -> int | None:
     """Cheap driver-side estimate of a scan's task count from its input
     files (Spark's split-packing formula: bytes + per-file open cost,
     packed into maxPartitionBytes bins). None when the plan isn't a
-    local-file scan — caller falls back to the exact probe."""
+    pure local-file scan (e.g. contains an exchange) — caller falls
+    back to the exact probe."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
-    if not files:
+    if not files or _plan_has_exchange(df):
         return None
     import math
     import os
@@ -67,13 +94,11 @@ def _estimate_scan_partitions(df: DataFrame) -> int | None:
             total += os.stat(unquote(parsed.path)).st_size
         except OSError:
             return None
-    conf = df.sparkSession.conf
-    raw = str(conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    try:
-        max_pb = int(raw.lower().removesuffix("b"))
-    except ValueError:
+    max_pb = _bytes_conf(df, "spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _bytes_conf(df, "spark.sql.files.openCostInBytes",
+                            4 * 1024 * 1024)
+    if max_pb is None or open_cost is None:
         return None
-    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
     return max(1, math.ceil((total + open_cost * len(files)) / max_pb))
 
 

@@ -361,12 +361,15 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     return chunk_pairs.mapInPandas(kernel, out_schema)
 
 
+def _signed_simhash(t) -> int:
+    # signed 64-bit so it fits LongType; hamming works on the bit pattern
+    h = simhash64(list(t))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 @pandas_udf(LongType())
 def _udf_simhash(tokens: pd.Series) -> pd.Series:
-    # signed 64-bit so it fits LongType; hamming works on the bit pattern
-    return tokens.map(
-        lambda t: simhash64(list(t)) - (1 << 64)
-        if simhash64(list(t)) >= (1 << 63) else simhash64(list(t)))
+    return tokens.map(_signed_simhash)
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -60,15 +60,20 @@ class PipelineConfig:
 
 
 def resolve_log_level(config: "PipelineConfig",
-                      override: str | None = None) -> str:
-    """Effective log level with the reference's precedence
+                      override: str | None = None) -> int:
+    """Effective NUMERIC log level with the reference's precedence
     (logging_utils.py:22-39): env CONTACTS_ETL_LOG_LEVEL > caller
-    override (CLI flag) > config.yaml logging.level > WARNING."""
+    override (CLI flag) > config.yaml logging.level > WARNING — and the
+    reference's name resolution (logging_utils.py:10-19): digit strings
+    are numeric levels, unknown names fall back to logging.INFO."""
+    import logging
     import os
 
-    name = (os.getenv("CONTACTS_ETL_LOG_LEVEL") or override
-            or config.log_level or "WARNING")
-    return str(name).upper()
+    name = str(os.getenv("CONTACTS_ETL_LOG_LEVEL") or override
+               or config.log_level or "WARNING").upper()
+    if name.isdigit():
+        return int(name)
+    return getattr(logging, name, logging.INFO)
 
 
 def load_config(path: str | None = None) -> PipelineConfig:

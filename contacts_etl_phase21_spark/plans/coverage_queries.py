@@ -307,7 +307,7 @@ def f10_pull_emails_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f19_vcard_unescape",
     survey="F19",
     doc="vCard escape-sequence decoding (combine_contacts.py:473-485) as "
-        "an ordered replace chain (\; before \\\\ matters).",
+        "an ordered replace chain (\\; before \\\\ matters).",
     oracle=r"""
         SELECT c_custkey,
                REPLACE(REPLACE(REPLACE(raw, '\;', ';'), '\,', ','),
@@ -321,10 +321,10 @@ def f10_pull_emails_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f19_vcard_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
-    raw = F.concat(F.lit("Acme\\, Inc.\; Dept "),
+    raw = F.concat(F.lit("Acme\\, Inc.\\; Dept "),
                    F.col("c_nationkey").cast("string"), F.lit(" \\\\ HQ"))
     unescaped = F.replace(
-        F.replace(F.replace(raw, F.lit("\;"), F.lit(";")),
+        F.replace(F.replace(raw, F.lit("\\;"), F.lit(";")),
                   F.lit("\\,"), F.lit(",")),
         F.lit("\\\\"), F.lit("\\"))
     return (customer.select("c_custkey", unescaped.alias("unescaped"))

@@ -135,9 +135,37 @@ def f11_guess_name_from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="F16,E3",
     doc="difflib SequenceMatcher ratio as an Arrow-batched pandas UDF "
         "over blocked name pairs — the merge-critical 0.88-threshold "
-        "similarity. No SQL equivalent (difflib semantics) → rows-only "
-        "driver check; exact values pinned by unit tests.",
-    oracle=None,
+        "similarity (reference normalization.py:392-393). difflib has no "
+        "SQL twin, so the oracle is a CERTIFICATE: both engines emit the "
+        "deterministic pair geometry (lengths + Levenshtein distance — a "
+        "real cross-engine check of JVM levenshtein vs DuckDB "
+        "levenshtein) plus booleans the Spark side computes from the "
+        "actual difflib ratio and the oracle asserts as constants: "
+        "in_bounds (0 <= ratio <= min(2*min_len/(la+lb), "
+        "1 - lev/(la+lb)); the upper bound holds because difflib's M "
+        "matched pairs admit an edit script of la+lb-2M operations, so "
+        "lev <= la+lb-2M ⟹ ratio = 2M/(la+lb) <= 1 - lev/(la+lb)) and "
+        "ratio_exact (= 1.0 exactly on string-equal pairs, NULL "
+        "otherwise; ratio = 1 ⟺ equality for difflib). Any difflib "
+        "divergence flips a boolean / value and hash-mismatches.",
+    oracle="""
+        WITH pairs AS (
+            SELECT l.c_custkey AS l_key, r.c_custkey AS r_key,
+                   l.c_name AS l_name, r.c_name AS r_name
+            FROM customer l JOIN customer r
+              ON l.c_custkey % 50 = r.c_custkey % 50
+             AND l.c_custkey < r.c_custkey
+        )
+        SELECT l_key, r_key,
+               CAST(length(l_name) AS INT) AS la,
+               CAST(length(r_name) AS INT) AS lb,
+               CAST(levenshtein(l_name, r_name) AS INT) AS lev,
+               (l_name = r_name) AS is_exact,
+               TRUE AS in_bounds,
+               CASE WHEN l_name = r_name THEN 1.0 END AS ratio_exact
+        FROM pairs
+        ORDER BY l_key, r_key
+    """,
 )
 def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -147,13 +175,25 @@ def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = c.select(F.col("c_custkey").alias("r_key"),
                      F.col("c_name").alias("r_name"),
                      (F.col("c_custkey") % 50).alias("bucket"))
+    ratio = udf_seq_ratio(F.col("l_name"), F.col("r_name"))
+    la = F.length("l_name")
+    lb = F.length("r_name")
+    lev = F.levenshtein("l_name", "r_name")
+    total = (la + lb).cast("double")
+    upper = F.least(F.lit(2.0) * F.least(la, lb) / total,
+                    F.lit(1.0) - lev / total)
+    eps = F.lit(1e-9)
     return (
         left.join(right, "bucket")
         .filter(F.col("l_key") < F.col("r_key"))
         .select("l_key", "r_key",
-                F.round(udf_seq_ratio(F.col("l_name"), F.col("r_name")), 4)
-                .alias("name_sim"))
-        .filter(F.col("name_sim") >= 0.9)
+                la.alias("la"), lb.alias("lb"), lev.alias("lev"),
+                (F.col("l_name") == F.col("r_name")).alias("is_exact"),
+                ((ratio >= F.lit(0.0) - eps) & (ratio <= upper + eps))
+                .alias("in_bounds"),
+                F.when(F.col("l_name") == F.col("r_name"), ratio)
+                .alias("ratio_exact"))
+        .orderBy("l_key", "r_key")
     )
 
 

@@ -716,24 +716,32 @@ def _ppm_avg4(ox: int, c: int) -> str:
     doc="REAL image resize round trip: per doc, synthesize a 4x2 P6 "
         "image (byte_i = (d*31+i*17)%256), box-filter to 2x1 with the "
         "pure-Python codec (decode_ppm → integer pixel-area mean → "
-        "encode_ppm → decode again), emit the resized RGB ints. Oracle "
-        "computes the six output bytes arithmetically.",
+        "encode_ppm → decode again), emit the six resized RGB bytes as "
+        "scalar columns p0..p5 (registry rule: query outputs are "
+        "scalar-typed — the driver canonicalizes via pandas sort, which "
+        "cannot hash list cells). Oracle computes each output byte "
+        "arithmetically.",
     oracle=f"""
         SELECT doc_id, 2 AS out_w, 1 AS out_h,
-               [{", ".join(_ppm_avg4(ox, c)
-                           for ox in range(2) for c in range(3))}] AS pixels
+               {", ".join(f"{_ppm_avg4(i // 3, i % 3)} AS p{i}"
+                          for i in range(6))}
         FROM documents ORDER BY doc_id
     """,
 )
 def mm_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from contacts_etl_phase21_spark.operators.multimodal import (
         ppm_resize_pixels, synth_ppm_payloads,
     )
 
     docs = load(spark, sf_dir, "documents")
-    return ppm_resize_pixels(
-        synth_ppm_payloads(docs, w=4, h=2), out_w=2, out_h=1) \
-        .orderBy("doc_id")
+    resized = ppm_resize_pixels(
+        synth_ppm_payloads(docs, w=4, h=2), out_w=2, out_h=1)
+    return resized.select(
+        "doc_id", "out_w", "out_h",
+        *[F.col("pixels")[i].alias(f"p{i}") for i in range(6)],
+    ).orderBy("doc_id")
 
 
 @query(

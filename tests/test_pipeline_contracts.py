@@ -474,7 +474,10 @@ def test_mx_check_through_pipeline_path(spark):
 
 def test_log_level_precedence(tmp_path, monkeypatch):
     """Reference logging_utils.py:22-39: env > CLI override > config
-    yaml > WARNING default."""
+    yaml > WARNING default; logging_utils.py:10-19 name resolution:
+    digit strings are numeric levels, unknown names fall back to INFO."""
+    import logging
+
     from contacts_etl_phase21_spark.pipeline.config import (
         load_config, resolve_log_level,
     )
@@ -483,8 +486,13 @@ def test_log_level_precedence(tmp_path, monkeypatch):
     config.write_text("logging:\n  level: info\n")
     cfg = load_config(str(config))
     monkeypatch.delenv("CONTACTS_ETL_LOG_LEVEL", raising=False)
-    assert resolve_log_level(PipelineConfig()) == "WARNING"
-    assert resolve_log_level(cfg) == "INFO"
-    assert resolve_log_level(cfg, "debug") == "DEBUG"
+    assert resolve_log_level(PipelineConfig()) == logging.WARNING
+    assert resolve_log_level(cfg) == logging.INFO
+    assert resolve_log_level(cfg, "debug") == logging.DEBUG
     monkeypatch.setenv("CONTACTS_ETL_LOG_LEVEL", "error")
-    assert resolve_log_level(cfg, "debug") == "ERROR"
+    assert resolve_log_level(cfg, "debug") == logging.ERROR
+    monkeypatch.delenv("CONTACTS_ETL_LOG_LEVEL", raising=False)
+    # digit strings pass through numerically (reference _resolve_level)
+    assert resolve_log_level(cfg, "15") == 15
+    # unknown names fall back to INFO, not WARNING
+    assert resolve_log_level(cfg, "VERBOSE") == logging.INFO
