@@ -604,7 +604,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
 
 def cluster_records(prepared: DataFrame,
-                    cfg: DedupeConfig = DedupeConfig()) -> DataFrame:
+                    cfg: DedupeConfig = DedupeConfig(),
+                    eager: bool = False) -> DataFrame:
     """prepare_for_matching output → + cluster_id (min rid of the
     component). Composition of E2-E5; uses the bound-pruned gate path
     (accepted_edges_fast — same edge set, Python only on ambiguous
@@ -615,15 +616,28 @@ def cluster_records(prepared: DataFrame,
     vertex set, and the final label join — without the persist the UDF
     chain re-executes per consumer (~2x the whole prepare cost at 10^6
     records). Same bounded-cache rationale as dedup's shingle persist:
-    Spark dedupes the entry by analyzed plan and evicts LRU."""
+    Spark dedupes the entry by analyzed plan and evicts LRU.
+
+    eager=False (batch default) returns a lazy plan that references the
+    cached `prepared`; one cache entry per distinct input plan, evicted
+    LRU — fine for run-once pipelines. Long-lived sessions that call
+    this repeatedly over growing inputs (the streaming
+    reconcile_assignments compaction) pass eager=True: the labeled
+    result is materialized via localCheckpoint and `prepared` is
+    unpersisted before returning, so cache entries don't accumulate
+    across invocations."""
     prepared = prepared.persist()
     edges = accepted_edges_fast(candidate_pairs(prepared), cfg)
     cc = connected_components(
         prepared.select(F.col("rid").alias("id")), edges)
-    return prepared.join(cc, prepared["rid"] == cc["id"], "left") \
+    labeled = prepared.join(cc, prepared["rid"] == cc["id"], "left") \
         .withColumn("cluster_id",
                     F.coalesce(F.col("component"), F.col("rid"))) \
         .drop("id", "component")
+    if eager:
+        labeled = labeled.localCheckpoint(eager=True)
+        prepared.unpersist()
+    return labeled
 
 
 # ---------------------------------------------------------------------------

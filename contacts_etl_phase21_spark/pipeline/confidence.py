@@ -91,16 +91,22 @@ def confidence_summary(scored: DataFrame) -> DataFrame:
     The reference always emits all four buckets in severity order,
     zero-filled. ONE map-side-combined aggregation produces a single
     row of conditional counts; stack() pivots it to the 4-row layout —
-    no second job and no shuffle of the big table beyond the agg."""
+    no second job and no shuffle of the big table beyond the agg. The
+    severity order is pinned by an explicit orderBy on the bucket's
+    rank (4 rows — free), not stack() generation order, which a plan
+    change could silently permute."""
     agg = scored.agg(
         F.count("*").alias("total"),
         *[F.count(F.when(F.col("confidence_bucket") == b, 1))
           .alias(f"c{i}") for i, b in enumerate(_BUCKETS)])
     quoted = ", ".join(f"'{b}', c{i}" for i, b in enumerate(_BUCKETS))
+    severity_rank = F.array_position(
+        F.array(*[F.lit(b) for b in _BUCKETS]), F.col("bucket"))
     return agg.select(
         F.expr(f"stack({len(_BUCKETS)}, {quoted}) AS (bucket, count)"),
         "total",
     ).select(
         "bucket", "count",
         F.coalesce(F.round(100.0 * F.col("count") / F.col("total"), 2),
-                   F.lit(0.0)).alias("pct"))
+                   F.lit(0.0)).alias("pct"),
+    ).orderBy(severity_rank)

@@ -149,7 +149,10 @@ def reconcile_assignments(prepared_corpus: DataFrame,
     )
     import pyspark.sql.functions as F
 
-    batch = cluster_records(prepared_corpus, cfg or DedupeConfig()) \
+    # eager=True: this runs per-N-triggers in a long-lived session —
+    # materialize and unpersist so cache entries don't accumulate.
+    batch = cluster_records(prepared_corpus, cfg or DedupeConfig(),
+                            eager=True) \
         .select("rid", "cluster_id")
     old = streamed_assignments.select(
         "rid", F.col("cluster_id").alias("stream_cluster_id"))

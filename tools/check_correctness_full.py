@@ -64,8 +64,8 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     out_path = os.path.join(_REPO, f"CORRECTNESS_FULL_r{round_no}.json")
 
-    from contacts_etl_phase21_spark.session import get_session
-    spark = get_session(app_name="check-correctness-full")
+    from contacts_etl_phase21_spark.session import get_spark
+    spark = get_spark(app_name="check-correctness-full")
 
     con = duckdb.connect()
     for t in TABLES:
