@@ -68,18 +68,30 @@ def _as_record(row: pd.Series) -> dict[str, Any]:
     return rec
 
 
-def _make_assign_fn(cfg: DedupeConfig):
+def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
+                    ts_col: str = "ingest_ts"):
     def assign(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle-block eviction: the block's membership is dropped;
+            # a record arriving after the TTL horizon founds a fresh
+            # cluster (the periodic batch reconciliation heals any
+            # resulting split — same repair path as bridge arrivals)
+            state.remove()
+            return
         members: list[dict] = (
             json.loads(state.get[0]) if state.exists else [])
         out = []
+        max_ts_ms = None
         # concatenate FIRST: the iterator yields Arrow chunks, and a
         # per-chunk sort would interleave rid order across chunks
         chunks = [pdf for pdf in pdfs if not pdf.empty]
         batch = (pd.concat(chunks) if len(chunks) > 1
                  else (chunks[0] if chunks else None))
         if batch is not None:
+            if ttl_ms is not None and ts_col in batch.columns:
+                max_ts_ms = int(batch[ts_col].astype("int64").max()
+                                // 1_000_000)
             for _, row in batch.sort_values("rid").iterrows():
                 rec = _as_record(row)
                 rid = int(row["rid"])
@@ -103,6 +115,10 @@ def _make_assign_fn(cfg: DedupeConfig):
                                 "cluster_id": cid})
                 out.append((key[0], rid, cid))
         state.update((json.dumps(members),))
+        if ttl_ms is not None and max_ts_ms is not None:
+            # timeout must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(
                 out, columns=[f.name for f in ASSIGN_SCHEMA.fields])
@@ -111,14 +127,27 @@ def _make_assign_fn(cfg: DedupeConfig):
 
 
 def incremental_er_assignments(prepared_stream: DataFrame,
-                               cfg: DedupeConfig = DedupeConfig()
-                               ) -> DataFrame:
+                               cfg: DedupeConfig = DedupeConfig(),
+                               ttl_ms: int | None = None,
+                               ts_col: str = "ingest_ts") -> DataFrame:
     """prepared (streaming) records with block_key + rid ->
-    (block_key, rid, cluster_id) assignments, update mode."""
-    cols = prepared_stream.select("block_key", "rid", *_ER_FIELDS)
+    (block_key, rid, cluster_id) assignments, update mode.
+
+    ttl_ms enables watermark-driven idle-block eviction
+    (EventTimeTimeout) for unbounded key spaces: the caller must
+    provide `ts_col` (event-time timestamp) on the stream WITH a
+    watermark already applied. A block idle past its last arrival +
+    ttl is evicted; later arrivals found fresh clusters and the batch
+    reconciliation (reconcile_assignments) heals any split."""
+    if ttl_ms is None:
+        cols = prepared_stream.select("block_key", "rid", *_ER_FIELDS)
+        return cols.groupBy("block_key").applyInPandasWithState(
+            _make_assign_fn(cfg), ASSIGN_SCHEMA, _STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    cols = prepared_stream.select("block_key", "rid", ts_col, *_ER_FIELDS)
     return cols.groupBy("block_key").applyInPandasWithState(
-        _make_assign_fn(cfg), ASSIGN_SCHEMA, _STATE_SCHEMA,
-        "update", GroupStateTimeout.NoTimeout)
+        _make_assign_fn(cfg, ttl_ms, ts_col), ASSIGN_SCHEMA, _STATE_SCHEMA,
+        "update", GroupStateTimeout.EventTimeTimeout)
 
 
 def reconcile_assignments(prepared_corpus: DataFrame,

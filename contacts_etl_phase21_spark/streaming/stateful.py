@@ -51,37 +51,74 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def _first_event_fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-                    state: GroupState) -> Iterator[pd.DataFrame]:
-    best = state.get if state.exists else None  # (ts_us, event_id, value)
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
-        cand = pdf.sort_values(["_ts_us", "event_id"]).iloc[0]
-        c = (int(cand["_ts_us"]), int(cand["event_id"]),
-             float(cand["value"]))
-        if best is None or (c[0], c[1]) < (best[0], best[1]):
-            best = c
-    changed = best is not None and (
-        not state.exists or tuple(state.get) != best)
-    if changed:
-        state.update(best)
-        yield pd.DataFrame(
-            [(key[0], key[1], best[1], best[2])],
-            columns=[f.name for f in _OUT_SCHEMA.fields])
+def _make_first_event_fn(ttl_ms: int | None = None):
+    """First-event state function; with ttl_ms set, state carries an
+    event-time timeout (watermark-driven): a key idle past
+    max-seen-event-time + ttl is EVICTED (state removed, nothing
+    emitted). Eviction bounds state for unbounded key spaces at a
+    documented cost: a key reappearing after its TTL horizon starts
+    fresh and re-emits a new 'first' — exactness holds within the
+    horizon, memory stays O(active keys) beyond it."""
+
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get if state.exists else None  # (ts_us, event_id, value)
+        max_ts_us = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+            batch_max = int(pdf["_ts_us"].max())
+            max_ts_us = batch_max if max_ts_us is None \
+                else max(max_ts_us, batch_max)
+            cand = pdf.sort_values(["_ts_us", "event_id"]).iloc[0]
+            c = (int(cand["_ts_us"]), int(cand["event_id"]),
+                 float(cand["value"]))
+            if best is None or (c[0], c[1]) < (best[0], best[1]):
+                best = c
+        changed = best is not None and (
+            not state.exists or tuple(state.get) != best)
+        if changed:
+            state.update(best)
+        if ttl_ms is not None and max_ts_us is not None:
+            # timeout must stay ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max(max_ts_us // 1000 + ttl_ms,
+                    state.getCurrentWatermarkMs() + 1))
+        if changed:
+            yield pd.DataFrame(
+                [(key[0], key[1], best[1], best[2])],
+                columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    return fn
 
 
-def stream_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+# default (NoTimeout) function — importable for bespoke test streams
+_first_event_fn = _make_first_event_fn(None)
+
+
+def stream_first_event(spark: SparkSession, sf_dir: str,
+                       ttl_ms: int | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
     """Streaming plan: per (user_id, event_type) emit the earliest
     event (update-mode semantics: a row appears whenever a batch
-    improves on the stored best)."""
+    improves on the stored best). ttl_ms enables watermark-driven state
+    eviction (EventTimeTimeout) for unbounded key spaces."""
     events = read_events_stream(spark, sf_dir)
-    return (events
+    if ttl_ms is None:
+        return (events
+                .groupBy("user_id", "event_type")
+                .applyInPandasWithState(
+                    _first_event_fn, _OUT_SCHEMA, _STATE_SCHEMA,
+                    "update", GroupStateTimeout.NoTimeout))
+    return (events.withWatermark("ts", watermark)
             .groupBy("user_id", "event_type")
             .applyInPandasWithState(
-                _first_event_fn, _OUT_SCHEMA, _STATE_SCHEMA,
-                "update", GroupStateTimeout.NoTimeout))
+                _make_first_event_fn(ttl_ms), _OUT_SCHEMA, _STATE_SCHEMA,
+                "update", GroupStateTimeout.EventTimeTimeout))
 
 
 def first_event_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

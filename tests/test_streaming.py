@@ -288,3 +288,210 @@ def test_stream_sessionized_counts_matches_batch(spark, sf_small):
                 .collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_watermark_drops_late_rows_vs_batch_twin(spark, tmp_path):
+    """An event arriving after the watermark passed its window is
+    DROPPED: the append-mode stream's finalized windows must equal the
+    batch twin over the on-time subset, and differ from the full-batch
+    result by exactly the late row's contribution."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from contacts_etl_phase21_spark.streaming.events import (
+        windowed_transform,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    on_time = [(t(10, 0), "click", 1.0), (t(10, 20), "click", 2.0),
+               (t(20, 0), "view", 5.0)]   # sentinel: watermark -> 19:00
+    # the watermark computed from a batch applies to filtering from the
+    # NEXT batch on — the spacer batch lets 19:00 take effect before
+    # the late row arrives (same lag a production stream has)
+    spacer = [(t(20, 5), "view", 4.0)]
+    late = [(t(10, 30), "click", 100.0),  # 19:00 watermark > 11:00 window
+            (t(20, 30), "view", 6.0)]
+    staged = tmp_path / "late_events"
+    spark.createDataFrame(on_time, schema).coalesce(1) \
+        .write.parquet(str(staged / "a_on_time"))
+    spark.createDataFrame(spacer, schema).coalesce(1) \
+        .write.parquet(str(staged / "b_spacer"))
+    spark.createDataFrame(late, schema).coalesce(1) \
+        .write.parquet(str(staged / "c_late"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", True)
+              .parquet(str(staged)))
+    out = windowed_transform(stream.withWatermark("ts", "1 hour"))
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # the finalized 10:00 window counts ONLY the on-time rows
+    assert got == {(t(10), "click"): (2, 3.0)}
+    # the batch twin over ALL rows disagrees -> the late row was dropped,
+    # not merged late
+    batch_all = {(r["window_start"], r["event_type"]): (r["n"],
+                                                        r["sum_value"])
+                 for r in windowed_transform(
+                     spark.createDataFrame(on_time + late, schema))
+                 .collect()}
+    assert batch_all[(t(10), "click")] == (3, 103.0)
+    # and the batch twin over the on-time subset agrees exactly
+    batch_on_time = {(r["window_start"], r["event_type"]): (r["n"],
+                                                            r["sum_value"])
+                     for r in windowed_transform(
+                         spark.createDataFrame(on_time, schema))
+                     .filter(F.col("window_start") == t(10)).collect()}
+    assert got == batch_on_time
+
+
+def test_stateful_first_event_ttl_evicts_state(spark, tmp_path):
+    """EventTimeTimeout eviction under an unbounded key space: a key
+    idle past max-seen-ts + ttl is evicted once the watermark passes;
+    the key's NEXT arrival founds a fresh 'first' (re-emission), which
+    a NoTimeout run would have suppressed."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from contacts_etl_phase21_spark.streaming.stateful import (
+        _OUT_SCHEMA, _STATE_SCHEMA, _make_first_event_fn,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # batch a: key K's first event + a sentinel pushing the watermark
+    # to 19:00; K's timeout lands at 11:00
+    batch_a = [(1, 1, "click", t(10), 1.0), (9, 99, "z", t(20), 0.0)]
+    # batches b, c: no K data; the watermark committed after a batch
+    # applies from the NEXT batch on, so K's state (timeout 11:00 <
+    # wm 19:00) is evicted by batch c at the latest
+    batch_b = [(8, 98, "z", t(20, 10), 0.0)]
+    batch_c = [(7, 97, "z", t(20, 15), 0.0)]
+    # batch d: K reappears (on time vs wm 19:15) -> fresh state, re-emit
+    batch_d = [(2, 1, "click", t(19, 30), 2.0)]
+    staged = tmp_path / "ttl_events"
+    for tag, rows in (("a", batch_a), ("b", batch_b), ("c", batch_c),
+                      ("d", batch_d)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(staged / f"{tag}_batch"))
+
+    def drain(ttl_ms):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", True)
+                  .parquet(str(staged)))
+        if ttl_ms is None:
+            grouped = stream.groupBy("user_id", "event_type") \
+                .applyInPandasWithState(
+                    _make_first_event_fn(None), _OUT_SCHEMA,
+                    _STATE_SCHEMA, "update", "NoTimeout")
+        else:
+            grouped = (stream.withWatermark("ts", "1 hour")
+                       .groupBy("user_id", "event_type")
+                       .applyInPandasWithState(
+                           _make_first_event_fn(ttl_ms), _OUT_SCHEMA,
+                           _STATE_SCHEMA, "update", "EventTimeTimeout"))
+        name = f"ttl_{uuid.uuid4().hex[:8]}"
+        q = (grouped.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return [r for r in spark.sql(f"SELECT * FROM {name}").collect()
+                if r["user_id"] == 1]
+
+    evicted = drain(ttl_ms=3_600_000)  # 1h ttl
+    # K emitted twice: e1 (batch a), then e2 after eviction (batch c)
+    assert sorted(r["first_event_id"] for r in evicted) == [1, 2]
+    no_timeout = drain(ttl_ms=None)
+    # without eviction, e2 never improves on e1 -> single emission
+    assert [r["first_event_id"] for r in no_timeout] == [1]
+
+
+def test_incremental_er_ttl_evicts_idle_block(spark, tmp_path):
+    """Idle-block eviction for the streaming ER state: a block evicted
+    after its TTL horizon makes a later duplicate found a FRESH cluster
+    (healed later by batch reconciliation) — while the NoTimeout twin
+    joins the original cluster. Bounds state for unbounded block
+    spaces."""
+    from pyspark.sql import functions as F
+
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.schemas import CONTACT_SCHEMA
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        incremental_er_assignments, stream_records_from_dir,
+    )
+
+    def rec(row_id, last, email, ts):
+        base = {f.name: "" for f in CONTACT_SCHEMA.fields}
+        base.update(source="gmail", source_row_id=row_id,
+                    source_timestamp=ts, first_name="Art",
+                    last_name=last, full_name=f"Art {last}",
+                    emails=[{"value": email, "label": "home"}],
+                    phones=[], addresses=[])
+        return base
+
+    # batch a: Keys-block founder + sentinel block pushing wm to 19:00
+    batch_a = [rec("0", "Keys", "a@x.com", "2024-01-01 10:00:00"),
+               rec("50", "Sentinel", "s@y.com", "2024-01-01 20:00:00")]
+    # batches b, c: unrelated arrivals; the watermark committed after a
+    # batch applies from the NEXT batch on, so the idle Keys block
+    # (timeout 11:00 < wm 19:00) is evicted by batch c at the latest
+    batch_b = [rec("51", "Other", "o@z.com", "2024-01-01 20:10:00")]
+    batch_c = [rec("52", "More", "m@w.com", "2024-01-01 20:15:00")]
+    # batch d: duplicate of the founder (same email, would merge)
+    batch_d = [rec("1", "Keys", "a@x.com", "2024-01-01 19:30:00")]
+    staged = tmp_path / "er_ttl"
+    for tag, rows in (("a", batch_a), ("b", batch_b), ("c", batch_c),
+                      ("d", batch_d)):
+        spark.createDataFrame(rows, CONTACT_SCHEMA).coalesce(1) \
+            .write.parquet(str(staged / f"{tag}_batch"))
+    schema = spark.createDataFrame(batch_a, CONTACT_SCHEMA).schema
+
+    def drain(ttl_ms):
+        stream = stream_records_from_dir(spark, schema, str(staged))
+        prepared = prepare_for_matching(stream).withColumn(
+            "ingest_ts", F.to_timestamp("source_timestamp"))
+        if ttl_ms is not None:
+            prepared = prepared.withWatermark("ingest_ts", "1 hour")
+        assigned = incremental_er_assignments(prepared, ttl_ms=ttl_ms)
+        name = f"er_ttl_{uuid.uuid4().hex[:8]}"
+        q = (assigned.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return {r["rid"]: r["cluster_id"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+                if "keys" in r["block_key"]}
+
+    evicted = drain(ttl_ms=3_600_000)
+    rid0, rid1 = sorted(evicted)
+    # block state was evicted between founder and duplicate: the
+    # duplicate founds its OWN cluster
+    assert evicted[rid0] == rid0
+    assert evicted[rid1] == rid1
+    no_timeout = drain(ttl_ms=None)
+    # without eviction the duplicate joins the founder's cluster
+    assert no_timeout[rid0] == rid0
+    assert no_timeout[rid1] == rid0
