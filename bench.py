@@ -39,6 +39,43 @@ HEADLINE = [
 ]
 
 
+def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
+                       n_queries: int = 50) -> dict[str, float]:
+    """Recall@k of each ANN configuration vs the exact brute-force
+    baseline — the operator-quality number a 100 TB consumer tracks
+    per run alongside wall-clock. Ground truth computed once; recall =
+    |approx ∩ brute| / |brute| over n_queries queries."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def pairs(df) -> set:
+        return {(r["query_id"], r["vec_id"]) for r in
+                df.select("query_id", "vec_id").collect()}
+
+    truth = pairs(ann.brute_force_topk(emb, queries, k=k))
+    configs = {
+        "ann_recall_at_10_lsh_t1": lambda: ann.lsh_topk(
+            emb, queries, k=k, dim=64, bits=8, n_tables=1),
+        "ann_recall_at_10_lsh_t2": lambda: ann.lsh_topk(
+            emb, queries, k=k, dim=64, bits=8, n_tables=2),
+        "ann_recall_at_10_lsh_t4": lambda: ann.lsh_topk(
+            emb, queries, k=k, dim=64, bits=8, n_tables=4),
+        "ann_recall_at_10_ivf_first": lambda: ann.ivf_topk(
+            emb, queries, k=k, n_cells=16, n_probe=4),
+        "ann_recall_at_10_ivf_kmeans": lambda: ann.ivf_topk(
+            emb, queries, k=k, n_cells=16, n_probe=4,
+            quantizer="kmeans"),
+    }
+    return {name: round(len(pairs(fn()) & truth) / len(truth), 4)
+            for name, fn in configs.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("contacts-etl-phase21-bench")
@@ -64,6 +101,10 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    recall = ann_recall_metrics(spark, sf_dir)
+    for name, r in recall.items():
+        print(f"# {name}: {r}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -74,6 +115,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "recall": recall,
         "sf": sf_val,
     }))
     spark.stop()
