@@ -179,31 +179,63 @@ def candidate_pairs(prepared: DataFrame) -> DataFrame:
         & (F.col("l_rid") < F.col("r_rid")))
 
 
-def candidate_pairs_salted(prepared: DataFrame,
-                           n_salt: int = 8) -> DataFrame:
+def hot_block_keys(prepared: DataFrame,
+                   min_block_size: int = 1000) -> list[str]:
+    """Block keys whose member count exceeds min_block_size — the keys
+    whose pair generation (|block|^2/2) dominates a reducer. The result
+    is tiny by construction (collect of keys over the threshold only);
+    feed it to candidate_pairs_salted(hot_keys=...) / cluster_records.
+
+    AQE's skew-join splitting CANNOT fix this shape: it splits by
+    shuffle-input partition size, and a hot block is small on input
+    (|block| rows) while quadratic on OUTPUT — tools/bench_skew.py
+    records the measured difference."""
+    return [r["block_key"] for r in
+            prepared.groupBy("block_key").count()
+            .filter(F.col("count") > min_block_size)
+            .select("block_key").collect()]
+
+
+def candidate_pairs_salted(prepared: DataFrame, n_salt: int = 8,
+                           hot_keys: list[str] | None = None) -> DataFrame:
     """candidate_pairs with explicit salting for adversarially hot
-    block keys (beyond what AQE skew-splitting handles).
+    block keys (beyond what AQE skew-splitting handles — AQE splits by
+    shuffle-input size, and a hot block is input-small but
+    output-quadratic).
 
     The left side gets a deterministic salt (rid % n_salt); the right
     side is REPLICATED to every salt; the join key becomes
     (block_key, salt). Each (i<j) pair still appears exactly once —
     at j's replica matching i's salt — but a hot block's pair
     generation is spread over n_salt reducers instead of one.
-    Replication multiplies the right side's shuffle volume by n_salt:
-    use only when a profiled hot key actually exists (the pair SET is
-    identical to candidate_pairs; equivalence is pinned in tests).
-    """
-    left = prepared.select(
-        [F.col(c).alias(f"l_{c}") for c in _PAIR_SIDES]) \
-        .withColumn("_salt", (F.col("l_rid") % n_salt).cast("int"))
-    right = prepared.select(
-        [F.col(c).alias(f"r_{c}") for c in _PAIR_SIDES]) \
-        .withColumn("_salt", F.explode(F.array(
-            *[F.lit(s) for s in range(n_salt)])))
-    return left.join(
-        right, (F.col("l_block_key") == F.col("r_block_key"))
-        & (F.col("l_rid") < F.col("r_rid"))
-        & (left["_salt"] == right["_salt"])).drop("_salt")
+
+    hot_keys=None salts every block — replication multiplies the whole
+    right side's shuffle volume by n_salt, acceptable for a corpus-wide
+    skew sweep. With hot_keys (from hot_block_keys), ONLY those blocks
+    take the salted path and the rest join plain — the 100 TB shape:
+    replication cost is n_salt x |hot blocks|, not n_salt x corpus.
+    Pair sets are identical either way (pinned in tests, incl. an
+    adversarial hot-block fixture)."""
+    def salted(df: DataFrame) -> DataFrame:
+        left = df.select(
+            [F.col(c).alias(f"l_{c}") for c in _PAIR_SIDES]) \
+            .withColumn("_salt", (F.col("l_rid") % n_salt).cast("int"))
+        right = df.select(
+            [F.col(c).alias(f"r_{c}") for c in _PAIR_SIDES]) \
+            .withColumn("_salt", F.explode(F.array(
+                *[F.lit(s) for s in range(n_salt)])))
+        return left.join(
+            right, (F.col("l_block_key") == F.col("r_block_key"))
+            & (F.col("l_rid") < F.col("r_rid"))
+            & (left["_salt"] == right["_salt"])).drop("_salt")
+
+    if hot_keys is None:
+        return salted(prepared)
+    # pairs form only within one block_key, so partitioning the corpus
+    # by key set and unioning the per-partition pair sets is exact
+    is_hot = F.col("block_key").isin(hot_keys)
+    return salted(prepared.filter(is_hot)) \
+        .unionByName(candidate_pairs(prepared.filter(~is_hot)))
 
 
 # ---------------------------------------------------------------------------
@@ -605,7 +637,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
 def cluster_records(prepared: DataFrame,
                     cfg: DedupeConfig = DedupeConfig(),
-                    eager: bool = False) -> DataFrame:
+                    eager: bool = False,
+                    n_salt: int | None = None) -> DataFrame:
     """prepare_for_matching output → + cluster_id (min rid of the
     component). Composition of E2-E5; uses the bound-pruned gate path
     (accepted_edges_fast — same edge set, Python only on ambiguous
@@ -625,9 +658,17 @@ def cluster_records(prepared: DataFrame,
     reconcile_assignments compaction) pass eager=True: the labeled
     result is materialized via localCheckpoint and `prepared` is
     unpersisted before returning, so cache entries don't accumulate
-    across invocations."""
+    across invocations.
+
+    n_salt switches pair generation to candidate_pairs_salted — same
+    pair set (equivalence pinned in tests incl. an adversarial
+    hot-block fixture), spread over n_salt reducers per block. Use
+    when a profiled hot block exceeds what AQE skew-splitting handles
+    (tools/bench_skew.py records the tradeoff)."""
     prepared = prepared.persist()
-    edges = accepted_edges_fast(candidate_pairs(prepared), cfg)
+    pairs = (candidate_pairs_salted(prepared, n_salt) if n_salt
+             else candidate_pairs(prepared))
+    edges = accepted_edges_fast(pairs, cfg)
     cc = connected_components(
         prepared.select(F.col("rid").alias("id")), edges)
     labeled = prepared.join(cc, prepared["rid"] == cc["id"], "left") \

@@ -106,13 +106,38 @@ def st_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge topologies it equals the batch fixpoint exactly, and "
         "reconcile_assignments (er_ingest.py) is the periodic batch "
         "compaction that heals bridge-induced divergence back to the "
-        "fixpoint — both pinned in tests/test_streaming.py. Streaming "
-        "drain -> rows-only driver check.",
-    oracle=None,
+        "fixpoint — both pinned in tests/test_streaming.py. The two "
+        "sources are staged as separate lexicographically-ordered "
+        "micro-batches (linkedin first — its rids are smaller), so the "
+        "first-wins arrival order is pinned and the converged "
+        "assignment is exactly the batch fixpoint: every k%3==0 gmail "
+        "record joins its linkedin email-twin's cluster (cluster_id = "
+        "the linkedin rid = custkey); everything else is a singleton. "
+        "The oracle recomputes that closed form (rid namespacing: "
+        "linkedin = 0*2^60 + k, gmail = 1*2^60 + k; block_key = folded "
+        "surname).",
+    oracle="""
+        SELECT block_key, rid, cluster_id FROM (
+            SELECT 'surname' || CAST(c_custkey % 500 AS VARCHAR)
+                       AS block_key,
+                   CAST(c_custkey AS BIGINT) AS rid,
+                   CAST(c_custkey AS BIGINT) AS cluster_id
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT 'surname' || CAST(c_custkey % 500 AS VARCHAR),
+                   1152921504606846976 + c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_custkey
+                        ELSE 1152921504606846976 + c_custkey END
+            FROM customer)
+        ORDER BY rid
+    """,
 )
 def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid as _uuid
+
+    import pyspark.sql.functions as F
 
     from contacts_etl_phase21_spark.operators.entity_resolution import (
         prepare_for_matching,
@@ -125,12 +150,15 @@ def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_records_from_dir,
     )
 
-    import shutil
-
     records = synthetic_contact_records(spark, sf_dir)
     staged = tempfile.mkdtemp(prefix="er_ingest_q_")
     try:
-        records.coalesce(2).write.mode("overwrite").parquet(staged)
+        # arrival order pinned: linkedin (smaller rids) in batch 1,
+        # gmail in batch 2 — first-wins then equals the batch fixpoint
+        records.filter(F.col("source") == "linkedin").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/a_linkedin")
+        records.filter(F.col("source") == "gmail").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/b_gmail")
         stream = stream_records_from_dir(spark, records.schema, staged,
                                          files_per_trigger=1)
         assigned = drain_to_table(

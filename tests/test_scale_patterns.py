@@ -112,6 +112,80 @@ def test_salted_pairs_equal_unsalted(spark, sf_small):
     assert len(plain) > 0
 
 
+def _hot_block_records(spark, n=360, hot_share=0.8, n_first=24,
+                       shared_email_every=12):
+    """Adversarial skew fixture: hot_share of all records carry ONE
+    surname (one blocking key holds ~(hot_share*n)^2/2 of all pairs —
+    the single-hot-reducer shape); the rest get unique surnames.
+    Periodic shared emails create real merge edges inside the hot
+    block."""
+    rows = []
+    n_hot = int(n * hot_share)
+    for i in range(n):
+        hot = i < n_hot
+        email = (f"dup{i % shared_email_every}@hot.example"
+                 if hot and i % 3 == 0 else f"u{i}@x.example")
+        rows.append(_record(
+            source="gmail", source_row_id=str(i),
+            first_name=f"F{i % n_first}",
+            last_name="Hotname" if hot else f"Unique{i}",
+            full_name=f"F{i % n_first} "
+                      + ("Hotname" if hot else f"Unique{i}"),
+            emails=[{"value": email, "label": "home"}]))
+    return spark.createDataFrame(rows, CONTACT_SCHEMA)
+
+
+def test_salted_cluster_equal_on_hot_block(spark):
+    """The skew proof's correctness half: on a fixture where ONE block
+    key dominates pair generation, the salted pair path must produce
+    the identical edge set AND cluster_records(n_salt=8) the identical
+    cluster assignment. (The wall-clock half at 10^6 records is
+    tools/bench_skew.py, recorded in BASELINE.md.)"""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        cluster_records,
+    )
+
+    prepared = prepare_for_matching(_hot_block_records(spark))
+    plain_pairs = candidate_pairs(prepared)
+    salted_pairs = candidate_pairs_salted(prepared, n_salt=8)
+    # the hot block dominates: >90% of pairs share one key
+    n_pairs = plain_pairs.count()
+    n_hot = (plain_pairs.filter(F.col("l_block_key")
+                                .contains("hotname")).count())
+    assert n_hot / n_pairs > 0.9
+    plain_edges = {(r["src"], r["dst"])
+                   for r in accepted_edges_fast(plain_pairs).collect()}
+    salted_edges = {(r["src"], r["dst"])
+                    for r in accepted_edges_fast(salted_pairs).collect()}
+    assert plain_edges == salted_edges
+    assert len(plain_edges) > 0
+    # hot-key-targeted salting (the 100 TB shape: replication cost is
+    # n_salt x hot blocks only) — detector finds exactly the hot block,
+    # pair set still identical
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        hot_block_keys,
+    )
+
+    hot = hot_block_keys(prepared, min_block_size=100)
+    assert len(hot) == 1 and "hotname" in hot[0]
+    targeted = {(r["l_rid"], r["r_rid"])
+                for r in candidate_pairs_salted(
+                    prepared, n_salt=8, hot_keys=hot)
+                .select("l_rid", "r_rid").collect()}
+    full = {(r["l_rid"], r["r_rid"])
+            for r in plain_pairs.select("l_rid", "r_rid").collect()}
+    assert targeted == full
+    plain_clusters = {r["rid"]: r["cluster_id"] for r in
+                      cluster_records(prepared)
+                      .select("rid", "cluster_id").collect()}
+    salted_clusters = {r["rid"]: r["cluster_id"] for r in
+                       cluster_records(prepared, n_salt=8)
+                       .select("rid", "cluster_id").collect()}
+    assert plain_clusters == salted_clusters
+    # merges actually happened (the shared emails formed clusters)
+    assert len(set(plain_clusters.values())) < len(plain_clusters)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed+sorted on the join key join WITHOUT any
     Exchange (shuffle) in the physical plan — write-time co-location,
