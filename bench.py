@@ -66,6 +66,12 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
             emb, queries, k=k, dim=64, bits=8, n_tables=2),
         "ann_recall_at_10_lsh_t4": lambda: ann.lsh_topk(
             emb, queries, k=k, dim=64, bits=8, n_tables=4),
+        "ann_recall_at_10_lsh_t1_mp": lambda: ann.lsh_topk(
+            emb, queries, k=k, dim=64, bits=8, n_tables=1,
+            multiprobe=True),
+        "ann_recall_at_10_lsh_t4_mp": lambda: ann.lsh_topk(
+            emb, queries, k=k, dim=64, bits=8, n_tables=4,
+            multiprobe=True),
         "ann_recall_at_10_ivf_first": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4),
         "ann_recall_at_10_ivf_kmeans": lambda: ann.ivf_topk(

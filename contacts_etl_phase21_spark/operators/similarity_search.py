@@ -170,6 +170,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              dim: int = 64, bits: int = 8, n_tables: int = 1,
+             multiprobe: bool = False,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id") -> DataFrame:
     """ANN top-k: bucket corpus + queries by sign-LSH, rerank exactly
@@ -182,20 +183,36 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (table, bucket) equi-join → distinct) — recall rises ~L-fold at
     small bucket collision rates while the join stays an equi-join.
     At 100 TB the corpus is written once with L bucket columns
-    (partitioned by table 0's bucket, the others as row metadata)."""
-    def bucketed(df: DataFrame, idc: str) -> DataFrame:
+    (partitioned by table 0's bucket, the others as row metadata).
+
+    multiprobe=True additionally probes, per query and table, the
+    `bits` neighbor buckets at Hamming distance 1 (one sign bit
+    flipped) — the classic multiprobe-LSH recall boost: a near
+    neighbor that lands just across ONE hyperplane is still found.
+    Only the QUERY side fans out (bits+1 probes per table); the corpus
+    keeps one bucket per table, so corpus storage and the equi-join
+    shape are unchanged — the candidate set grows ~(bits+1)x, still a
+    tiny corpus fraction at 2^bits buckets."""
+    def bucketed(df: DataFrame, idc: str, probe: bool) -> DataFrame:
         renamed = df.withColumnRenamed(vec_col, "__vec__")
-        tables = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     hyperplane_bucket(F.col("__vec__"), dim, bits, t)
-                     .alias("bucket"))
-            for t in range(n_tables)])
-        return renamed.withColumn("tb", F.explode(tables)) \
+        entries = []
+        for t in range(n_tables):
+            bucket = hyperplane_bucket(F.col("__vec__"), dim, bits, t)
+            entries.append(F.struct(F.lit(t).alias("tbl"),
+                                    bucket.alias("bucket")))
+            if probe:
+                # XOR with each single-bit mask = flip one hyperplane
+                entries.extend(
+                    F.struct(F.lit(t).alias("tbl"),
+                             bucket.bitwiseXOR(F.lit(1 << b))
+                             .alias("bucket"))
+                    for b in range(bits))
+        return renamed.withColumn("tb", F.explode(F.array(*entries))) \
             .withColumnRenamed("__vec__", vec_col)
 
-    c = bucketed(widen(corpus.select(id_col, vec_col)), id_col)
+    c = bucketed(widen(corpus.select(id_col, vec_col)), id_col, False)
     q = broadcast(bucketed(
-        queries.select(query_id_col, vec_col), query_id_col)
+        queries.select(query_id_col, vec_col), query_id_col, multiprobe)
         .select(query_id_col, F.col(vec_col).alias("q_vec"), "tb"))
     scored = c.join(q, "tb").select(
         query_id_col, id_col,

@@ -8,6 +8,13 @@ sf0.01 (see /root/repo/__spark_entry__.py).
 
 Column-name parity rule: every computed column is aliased identically in
 both the Spark plan and the oracle SQL.
+
+Scalar-output rule: query result columns must be scalar-typed (no
+array/map/struct cells). The driver canonicalizes results via a pandas
+sort over all columns, which cannot hash list cells — an array column
+errors the row even when the values are correct (r03's
+mm_ppm_resize_real). Project array elements to scalar columns
+(p0..pN) or concat_ws them instead.
 """
 
 from __future__ import annotations

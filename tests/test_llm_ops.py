@@ -342,3 +342,29 @@ def test_ann_lsh_multi_table_recall_improves(spark, sf_small):
     r1, r4 = hits(1), hits(4)
     assert r4 >= r1
     assert r4 > 0.1
+
+
+def test_ann_lsh_multiprobe_recall_improves(spark, sf_small):
+    """Multiprobe LSH: the query side additionally probes every
+    Hamming-distance-1 bucket, so the candidate set is a superset of
+    the exact-bucket candidates — recall vs brute force is monotone in
+    the probe, and exact-bucket hits are never lost (the reranking is
+    the same exact cosine)."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"]) for r in
+             ann.brute_force_topk(emb, queries, k=10).collect()}
+
+    def result(multiprobe):
+        return {(r["query_id"], r["vec_id"]) for r in
+                ann.lsh_topk(emb, queries, k=10, dim=64, bits=8,
+                             multiprobe=multiprobe).collect()}
+
+    plain, probed = result(False), result(True)
+    plain_recall = len(brute & plain) / len(brute)
+    probed_recall = len(brute & probed) / len(brute)
+    assert probed_recall >= plain_recall
+    # a true brute-force hit found by the exact bucket stays found
+    # under multiprobe (superset candidates, same exact rerank)
+    assert (brute & plain) <= probed
