@@ -64,6 +64,14 @@ _DRIVER_PRIORITY = [
     # -- red / rows-only in r03, fixed this round --
     "mm_ppm_resize_real",
     "f16_seq_ratio_pairs",
+    # -- new in round 4: closed-form oracle over the FULL ER pipeline,
+    #    and the training-pipeline additions (PII scrub, repetition
+    #    filters, shard assignment, end-to-end keep-first dedup) --
+    "er_pipeline_resolved_closed_form",
+    "ta_pii_scrub",
+    "ta_repetition_scores",
+    "sp_shard_assign",
+    "dd_dedup_keep_first",
 ]
 
 

@@ -399,3 +399,40 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, num_hashes: int = 64, bands: int = 16,
+                     threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dedup with canonical keep-first semantics — the
+    operation a training pipeline actually runs (pairs are an
+    intermediate): MinHash+LSH verified pairs → connected components →
+    keep the min-id representative per duplicate group.
+
+    Returns one row per input doc: (doc_id, keep_id, kept) where
+    keep_id is the group representative and kept = 1 iff this doc
+    survives. Downstream: `.filter("kept = 1")` is the deduped corpus.
+
+    Scale shape: reuses the LSH equi-join pair path (no all-pairs
+    work) and the ER engine's min-label-propagation components loop
+    (operators/entity_resolution.connected_components — one shuffle
+    per round, loop-invariant edges checkpointed once). Duplicate
+    groups are near-cliques, so the loop converges in O(log
+    diameter) ≈ 2-3 rounds.
+    """
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    vertices = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(vertices, edges)
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("keep_id"),
+        F.when(F.col("id") == F.col("component"), 1).otherwise(0)
+        .cast("int").alias("kept"))

@@ -54,6 +54,28 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(hash_bucket(F.col(id_col), modulus) < threshold)
 
 
+def shard_id(id_col: Column, n_shards: int) -> Column:
+    """Deterministic, engine-portable training shard for an id: first
+    8 hex digits of md5(id) mod n_shards. md5 gives uniform spread
+    (the Knuth hash above is reserved for *sampling* so shard and
+    sample selections stay independent — same id never correlates its
+    shard with its sample bucket). Portable: DuckDB computes the
+    identical value via ('0x' || substr(md5(id),1,8))::BIGINT."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_shards))
+
+
+def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Tag each row with its training shard. At scale the writer follows
+    with .repartition(n_shards, 'shard').write.partitionBy('shard') —
+    one shuffle, each output file a complete shard, no driver-side
+    routing. Shard balance is auditable with the per-shard stats
+    aggregation (sp_shard_assign query)."""
+    return df.withColumn("shard", shard_id(F.col(id_col), n_shards))
+
+
 def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                    tokens_col: Column, budget: int) -> DataFrame:
     """Assign each document to a context-window pack by prefix-sum

@@ -169,6 +169,49 @@ def with_winnow_fingerprints(df, id_col: str, text_col: str,
         _winnow(F.col(text_col)).alias("fingerprints"))
 
 
+def repetition_scores(df, id_col: str, text_col: str):
+    """Gopher-style repetition metrics per document: duplicate-token
+    fraction (1 - distinct/total) and top-bigram fraction (occurrences
+    of the most frequent word bigram / total bigrams) — the rule
+    family pretraining filters use to drop boilerplate and
+    degenerate-loop text (Rae et al. 2021, §A1.1).
+
+    Scale shape: the token/distinct counts are pure column algebra in
+    the scan projection; bigram counting is ONE shuffle keyed on
+    (doc, bigram) with map-side partial aggregation — never a global
+    structure. The bigram array is built with a codegen'd transform
+    over the token array, not a Python loop.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    bigrams = base.select(
+        "doc",
+        F.explode(F.transform(
+            F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1,
+                                                 F.lit(0))),
+            lambda t, i: F.concat(t, F.lit(" "),
+                                  F.col("toks")[i + 1]))).alias("bigram"))
+    per_bigram = bigrams.groupBy("doc", "bigram").count()
+    top = per_bigram.groupBy("doc").agg(
+        F.max("count").alias("top_bigram_count"),
+        F.sum("count").alias("n_bigrams"))
+    return (base.drop("toks").join(top, "doc", "left")
+            .select(
+                "doc", "n_tokens",
+                F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6)
+                .alias("dup_token_frac"),
+                F.coalesce("top_bigram_count", F.lit(0))
+                .alias("top_bigram_count"),
+                F.round(F.coalesce(
+                    F.col("top_bigram_count") / F.col("n_bigrams"),
+                    F.lit(0.0)), 6).alias("top_bigram_frac")))
+
+
 def rolling_hash_fingerprint(text: Column) -> Column:
     """Order-SENSITIVE document fingerprint: polynomial rolling hash
     (Rabin-Karp) over the character stream — the streaming-friendly

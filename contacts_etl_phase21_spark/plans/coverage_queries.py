@@ -224,6 +224,50 @@ def er_full_contacts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("contact_id"))
 
 
+@query(
+    "er_pipeline_resolved_closed_form",
+    survey="N1-N5,E1-E10,A1",
+    doc="The SAME full ER pipeline as er_full_contacts_pipeline, "
+        "projected onto oracle-expressible columns. contact_id is a "
+        "uuid5 (not DuckDB-computable), but on these deterministic "
+        "synthetic records the resolution fixpoint has a closed form: "
+        "one contact per customer; every third customer's gmail and "
+        "linkedin records (shared email) merge (source_count = 2); "
+        "name pools (97 firsts x 500 surnames, lcm 48500 > any test "
+        "SF's customer count) guarantee no cross-customer name "
+        "collision, so everything else is a singleton. The oracle "
+        "recomputes that closed form from customer directly — a full "
+        "value-level hash check of normalization -> blocking -> "
+        "scoring -> gates -> connected components -> survivorship "
+        "end-to-end (fuzzy scoring and the iterative components loop "
+        "included, since any wrong merge changes the counts or drops "
+        "a name row).",
+    oracle="""
+        SELECT 'First' || CAST(c_custkey % 97 AS VARCHAR) || ' Surname'
+                   || CAST(c_custkey % 500 AS VARCHAR) AS full_name,
+               'First' || CAST(c_custkey % 97 AS VARCHAR) AS first_name,
+               'Surname' || CAST(c_custkey % 500 AS VARCHAR) AS last_name,
+               c_mktsegment AS company,
+               CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+                   AS source_count,
+               CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+                   AS source_row_count
+        FROM customer
+        ORDER BY full_name
+    """,
+)
+def er_pipeline_resolved_closed_form(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.pipeline import consolidate_records
+
+    records = synthetic_contact_records(spark, sf_dir)
+    res = consolidate_records(records)
+    return (res.contacts
+            .select("full_name", "first_name", "last_name", "company",
+                    "source_count", "source_row_count")
+            .orderBy("full_name"))
+
+
 # --------------------------------------------------------------------------
 # Scalar-function family over synthesized strings (F7/F10/F19/F23, A5, C1)
 # --------------------------------------------------------------------------

@@ -839,3 +839,226 @@ def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("l_linestatus", F.lit("ALL"))
                     .alias("linestatus"), "n", "total_price")
             .orderBy("returnflag", "linestatus"))
+
+
+# PII scrub ------------------------------------------------------------------
+
+# The synthesized PII suffix (documents.text is clean word salad, so the
+# corpus is seeded deterministically from doc_id; even ids get one of
+# each PII kind, odd ids none). Both engines build the IDENTICAL string.
+_PII_ORACLE_TEXT = """
+        CASE WHEN doc_id % 2 = 0 THEN
+            substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or (555) 010-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+            || CAST(doc_id % 250 AS VARCHAR)
+            || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE substr(text, 1, 40) END
+"""
+
+
+def _pii_oracle() -> str:
+    from contacts_etl_phase21_spark.operators.pii import PII_RULES
+
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat, _ in PII_RULES)
+    redacted = "t"
+    for _, pat, token in PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    return f"""
+        WITH seeded AS (
+            SELECT doc_id, {_PII_ORACLE_TEXT} AS t FROM documents
+        )
+        SELECT doc_id,
+               {counts},
+               {redacted} AS redacted
+        FROM seeded
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "ta_pii_scrub",
+    survey="LLM-text(pii-scrub),F4,F6",
+    doc="PII detection + typed redaction over documents "
+        "(operators/pii.py): email / IPv4 / SSN / phone counts and the "
+        "sequentially redacted text, all JVM-regex column expressions "
+        "fused into the scan projection — the pre-tokenization scrub "
+        "pass of a pretraining pipeline. The regex family mirrors the "
+        "reference's contact-harvesting patterns (normalization.py "
+        "email/phone tiers) applied corpus-side. Patterns are "
+        "Java/RE2-portable and the oracle is GENERATED from the same "
+        "PII_RULES tuple, so Spark and DuckDB provably scrub with "
+        "identical rules in identical order.",
+    oracle=_pii_oracle(),
+)
+def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.pii import scrub_documents
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.com or (555) 010-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (did % 200).cast("string"), F.lit(".0."),
+        (did % 250).cast("string"),
+        F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((did % 100).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+    seeded = docs.select(
+        "doc_id",
+        F.when(did % 2 == 0,
+               F.concat(F.substring("text", 1, 40), suffix))
+        .otherwise(F.substring("text", 1, 40)).alias("text"))
+    return scrub_documents(seeded, "doc_id", "text").orderBy("doc_id")
+
+
+# Repetition scores ----------------------------------------------------------
+
+
+@query(
+    "ta_repetition_scores",
+    survey="LLM-text(repetition)",
+    doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1): "
+        "duplicate-token fraction and top-bigram fraction per document "
+        "(operators/text_analysis.repetition_scores). Token counts are "
+        "scan-projection column algebra; bigram counting is one "
+        "map-side-combined shuffle on (doc, bigram) — no global "
+        "structure, survives 100 TB unchanged.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct, w
+            FROM t
+        ),
+        bgc AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest([w[i] || ' ' || w[i+1]
+                                 for i in range(1, len(w))]) AS bigram
+                  FROM base)
+            GROUP BY doc_id, bigram
+        ),
+        top AS (
+            SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+            FROM bgc GROUP BY doc_id
+        )
+        SELECT b.doc_id AS doc, n_tokens,
+               ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6)
+                   AS dup_token_frac,
+               CAST(COALESCE(top_bigram_count, 0) AS BIGINT)
+                   AS top_bigram_count,
+               ROUND(COALESCE(top_bigram_count * 1.0 / n_bigrams, 0.0), 6)
+                   AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+        ORDER BY doc
+    """,
+)
+def ta_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ta.repetition_scores(docs, "doc_id", "text").orderBy("doc")
+
+
+# Training-shard assignment --------------------------------------------------
+
+
+@query(
+    "sp_shard_assign",
+    survey="LLM-sample(shard)",
+    doc="Deterministic training-shard assignment + per-shard balance "
+        "audit (operators/sampling.assign_shards): shard = md5(id) "
+        "first-8-hex mod 64, an engine-portable uniform hash "
+        "(independent of the Knuth sampling hash so shard and sample "
+        "selections never correlate). The stats aggregation IS the "
+        "balance check a 100 TB export runs before writing "
+        "partitionBy(shard) — one map-side-combined shuffle.",
+    oracle="""
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 64 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY shard
+        ORDER BY shard
+    """,
+)
+def sp_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import assign_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return (assign_shards(docs, "doc_id", 64)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(ta.whitespace_token_count(F.col("text")).cast("long"))
+                 .alias("total_tokens"))
+            .orderBy("shard"))
+
+
+# Dedup keep-first (end-to-end) ----------------------------------------------
+
+
+@query(
+    "dd_dedup_keep_first",
+    survey="LLM-dedup(keep-first),E5",
+    doc="End-to-end corpus dedup with canonical keep-first semantics "
+        "(operators/dedup.dedup_keep_first): MinHash+LSH verified "
+        "pairs → connected components (the ER engine's min-label "
+        "propagation) → keep the min-id representative per duplicate "
+        "group. One row per doc: (doc_id, keep_id, kept); "
+        "filter kept=1 is the deduped corpus. The oracle computes the "
+        "exact-Jaccard pair set and its transitive closure with a "
+        "recursive CTE — a full cross-engine check of the iterative "
+        "components loop, not just the pair stage.",
+    oracle="""
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                  >= 0.8
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT)
+                   AS keep_id,
+               CAST(CASE WHEN COALESCE(LEAST(r.mn, d.doc_id), d.doc_id)
+                              = d.doc_id THEN 1 ELSE 0 END AS INT) AS kept
+        FROM documents d LEFT JOIN rep r USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+)
+def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_keep_first(docs, "doc_id", "text").orderBy("doc_id")

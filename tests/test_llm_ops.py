@@ -368,3 +368,95 @@ def test_ann_lsh_multiprobe_recall_improves(spark, sf_small):
     # a true brute-force hit found by the exact bucket stays found
     # under multiprobe (superset candidates, same exact rerank)
     assert (brute & plain) <= probed
+
+
+def test_pii_rules_unit(spark):
+    from contacts_etl_phase21_spark.operators.pii import scrub_documents
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and 10.0.0.1 ssn 123-45-6789 tel (555) 010-1234"),
+         (2, "dotted phone 617.555.1234 and dashed 617-555-1234"),
+         (3, "no pii here at all"),
+         (4, "ssn 123-45-6789 is not a phone; ip 1.2.3.4 is not either")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            scrub_documents(df, "doc_id", "text").collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_ssn"],
+            rows[1]["n_phone"]) == (1, 1, 1, 1)
+    assert rows[1]["redacted"] == \
+        "mail <EMAIL> and <IP> ssn <SSN> tel <PHONE>"
+    # 3-3-4 with dots or dashes is a phone, never an SSN/IP
+    assert (rows[2]["n_phone"], rows[2]["n_ssn"], rows[2]["n_ipv4"]) \
+        == (2, 0, 0)
+    assert all(rows[3][f"n_{k}"] == 0
+               for k in ("email", "ipv4", "ssn", "phone"))
+    assert rows[3]["redacted"] == "no pii here at all"
+    # disjointness: SSN (3-2-4) and IPv4 are not double-counted as phones
+    assert (rows[4]["n_ssn"], rows[4]["n_ipv4"], rows[4]["n_phone"]) \
+        == (1, 1, 0)
+
+
+def test_repetition_scores_unit(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),       # bigram 'a b' x3 of 5; all dup tokens
+         (2, "w x y z"),            # no repetition at all
+         (3, "solo")],              # single token: no bigrams
+        ["doc_id", "text"])
+    rows = {r["doc"]: r for r in
+            repetition_scores(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["dup_token_frac"] == round(1 - 2 / 6, 6)
+    assert rows[1]["top_bigram_count"] == 3          # 'a b' at 0,2,4
+    assert rows[1]["top_bigram_frac"] == 0.6         # 3 of 5 bigrams
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_bigram_count"] == 1
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["top_bigram_count"] == 0
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_shard_assignment_deterministic_and_balanced(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import assign_shards
+
+    docs = load(spark, sf_small, "documents")
+    a = assign_shards(docs, "doc_id", 64).select("doc_id", "shard")
+    b = assign_shards(docs.repartition(7), "doc_id", 64) \
+        .select("doc_id", "shard")
+    # partition-invariant: same id -> same shard under any layout
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    sizes = [r["n"] for r in
+             a.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    n_docs = sum(sizes)
+    # md5 uniformity: no shard more than 4x the ideal share (loose
+    # bound that still catches a broken hex parse collapsing buckets)
+    assert max(sizes) <= 4 * max(1, n_docs // 64)
+
+
+def test_dedup_keep_first_semantics(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import dedup as dd
+
+    docs = load(spark, sf_small, "documents")
+    out = dd.dedup_keep_first(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == docs.count()                 # one row per doc
+    by_id = {r["doc_id"]: r for r in rows}
+    # the representative is kept, is its own keep_id, and is the min
+    groups: dict[int, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["keep_id"], []).append(r["doc_id"])
+    for rep, members in groups.items():
+        assert rep == min(members)
+        assert by_id[rep]["kept"] == 1
+        assert all(by_id[m]["kept"] == 0 for m in members if m != rep)
+    # deduped corpus = docs minus non-representative dup-group members
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text")
+    assert out.filter("kept = 1").count() == docs.count() - sum(
+        len(m) - 1 for m in groups.values() if len(m) > 1)
+    assert pairs.count() >= sum(
+        len(m) - 1 for m in groups.values() if len(m) > 1)
