@@ -72,6 +72,12 @@ _DRIVER_PRIORITY = [
     "ta_repetition_scores",
     "sp_shard_assign",
     "dd_dedup_keep_first",
+    # -- new in round 4, second batch: decontamination, weighted epoch
+    #    mixing, int8-quantized ANN, vocabulary induction --
+    "dd_decontaminate_ngrams",
+    "sp_epoch_mix",
+    "ann_quantized_topk",
+    "ta_vocab_topk",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Benchmark decontamination — flag training documents that share
+token n-grams with an evaluation/benchmark set.
+
+The standard training-data hygiene step (n-gram overlap decontamination
+as popularized by GPT-3/PaLM data cards): any train document containing
+an n-gram that also appears in an eval document is flagged (and
+typically dropped or span-redacted) so benchmark numbers aren't inflated
+by memorized test data.
+
+Scale shape (the whole point): the EVAL side is tiny (benchmarks are
+thousands of documents; the corpus is 100 TB). Eval n-grams are
+deduplicated and BROADCAST; the corpus-side join is then a broadcast
+hash join evaluated inside the corpus scan — the corpus is never
+shuffled. Per-doc hit counts partial-aggregate map-side; the only
+shuffle is |flagged-ish docs| × 1 row.
+
+N-grams are hashed numerically (token-hash windows, same trick as
+dedup.with_hashed_shingles): no n-gram strings are materialized on the
+corpus side. Counts equal string-n-gram counts modulo 64-bit collisions
+(odds ≪ 1e-6 at corpus scale), the same documented equivalence the
+MinHash tier uses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+from contacts_etl_phase21_spark.operators.dedup import with_hashed_shingles
+
+
+def eval_ngram_set(eval_df: DataFrame, id_col: str, text_col: str,
+                   n: int = 8) -> DataFrame:
+    """Distinct hashed token n-grams of the eval set → (g: long).
+
+    Small by construction (|eval docs| × doc length); the caller
+    broadcasts it against the corpus."""
+    return (with_hashed_shingles(eval_df, id_col, text_col, n)
+            .select(F.explode("sh_h").alias("g"))
+            .distinct())
+
+
+def contamination_flags(train: DataFrame, eval_df: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 8) -> DataFrame:
+    """One row per train doc: (doc_id, n_hits, contaminated).
+
+    n_hits = number of the doc's DISTINCT n-grams that appear anywhere
+    in the eval set; contaminated = 1 iff n_hits > 0. Downstream:
+    `.filter("contaminated = 0")` is the decontaminated corpus (or
+    feed n_hits into a span-redaction pass).
+
+    Docs shorter than n tokens contribute one clamped window (all their
+    tokens) — matching dedup.with_hashed_shingles semantics.
+    """
+    ev = broadcast(eval_ngram_set(eval_df, id_col, text_col, n))
+    tr = with_hashed_shingles(train, id_col, text_col, n)
+    hits = (tr.select("doc", F.explode("sh_h").alias("g"))
+            .join(ev, "g")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(hits, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1)
+                    .otherwise(0).cast("int").alias("contaminated")))

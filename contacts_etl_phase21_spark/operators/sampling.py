@@ -76,6 +76,39 @@ def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn("shard", shard_id(F.col(id_col), n_shards))
 
 
+def epoch_mix(df: DataFrame, id_col: str, strata_col: str,
+              weights_permille: dict[str, int],
+              default_permille: int = 1000,
+              modulus: int = 1000) -> DataFrame:
+    """Deterministic weighted corpus mixing with OVERsampling — the
+    training-mix step where per-source weights may exceed 1.0 epoch
+    (e.g. en×1.0, code×2.3, rare-lang×3.5): each row appears
+    floor(w) times plus one more for the hash-selected fraction-w
+    remainder, tagged with an `epoch` number (1-based).
+
+    weight is given in permille (2300 = 2.3 epochs). Selection of the
+    fractional copy uses the same Knuth hash as deterministic_sample —
+    reproducible across runs/engines/partitionings, and exact in
+    aggregate: a 2.3-weight source yields exactly the rows whose hash
+    bucket < 300 three times and the rest twice.
+
+    Scale: pure generator in the scan projection (explode of a
+    sequence whose length is computed row-locally) — no shuffle, no
+    RNG state, no driver coordination. Output size = Σ w_s·|s| rows,
+    the training plan's token budget.
+    """
+    weight: Column = F.lit(default_permille)
+    for value, w in sorted(weights_permille.items()):
+        weight = F.when(F.col(strata_col) == value, w).otherwise(weight)
+    n_copies = (F.floor(weight / modulus)
+                + F.when(hash_bucket(F.col(id_col), modulus)
+                         < weight % modulus, 1).otherwise(0)).cast("int")
+    return (df.withColumn("__n", n_copies)
+            .filter(F.col("__n") >= 1)
+            .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+            .drop("__n"))
+
+
 def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                    tokens_col: Column, budget: int) -> DataFrame:
     """Assign each document to a context-window pack by prefix-sum

@@ -168,6 +168,78 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def quantize_vectors(df: DataFrame, id_col: str,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector → (id, q: array<long>,
+    qnorm: long). scale = max|x|/127; q_i = floor(x_i/scale + 0.5).
+
+    The memory-compression tier for 100 TB embedding stores: float32 →
+    int8 shrinks the corpus 4× (here the logical values; a production
+    sink writes them as TINYINT), so brute-force scans read 4× less
+    and int dot products SIMD ~4× wider. floor(x+0.5) rather than
+    round() pins the rounding mode — identical double arithmetic in
+    any engine, so the quantized values (and everything downstream)
+    are exactly reproducible in the DuckDB oracle.
+
+    qnorm = Σ q_i² is precomputed once per vector (exact integer), so
+    query-time scoring reads it instead of recomputing the norm per
+    candidate pair."""
+    scale = F.greatest(
+        F.array_max(F.transform(F.col(vec_col),
+                                lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+        F.lit(1e-12))
+    with_scale = df.select(F.col(id_col), F.col(vec_col),
+                           scale.alias("__s"))
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") / F.col("__s")
+                                      + F.lit(0.5)))
+    return (with_scale
+            .select(F.col(id_col), q.alias("q"))
+            .select(F.col(id_col), "q",
+                    F.aggregate("q", F.lit(0).cast("long"),
+                                lambda acc, v: acc + v * v).alias("qnorm")))
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k over int8-quantized vectors (quantized cosine).
+
+    Same plan shape as brute_force_topk — broadcast queries × streamed
+    corpus, per-query window top-k — but the score is the INTEGER dot
+    product of quantized vectors normalized by the precomputed integer
+    norms: qcos = Σ qa·qb / √(Σqa²·Σqb²). All pairwise math is exact
+    int64 (|q| ≤ 127, so dim 4096 still fits with 2^20 headroom); only
+    the final normalization divides in double — bit-identical across
+    engines, which is what lets the oracle hash-match.
+
+    Recall vs the float brute force is < 1 only through quantization
+    error (no candidate pruning); the bench reports it alongside the
+    LSH/IVF tiers."""
+    qc = quantize_vectors(corpus, id_col, vec_col)
+    qq = broadcast(
+        quantize_vectors(queries, query_id_col, vec_col)
+        .select(F.col(query_id_col), F.col("q").alias("q_q"),
+                F.col("qnorm").alias("qnorm_q")))
+    idot = F.aggregate(
+        F.zip_with("q", "q_q", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = widen(qc).crossJoin(qq).select(
+        query_id_col, id_col,
+        F.round(idot.cast("double")
+                / F.sqrt(F.col("qnorm").cast("double")
+                         * F.col("qnorm_q").cast("double")), 6)
+        .alias("qcosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "qcosine")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              dim: int = 64, bits: int = 8, n_tables: int = 1,
              multiprobe: bool = False,

@@ -53,6 +53,38 @@ def bpe_ish_token_count(text: Column) -> Column:
         text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
+def vocab_topk(df, id_col: str, text_col: str, k: int = 100):
+    """Corpus vocabulary induction: the k most frequent whitespace
+    tokens with occurrence and document frequencies, ranked — the
+    counting pass behind tokenizer training / stopword-list induction.
+
+    Plan: explode tokens → ONE groupBy(token) computing both counts
+    (document frequency via countDistinct, which Spark expands to a
+    partial-distinct on (token, doc) then a merge — both stages
+    map-side combined) → orderBy().limit(k), which Spark executes as
+    TakeOrderedAndProject (per-partition heap top-k, no full sort of
+    the |vocab| rows). Only the k survivors pass through the global
+    rank window — the single-partition window never sees more than k
+    rows, so the usual global-window funnel doesn't apply.
+
+    rank is row_number over (n_occurrences desc, token asc) — the
+    deterministic id assignment a tokenizer build needs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc").alias("n_docs"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (top
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "token", "n_occurrences", "n_docs"))
+
+
 def quality_signals(text: Column) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     quality signals (the classic Gopher-style rule family)."""

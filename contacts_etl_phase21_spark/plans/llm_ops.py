@@ -1062,3 +1062,203 @@ def sp_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dd.dedup_keep_first(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# Decontamination -------------------------------------------------------------
+
+
+@query(
+    "dd_decontaminate_ngrams",
+    survey="LLM-dedup(decontaminate)",
+    doc="Benchmark decontamination (operators/decontamination.py): "
+        "train docs (doc_id % 10 != 0) are flagged when they share any "
+        "token 8-gram with the eval set (doc_id % 10 == 0). Eval "
+        "n-grams are deduped and BROADCAST (benchmarks are tiny vs the "
+        "corpus), so the corpus-side check is a broadcast hash join in "
+        "the scan — the corpus is never shuffled. n_hits counts the "
+        "doc's distinct contaminated n-grams (hashed token windows; "
+        "string-equal modulo 64-bit collisions, same documented "
+        "equivalence as the MinHash tier).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 7, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 7, 1) + 1)]) AS grams
+            FROM toks
+        ),
+        ev AS (
+            SELECT DISTINCT unnest(grams) AS gg FROM g WHERE doc_id % 10 = 0
+        ),
+        tr AS (
+            SELECT doc_id, unnest(grams) AS gg FROM g WHERE doc_id % 10 <> 0
+        ),
+        hits AS (
+            SELECT tr.doc_id, COUNT(*) AS n_hits
+            FROM tr JOIN ev USING (gg) GROUP BY tr.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                    AS INT) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 10 <> 0
+        ORDER BY d.doc_id
+    """,
+)
+def dd_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_flags(train, ev, "doc_id", "text", n=8) \
+        .orderBy("doc_id")
+
+
+# Weighted epoch mixing -------------------------------------------------------
+
+
+@query(
+    "sp_epoch_mix",
+    survey="LLM-sampling(mix)",
+    doc="Deterministic weighted training mix with oversampling "
+        "(operators/sampling.epoch_mix): per-language epoch weights "
+        "(en 0.7, de 1.5, es 2.3, zh 3.5, default 1.0); each doc "
+        "appears floor(w) times plus a Knuth-hash-selected fractional "
+        "copy, tagged with a 1-based epoch number. Pure scan-side "
+        "generator — no shuffle, no RNG; the oracle regenerates the "
+        "same multiset arithmetically.",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE WHEN lang = 'en' THEN 700
+                        WHEN lang = 'de' THEN 1500
+                        WHEN lang = 'es' THEN 2300
+                        WHEN lang = 'zh' THEN 3500 ELSE 1000 END AS wt,
+                   ((doc_id % 2147483648) * 2654435761) % 1000 AS hb
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, lang,
+                   wt // 1000
+                   + CASE WHEN hb < wt % 1000 THEN 1 ELSE 0 END AS n_copies
+            FROM w
+        )
+        SELECT doc_id, lang, CAST(epoch AS INT) AS epoch FROM (
+            SELECT doc_id, lang,
+                   unnest(generate_series(1, n_copies)) AS epoch
+            FROM n WHERE n_copies >= 1
+        )
+        ORDER BY doc_id, epoch
+    """,
+)
+def sp_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import epoch_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return (epoch_mix(docs.select("doc_id", "lang"), "doc_id", "lang",
+                      {"en": 700, "de": 1500, "es": 2300, "zh": 3500})
+            .select("doc_id", "lang", "epoch")
+            .orderBy("doc_id", "epoch"))
+
+
+# Quantized ANN ---------------------------------------------------------------
+
+
+@query(
+    "ann_quantized_topk",
+    survey="LLM-similarity-search(int8)",
+    doc="Exact top-10 over int8-quantized embeddings "
+        "(similarity_search.quantized_topk): per-vector symmetric "
+        "quantization (scale = max|x|/127, floor(x/s + 0.5)), integer "
+        "dot products with precomputed integer norms, one double "
+        "division at the end — the 4x-smaller memory tier for 100 TB "
+        "embedding stores. All pairwise math is exact int64, so the "
+        "oracle reproduces every score bit-identically.",
+    oracle="""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            1e-12) AS s
+            FROM emb
+        ),
+        qv AS (
+            SELECT vec_id,
+                   [CAST(floor(v[i] / s + 0.5) AS BIGINT)
+                    for i in range(1, len(v) + 1)] AS q
+            FROM sc
+        ),
+        qn AS (
+            SELECT vec_id, q,
+                   list_sum([q[i] * q[i]
+                             for i in range(1, len(q) + 1)]) AS qnorm
+            FROM qv
+        ),
+        qq AS (
+            SELECT vec_id AS query_id, q AS q_q, qnorm AS qnorm_q
+            FROM qn WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT qq.query_id, c.vec_id,
+                   ROUND(CAST(list_sum([c.q[i] * qq.q_q[i]
+                                        for i in range(1, len(c.q) + 1)])
+                              AS DOUBLE)
+                         / sqrt(CAST(c.qnorm AS DOUBLE)
+                                * CAST(qq.qnorm_q AS DOUBLE)), 6) AS qcosine
+            FROM qn c CROSS JOIN qq
+        )
+        SELECT query_id, rank, vec_id, qcosine FROM (
+            SELECT query_id, vec_id, qcosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY qcosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann.quantized_topk(emb, queries, k=10)
+
+
+# Vocabulary induction --------------------------------------------------------
+
+
+@query(
+    "ta_vocab_topk",
+    survey="LLM-text(vocab)",
+    doc="Corpus vocabulary induction (text_analysis.vocab_topk): the "
+        "100 most frequent whitespace tokens with occurrence and "
+        "document frequencies, rank-ordered — the counting pass behind "
+        "tokenizer training. One token-explode groupBy (map-side "
+        "combined, countDistinct expanded to a partial-distinct) and a "
+        "TakeOrdered top-k; the rank window sees only k rows.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY token
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                       token ASC) AS INT) AS rank,
+               token, n_occurrences, n_docs
+        FROM counts ORDER BY rank LIMIT 100
+    """,
+)
+def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ta.vocab_topk(docs, "doc_id", "text", k=100)

@@ -460,3 +460,118 @@ def test_dedup_keep_first_semantics(spark, sf_small):
         len(m) - 1 for m in groups.values() if len(m) > 1)
     assert pairs.count() >= sum(
         len(m) - 1 for m in groups.values() if len(m) > 1)
+
+
+def test_contamination_flags_planted(spark):
+    """A train doc sharing an 8-gram with an eval doc is flagged; a
+    disjoint doc isn't; a doc shorter than n uses the clamped window."""
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, base + " extra tail tokens here"),          # contains eval 8-gram
+        (2, "totally different content " * 3),          # clean
+        (3, "short doc only five tokens"),              # < n: clamped window
+    ]
+    ev_rows = [(100, base + " unrelated suffix"),
+               (101, "short doc only five tokens")]     # clamped match for 3
+    train = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in contamination_flags(train, ev, "doc_id", "text",
+                                        n=8).collect()}
+    assert out[1][1] == 1 and out[1][0] >= 1
+    assert out[2] == (0, 0)
+    # doc 3 has < 8 tokens: its single clamped window equals eval doc
+    # 101's clamped window -> flagged
+    assert out[3] == (1, 1)
+
+
+def test_contamination_eval_side_is_broadcast(spark, sf_small):
+    """The corpus-side join must be a broadcast hash join (eval n-grams
+    are the tiny side) — the corpus is never shuffled for the probe."""
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = contamination_flags(train, ev, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_epoch_mix_counts_exact(spark):
+    """floor(w) copies always; the fractional copy is selected by the
+    same Knuth hash as deterministic_sample — per-doc copy counts are
+    exactly reconstructible."""
+    from contacts_etl_phase21_spark.operators.sampling import (
+        _ID_MOD, _KNUTH, epoch_mix,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    weights = {"en": 2300, "de": 700}
+    out = epoch_mix(df, "doc_id", "lang", weights).collect()
+    got: dict[int, int] = {}
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert 1 <= r["epoch"] <= got[r["doc_id"]] + 2
+    for i, lang in rows:
+        w = weights[lang]
+        hb = ((i % _ID_MOD) * _KNUTH) % 1000
+        expected = w // 1000 + (1 if hb < w % 1000 else 0)
+        assert got.get(i, 0) == expected, (i, lang)
+    # epochs are 1..n_copies exactly
+    epochs = {}
+    for r in out:
+        epochs.setdefault(r["doc_id"], set()).add(r["epoch"])
+    for i, es in epochs.items():
+        assert es == set(range(1, len(es) + 1))
+
+
+def test_quantized_topk_recall_vs_brute(spark, sf_small):
+    """int8 quantization is a score approximation, not a candidate
+    filter — top-10 overlap with float brute force stays high."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = ann.brute_force_topk(emb, queries, k=10)
+    quant = ann.quantized_topk(emb, queries, k=10)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    q = {(r["query_id"], r["vec_id"]) for r in quant.collect()}
+    assert all((i, i) in q for i in range(10))  # self-match survives
+    recall = len(b & q) / len(b)
+    assert recall >= 0.9, f"quantized recall {recall}"
+
+
+def test_quantize_vectors_error_bound(spark, sf_small):
+    """|x_i - q_i * s| <= s/2 per component (symmetric rounding)."""
+    emb = load(spark, sf_small, "embeddings").limit(50)
+    q = ann.quantize_vectors(emb, "vec_id")
+    joined = emb.join(q, "vec_id").select(
+        "vec_id", "embedding", "q",
+        (F.greatest(F.array_max(F.transform(
+            "embedding", lambda x: F.abs(x.cast("double")))) / 127.0,
+            F.lit(1e-12))).alias("s"))
+    bad = joined.filter(F.exists(
+        F.zip_with("embedding", "q",
+                   lambda x, qi: F.abs(x.cast("double") - qi * F.col("s"))
+                   > F.col("s") * 0.5 + 1e-12),
+        lambda b: b)).count()
+    assert bad == 0
+    assert q.filter(F.array_max(F.transform(
+        "q", lambda x: F.abs(x))) > 127).count() == 0
+
+
+def test_vocab_topk_rank_and_counts(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import vocab_topk
+
+    rows = [(1, "a a a b b c"), (2, "a b z"), (3, "c a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = vocab_topk(df, "doc_id", "text", k=3).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"], r["n_docs"])
+            for r in out] == [(1, "a", 5, 3), (2, "b", 3, 2), (3, "c", 2, 2)]
