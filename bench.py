@@ -77,6 +77,8 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
         "ann_recall_at_10_ivf_kmeans": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4,
             quantizer="kmeans"),
+        "ann_recall_at_10_int8": lambda: ann.quantized_topk(
+            emb, queries, k=k),
     }
     return {name: round(len(pairs(fn()) & truth) / len(truth), 4)
             for name, fn in configs.items()}
