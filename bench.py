@@ -97,6 +97,8 @@ def main() -> None:
     QUERIES[names[0]].fn(spark, sf_dir).limit(1).collect()
 
     total = 0.0
+    warm: dict[str, float] = {}
+    warm_total = 0.0
     for name in names:
         q = QUERIES[name]
         t0 = time.perf_counter()
@@ -107,7 +109,20 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # Second run = steady-state throughput: the first run pays
+        # one-time plan codegen + JIT (~seconds), which at 100 TB is
+        # noise against hours of scan — the warm number is the one
+        # that extrapolates. Cached intermediates (the minhash shingle
+        # persist) are dropped first so the warm run re-executes the
+        # whole plan, not a cache read.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        wdt = time.perf_counter() - t0
+        warm[name] = round(wdt, 3)
+        warm_total += wdt
+        print(f"# {name}: {dt:.3f}s warm={wdt:.3f}s rows={n}",
+              file=sys.stderr)
 
     recall = ann_recall_metrics(spark, sf_dir)
     for name, r in recall.items():
@@ -123,6 +138,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "warm_total_sec": round(warm_total, 3),
         "recall": recall,
         "sf": sf_val,
     }))
