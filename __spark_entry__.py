@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = [
     "sp_epoch_mix",
     "ann_quantized_topk",
     "ta_vocab_topk",
+    "st_stream_near_dup_flags",
 ]
 
 

@@ -120,6 +120,11 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     which forces planning and, under AQE, can execute upstream stages;
     avoid calling this downstream of shuffles.
     """
+    if df.isStreaming:
+        # Streaming frames can't be probed (inputFiles/rdd are batch
+        # APIs) and micro-batch parallelism is the source's concern
+        # (maxFilesPerTrigger / Kafka partitions) — pass through.
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     est = _estimate_scan_partitions(df)

@@ -193,3 +193,46 @@ def st_incremental_er_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_batch(spark, sf_dir)
+
+
+@query(
+    "st_stream_near_dup_flags",
+    survey="streaming-ext,LLM-dedup(stream)",
+    doc="Streaming near-dup ingestion (streaming/dedup_ingest.py): "
+        "arriving documents (odd doc_ids) probe a static MinHash-LSH "
+        "index of the existing corpus (even doc_ids) via a "
+        "stream-static equi-join on band buckets — stateless on the "
+        "stream side (row-local signatures, no stream shuffle), "
+        "verified with exact Jaccard. This is the batch twin of the "
+        "shared transform; tests/test_streaming.py drives the same "
+        "plan through readStream/availableNow and pins parity, plus "
+        "the row-local-vs-aggregate signature equivalence. Oracle = "
+        "exact bipartite Jaccard (LSH recall is 1 at 16x4 bands for "
+        "j >= 0.8, same verified-equality argument as "
+        "dd_minhash_lsh_verified).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        )
+        SELECT a.doc_id, b.doc_id AS dup_of,
+               ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+        ORDER BY a.doc_id, dup_of
+    """,
+)
+def st_stream_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        near_dup_flags_batch,
+    )
+
+    return near_dup_flags_batch(spark, sf_dir)

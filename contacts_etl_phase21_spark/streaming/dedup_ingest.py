@@ -1,0 +1,130 @@
+"""Streaming near-duplicate detection: arriving documents checked
+against a static LSH-indexed corpus (stream-static join).
+
+The training-data ingestion shape: the existing corpus is indexed ONCE
+(MinHash band buckets + shingle sets, written partitioned by bucket at
+scale); new documents arrive on a stream, compute their signature
+row-locally, and probe the index with a stream-static equi-join on the
+band bucket — stateless, no stream-side shuffle, each micro-batch costs
+|batch| × (bucket collision rate) verifications.
+
+Two deliberate departures from the batch operator
+(operators/dedup.minhash_lsh_pairs):
+
+- The stream side computes its MinHash signature ROW-LOCALLY
+  (array_min over the XOR-translated shingle hashes) instead of the
+  explode + 64-min-aggregates plan: a streaming groupBy would be a
+  stateful aggregation (watermark, late state), and micro-batches are
+  small enough that the interpreted row-local loop is not the
+  bottleneck. The two formulations are value-identical (min over the
+  same set under the same XOR order) — pinned by an equivalence test.
+- Duplicate candidate pairs (two docs sharing >1 band) are collapsed
+  with dropDuplicates on the pair key: bounded state in availableNow
+  drains; a 24/7 deployment uses dropDuplicatesWithinWatermark keyed
+  the same way once documents carry an arrival timestamp.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from contacts_etl_phase21_spark.operators.dedup import (
+    _signature_from_hashed, _splitmix64, with_hashed_shingles,
+)
+
+
+def _xor_consts(num_hashes: int) -> list[int]:
+    """The same signed-64 XOR constants _signature_from_hashed uses."""
+    return [_splitmix64(seed) - (1 << 64)
+            if _splitmix64(seed) >= (1 << 63) else _splitmix64(seed)
+            for seed in range(num_hashes)]
+
+
+def rowlocal_minhash_signature(sh: DataFrame,
+                               num_hashes: int = 64) -> DataFrame:
+    """(doc, sh_h) → (doc, sh_h, signature) with NO aggregation: per
+    permutation i, min over the row's own shingle hashes XOR C_i.
+    Value-identical to operators/dedup._signature_from_hashed (same
+    constants, min over the same set) but runs row-local — the shape a
+    stateless stream stage needs."""
+    def xored_min(c: int):
+        # factory, NOT a default-arg lambda: PySpark infers lambda arity
+        # by parameter count, so `lambda h, c=c:` would be treated as an
+        # (element, index) higher-order function and silently XOR the
+        # array INDEX instead of the constant
+        return F.array_min(
+            F.transform("sh_h", lambda h: h.bitwiseXOR(F.lit(c))))
+
+    sig = F.array(*[xored_min(c) for c in _xor_consts(num_hashes)])
+    return sh.select("doc", "sh_h", sig.alias("signature"))
+
+
+def _band_buckets(df: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode a signature into (band, bucket) structs — same bucketing
+    expression as the batch LSH plan."""
+    return df.withColumn("bb", F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
+            .alias("bucket"))))).drop("signature")
+
+
+def lsh_corpus_index(corpus: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, num_hashes: int = 64,
+                     bands: int = 16) -> DataFrame:
+    """The static side: (doc, sh_h, bb) — one row per (corpus doc,
+    band bucket). At 100 TB this is materialized once and written
+    partitioned by bb.bucket so each probe reads one bucket's worth;
+    here it stays a DataFrame the stream joins against. Uses the
+    aggregate signature plan (batch context — map-side combined)."""
+    sh = with_hashed_shingles(corpus, id_col, text_col, n)
+    sig = _signature_from_hashed(sh, num_hashes)
+    return _band_buckets(sig.join(sh, "doc"), bands, num_hashes // bands)
+
+
+def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 3, num_hashes: int = 64,
+                          bands: int = 16,
+                          threshold: float = 0.8) -> DataFrame:
+    """Streaming plan: arriving docs → row-local signature → band
+    buckets → stream-static equi-join on bb → exact-Jaccard verify →
+    (doc_id, dup_of, jaccard). Works identically on a batch frame
+    (the batch twin the oracle checks).
+
+    Stream side never shuffles; the only stateful operator is the
+    pair-key dropDuplicates (see module docstring)."""
+    probe = _band_buckets(
+        rowlocal_minhash_signature(
+            with_hashed_shingles(stream_docs, id_col, text_col, n),
+            num_hashes),
+        bands, num_hashes // bands) \
+        .select(F.col("doc").alias("in_doc"),
+                F.col("sh_h").alias("in_sh"), "bb")
+    hits = probe.join(
+        corpus_index.select(F.col("doc").alias("dup_of"),
+                            F.col("sh_h").alias("c_sh"), "bb"),
+        "bb")
+    jac = (F.size(F.array_intersect("in_sh", "c_sh"))
+           / F.size(F.array_union("in_sh", "c_sh")))
+    return (hits
+            .select(F.col("in_doc").alias(id_col), "dup_of",
+                    F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .dropDuplicates([id_col, "dup_of"]))
+
+
+def near_dup_flags_batch(spark, sf_dir: str,
+                         threshold: float = 0.8) -> DataFrame:
+    """Batch twin on the driver tables: odd doc_ids are the 'arriving'
+    docs, even doc_ids the indexed corpus."""
+    from contacts_etl_phase21_spark.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    return stream_near_dup_flags(arriving, idx, threshold=threshold) \
+        .orderBy("doc_id", "dup_of")

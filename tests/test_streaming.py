@@ -495,3 +495,68 @@ def test_incremental_er_ttl_evicts_idle_block(spark, tmp_path):
     # without eviction the duplicate joins the founder's cluster
     assert no_timeout[rid0] == rid0
     assert no_timeout[rid1] == rid0
+
+
+def test_rowlocal_signature_equals_aggregate(spark, sf_small):
+    """The stream side's row-local MinHash signature must be
+    value-identical to the batch aggregate formulation (same XOR
+    constants, min over the same shingle-hash set)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.dedup import (
+        _signature_from_hashed, with_hashed_shingles,
+    )
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        rowlocal_minhash_signature,
+    )
+
+    docs = load(spark, sf_small, "documents").limit(100)
+    sh = with_hashed_shingles(docs, "doc_id", "text", 3)
+    agg = _signature_from_hashed(sh, 64) \
+        .withColumnRenamed("signature", "sig_agg")
+    row = rowlocal_minhash_signature(sh, 64) \
+        .select("doc", F.col("signature").alias("sig_row"))
+    j = agg.join(row, "doc")
+    assert j.count() == 100
+    assert j.filter(F.col("sig_agg") != F.col("sig_row")).count() == 0
+
+
+def test_stream_near_dup_flags_matches_batch(spark, sf_small, tmp_path):
+    """Arriving docs streamed two micro-batches against the static LSH
+    index must flag exactly the batch twin's pairs."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, near_dup_flags_batch, stream_near_dup_flags,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+
+    staged = str(tmp_path / "arriving")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    arriving.filter(F.col("doc_id") % 4 == 1).coalesce(1) \
+        .write.parquet(staged)
+    arriving.filter(F.col("doc_id") % 4 == 3).coalesce(1) \
+        .write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    out = stream_near_dup_flags(stream, idx)
+    assert out.isStreaming
+
+    name = f"neardup_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["doc_id"], r["dup_of"], r["jaccard"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    expected = {(r["doc_id"], r["dup_of"], r["jaccard"])
+                for r in near_dup_flags_batch(spark, sf_small).collect()}
+    assert got == expected
+    assert len(got) > 0
