@@ -134,6 +134,22 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
         .withColumn("name_candidates", F.array_distinct(F.filter(
             F.array(F.col("_pt_first"), F.col("_pt_nick")),
             lambda x: x != "")))
+        # candidate-key SETS: {fold key of each non-empty candidate} and
+        # {root key of ...}. The pair-path existential cross-equality
+        # (_any_cross_eq: 4 guarded comparisons × fold + × root, and the
+        # accept gate references each twice) collapses to ONE
+        # arrays_overlap per family — besides being cheaper, this keeps
+        # the blocked-pair join's generated code under janino's 64 KB
+        # method limit (the inlined 2×16-comparison form pushed the
+        # whole-stage span over it and the stage fell back to
+        # interpreted execution). Nulls are compacted away: a NULL key
+        # never matched under `=` before either.
+        .withColumn("_fold_keys", F.array_compact(F.array(
+            F.when(F.col("_lt_first") != "", F.col("_fold_first")),
+            F.when(F.col("_lt_nick") != "", F.col("_fold_nick")))))
+        .withColumn("_root_keys", F.array_compact(F.array(
+            F.when(F.col("_lt_first") != "", F.col("_root_first")),
+            F.when(F.col("_lt_nick") != "", F.col("_root_nick")))))
     )
 
 
@@ -144,8 +160,8 @@ def prepare_for_matching(df: DataFrame) -> DataFrame:
 _PAIR_SIDES = (
     "rid", "source", "first_name", "nickname", "last_name", "suffix",
     "linkedin_url", "email_values", "phone_values", "addr_keys",
-    "_fold_last", "_fold_suffix", "_fold_first", "_fold_nick",
-    "_root_first", "_root_nick", "_lt_first", "_lt_nick",
+    "_fold_last", "_fold_suffix", "_fold_keys", "_root_keys",
+    "_lt_first", "_lt_nick",
     "name_candidates", "block_key",
 )
 
@@ -328,17 +344,16 @@ def _pair_signals(pairs: DataFrame,
     nickname equivalence, channel overlaps, and the evidence score
     `ev` (= full score minus the 0.7·first_sim name term)."""
     nz = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
-    nonempty = (F.col("l__lt_first") != "", F.col("l__lt_nick") != "",
-                F.col("r__lt_first") != "", F.col("r__lt_nick") != "")
-    align = _any_cross_eq(
-        *nonempty,
-        F.col("l__fold_first"), F.col("l__fold_nick"),
-        F.col("r__fold_first"), F.col("r__fold_nick"))
-    nick_eq = (_any_cross_eq(
-        *nonempty,
-        F.col("l__root_first"), F.col("l__root_nick"),
-        F.col("r__root_first"), F.col("r__root_nick"))
-        if cfg.nickname_equivalence else F.lit(False))
+    # set-overlap form of the candidate cross-equality (see
+    # prepare_for_matching _fold_keys/_root_keys): provably equal to
+    # _any_cross_eq over the guarded scalar keys (pinned in
+    # tests/test_scale_patterns.py), ~16× less generated code on the
+    # pair path — the scalar form, inlined twice through the accept
+    # gate, blew the blocked-pair join's whole-stage codegen past
+    # janino's 64 KB method limit and the stage ran interpreted.
+    align = F.arrays_overlap("l__fold_keys", "r__fold_keys")
+    nick_eq = (F.arrays_overlap("l__root_keys", "r__root_keys")
+               if cfg.nickname_equivalence else F.lit(False))
     return (
         pairs
         .withColumn("nick_eq", nick_eq)
@@ -501,6 +516,30 @@ def accepted_edges_fast(pairs: DataFrame,
             (sim >= cfg.first_name_similarity_threshold)
             & (score >= cfg.relaxed_merge_threshold))
 
+    # The categorical vetoes (accepted_edges' non-score clauses) are
+    # sim-independent — factor them out so the whole decision at a
+    # bound is ONE boolean.
+    has_corrob = F.col("corroborators") > 0
+    l_has_core = (F.size("l_name_candidates") > 0) \
+        & (F.coalesce(F.col("l_last_name"), F.lit("")) != "")
+    r_has_core = (F.size("r_name_candidates") > 0) \
+        & (F.coalesce(F.col("r_last_name"), F.lit("")) != "")
+    both_named = (F.size("l_name_candidates") > 0) \
+        & (F.size("r_name_candidates") > 0)
+    name_level = (F.col("names_align") | F.col("nick_eq")
+                  | F.col("emails_overlap") | F.col("linkedin_match"))
+    linkedin_side = \
+        (F.lower(F.coalesce("l_source", F.lit(""))) == "linkedin") \
+        | (F.lower(F.coalesce("r_source", F.lit(""))) == "linkedin")
+    strict = (F.col("l__fold_last") == F.col("r__fold_last")) \
+        & (F.col("names_align") | F.col("nick_eq")) \
+        & (F.col("l__fold_suffix") == F.col("r__fold_suffix"))
+    vetoes = ~((~l_has_core | ~r_has_core) & ~has_corrob) \
+        & ~(both_named & ~name_level) \
+        & ~(linkedin_side & ~F.col("emails_overlap") & ~strict)
+    if cfg.require_corroborator:
+        vetoes = vetoes & has_corrob
+
     # ONE pass — a filter+union split would re-execute the whole pair
     # join per branch. The UDF still runs over every row, but decided
     # rows ship an explicit needs=False flag plus NULL name inputs
@@ -508,21 +547,33 @@ def accepted_edges_fast(pairs: DataFrame,
     # them in ~0.1 µs instead of difflib µs. The flag — not null-ness —
     # controls skipping, so genuinely NULL-named pairs that DO need the
     # ratio still get the reference fallback semantics.
-    sig = sig.withColumn("_lb", lb).withColumn("_ub", ub)
-    needs = gate(F.col("_ub")) & ~gate(F.col("_lb"))
+    #
+    # The FULL decision at each bound (gate ∧ vetoes) is computed
+    # pre-UDF, and the final filter is `_acc_lb OR (needs AND
+    # gate(udf_sim))` over those boolean columns plus the UDF output.
+    # Shape matters as much as semantics here: Catalyst's logical
+    # pushdown substitutes projected expressions into filter
+    # conditions, and the previous formulation (filter over
+    # first_sim/score columns, each expanding the _lb/_ub levenshtein
+    # bound trees) inflated the post-join filter's generated code past
+    # janino's 64 KB method limit — the whole pair stage silently fell
+    # back to interpreted execution. With the decision folded into two
+    # pre-UDF booleans the substituted condition stays small.
+    # Equivalence with the unpruned path is pinned in
+    # tests/test_scale_patterns.py; vetoed pairs now also skip the UDF
+    # (they previously ran it and were rejected afterwards).
+    sig = (sig.withColumn("_lb", lb).withColumn("_ub", ub)
+           .withColumn("_acc_lb", gate(F.col("_lb")) & vetoes)
+           .withColumn("_acc_ub", gate(F.col("_ub")) & vetoes))
+    needs = F.col("_acc_ub") & ~F.col("_acc_lb")
     masked = [F.when(needs, F.col(c)) for c in
               ("l_first_name", "l_nickname", "r_first_name", "r_nickname")]
     raw_sim = _udf_best_first_sim_masked(needs, *masked)
-    first_sim = (
-        F.when(gate(F.col("_lb")), F.col("_lb"))
-        .when(needs, F.greatest(
-            raw_sim, F.when(F.col("nick_eq"), F.lit(0.96))
-            .otherwise(F.lit(0.0))))
-        .otherwise(F.col("_ub")))
-    scored = (sig.withColumn("first_sim", first_sim)
-              .withColumn("score", 0.7 * F.col("first_sim") + F.col("ev"))
-              .drop("ev", "_lb", "_ub"))
-    return accepted_edges(scored, cfg)
+    udf_sim = F.greatest(
+        raw_sim, F.when(F.col("nick_eq"), F.lit(0.96)).otherwise(F.lit(0.0)))
+    ok = F.col("_acc_lb") | (needs & gate(udf_sim))
+    return sig.filter(ok).select(F.col("l_rid").alias("src"),
+                                 F.col("r_rid").alias("dst"))
 
 
 # ---------------------------------------------------------------------------
@@ -603,9 +654,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 
     vertices: one column `id`; edges: (src, dst) undirected.
     """
-    # The edge list is loop-invariant: materialize it ONCE. Without this
-    # every round re-executes the whole upstream edge plan (source scan,
-    # window shuffles, distinct) — at 100 TB that is N full corpus reads.
+    # The edge list is loop-invariant: materialize it ONCE — and BEFORE
+    # symmetrizing. A union's two branches are separate subplans, so
+    # checkpointing only the symmetrized union executes the whole
+    # upstream edge pipeline (pair join + gate UDF + filter) TWICE.
+    # Lazy checkpoint: both union branches reference the SAME marked
+    # RDD, so the sym materialization below triggers exactly one
+    # execution of the gate — no extra eager job.
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))) \
         .localCheckpoint()

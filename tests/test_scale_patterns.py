@@ -312,3 +312,60 @@ def test_py_trim_matches_python_strip(spark):
            for r in df.select("s", _py_trim(F.col("s")).alias("t")).collect()]
     for s, t in got:
         assert t == s.strip(), repr((s, t, s.strip()))
+
+
+def test_fold_key_overlap_equals_scalar_cross_eq(spark):
+    """The pair path's arrays_overlap over _fold_keys/_root_keys must
+    equal the scalar guarded cross-equality (_any_cross_eq) on every
+    candidacy edge case: empty strings, whitespace-only names (Python
+    strip semantics), names folding to '' (combining marks), and
+    missing nicknames."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        _any_cross_eq,
+    )
+
+    names = ["Anna", "anna ", "ANNA", "Bob", "", "  ", "̀",
+             "Anǹa", None, "bob"]
+    rows = []
+    rid = 0
+    for first in names:
+        for nick in names:
+            rows.append(_record(source="gmail", source_row_id=str(rid),
+                                first_name=first or "", nickname=nick or "",
+                                last_name="Same", full_name="x"))
+            rid += 1
+    df = spark.createDataFrame(rows, CONTACT_SCHEMA)
+    prepared = prepare_for_matching(df)
+    pairs = candidate_pairs(prepared)
+    nonempty = (F.col("l__lt_first") != "", F.col("l__lt_nick") != "",
+                F.col("r__lt_first") != "", F.col("r__lt_nick") != "")
+    # the scalar fold/root columns are still on prepared; re-join them
+    # onto the pair frame for the reference computation
+    scalars = prepared.select(
+        F.col("rid"), "_fold_first", "_fold_nick",
+        "_root_first", "_root_nick")
+    enriched = (pairs
+                .join(scalars.select(*[F.col(c).alias(f"l_{c}")
+                                       for c in scalars.columns]),
+                      "l_rid")
+                .join(scalars.select(*[F.col(c).alias(f"r_{c}")
+                                       for c in scalars.columns]),
+                      "r_rid"))
+    ref_align = _any_cross_eq(
+        *nonempty,
+        F.col("l__fold_first"), F.col("l__fold_nick"),
+        F.col("r__fold_first"), F.col("r__fold_nick"))
+    ref_nick = _any_cross_eq(
+        *nonempty,
+        F.col("l__root_first"), F.col("l__root_nick"),
+        F.col("r__root_first"), F.col("r__root_nick"))
+    cmp = enriched.select(
+        "l_rid", "r_rid",
+        F.arrays_overlap("l__fold_keys", "r__fold_keys").alias("new_a"),
+        F.coalesce(ref_align, F.lit(False)).alias("ref_a"),
+        F.arrays_overlap("l__root_keys", "r__root_keys").alias("new_n"),
+        F.coalesce(ref_nick, F.lit(False)).alias("ref_n"))
+    assert cmp.count() > 1000
+    bad = cmp.filter((F.col("new_a") != F.col("ref_a"))
+                     | (F.col("new_n") != F.col("ref_n"))).count()
+    assert bad == 0
