@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "ann_quantized_topk",
     "ta_vocab_topk",
     "st_stream_near_dup_flags",
+    "curate_corpus",
 ]
 
 

@@ -1262,3 +1262,122 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ta.vocab_topk(docs, "doc_id", "text", k=100)
+
+
+# End-to-end corpus curation -------------------------------------------------
+
+
+@query(
+    "curate_corpus",
+    survey="LLM-curation(end-to-end)",
+    doc="The COMPOSED training-data curation pipeline "
+        "(operators/curation.py): quality filter (score >= 90) -> "
+        "8-gram benchmark decontamination vs the eval slice "
+        "(doc_id % 10 == 0) -> MinHash-LSH keep-first dedup -> "
+        "per-language stratified downsampling (en 600 / de 800 "
+        "permille) -> md5 shard assignment. One row per surviving "
+        "doc: (doc_id, lang, shard). The oracle recomputes every "
+        "stage in SQL — quality formula, clamped n-gram overlap, "
+        "exact-Jaccard pairs + recursive-CTE closure restricted to "
+        "the clean subset, Knuth-hash sampling, md5 shards — so the "
+        "whole composition (including stage ORDER) is value-checked "
+        "cross-engine.",
+    oracle="""
+        WITH RECURSIVE
+        s AS (
+            SELECT doc_id, lang, text,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        qual AS (
+            SELECT doc_id, lang, text FROM s WHERE
+              (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+            + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
+                         BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+            + (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0
+                    THEN 20 ELSE 0 END)
+            + (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2
+                    THEN 10 ELSE 0 END) >= 90
+        ),
+        wq AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+            FROM qual
+        ),
+        gq AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 7, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 7, 1) + 1)])
+                       AS grams
+            FROM wq
+        ),
+        ev AS (
+            SELECT DISTINCT unnest(
+                list_distinct([array_to_string(
+                    w[i:least(i + 7, len(w))], ' ')
+                    for i in range(1, greatest(len(w) - 7, 1) + 1)])) AS gg
+            FROM (SELECT string_split(trim(text), ' ') AS w
+                  FROM documents WHERE doc_id % 10 = 0)
+        ),
+        contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM (SELECT doc_id, unnest(grams) AS gg FROM gq) g
+            JOIN ev USING (gg)
+        ),
+        clean AS (
+            SELECT doc_id, lang, w FROM wq
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        sh3 AS (
+            SELECT doc_id, lang,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s3
+            FROM clean
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s3, b.s3)) * 1.0
+                        / len(list_distinct(list_concat(a.s3, b.s3))), 6)
+                  >= 0.8
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        kept AS (
+            SELECT c.doc_id, c.lang FROM sh3 c LEFT JOIN rep r USING (doc_id)
+            WHERE COALESCE(LEAST(r.mn, c.doc_id), c.doc_id) = c.doc_id
+        ),
+        sampled AS (
+            SELECT doc_id, lang FROM kept
+            WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
+                  CASE WHEN lang = 'en' THEN 600
+                       WHEN lang = 'de' THEN 800 ELSE 1000 END
+        )
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 8 AS BIGINT) AS shard
+        FROM sampled ORDER BY doc_id
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.curation import (
+        curate_corpus as _curate,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return _curate(train, ev, rates_permille={"en": 600, "de": 800})

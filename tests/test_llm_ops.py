@@ -575,3 +575,34 @@ def test_vocab_topk_rank_and_counts(spark):
     out = vocab_topk(df, "doc_id", "text", k=3).collect()
     assert [(r["rank"], r["token"], r["n_occurrences"], r["n_docs"])
             for r in out] == [(1, "a", 5, 3), (2, "b", 3, 2), (3, "c", 2, 2)]
+
+
+def test_curate_corpus_stage_monotonicity(spark, sf_small):
+    """Each curation stage only removes docs; survivors carry valid
+    shards; dropped quality/contaminated/dup docs are really gone."""
+    from contacts_etl_phase21_spark.operators.curation import curate_corpus
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = curate_corpus(train, ev, rates_permille={"en": 600, "de": 800})
+    rows = out.collect()
+    assert 0 < len(rows) < train.count()
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    survivors = {r["doc_id"] for r in rows}
+    # no survivor is low-quality
+    lowq = {r["doc_id"] for r in train.filter(
+        quality_score(F.col("text")) < 90).select("doc_id").collect()}
+    assert not (survivors & lowq)
+    # no survivor is contaminated
+    qual = train.filter(quality_score(F.col("text")) >= 90)
+    cont = {r["doc_id"] for r in
+            contamination_flags(qual, ev, "doc_id", "text", n=8)
+            .filter(F.col("contaminated") == 1).collect()}
+    assert not (survivors & cont)
