@@ -60,8 +60,13 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame,
             .join(ev, "g")
             .groupBy("doc")
             .agg(F.count(F.lit(1)).alias("n_hits")))
+    # hits holds CONTAMINATED docs only — in a decontamination setting
+    # a small fraction of the corpus — so the flag join-back is also a
+    # broadcast: the corpus is never shuffled anywhere in this
+    # operator. (If contamination were somehow corpus-scale, drop the
+    # hint and this becomes one shuffle on id.)
     return (train.select(F.col(id_col).alias("doc"))
-            .join(hits, "doc", "left")
+            .join(broadcast(hits), "doc", "left")
             .select(F.col("doc").alias(id_col),
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1)

@@ -1,0 +1,171 @@
+"""Corpus-operator scale bench (LLM-pipeline ops at 10^5-10^7 docs).
+
+The driver testdata caps `documents` at 5k rows (sf0.1) — three orders
+below where corpus-op plan shapes start to matter. This protocol
+generates N synthetic documents DECLARATIVELY (pure column expressions
+over a range — no driver-side rows, no RNG) with planted near-dup
+pairs, and times the headline corpus operators end to end:
+
+- dd_exact:   order-insensitive fingerprint groups (hash groupBy)
+- dd_lsh:     MinHash+LSH verified near-dup pairs (the 100 TB path)
+- dd_keep:    end-to-end keep-first dedup (LSH pairs + components)
+- ta_scan:    language-id + quality + token counts in one projection
+- decontam:   broadcast 8-gram overlap vs a 1% eval slice
+- ann_lsh:    sign-LSH top-10 over N synthetic 64-dim embeddings
+
+Corpus construction: doc i has 50 tokens, token j = "w<h>" where
+h = xxhash64(i, j) % vocab (vocab 50k) — deterministic,
+properly mixed (a LINEAR formula here makes every pair of docs whose
+starts differ by one step share 47/48 shingles — the whole corpus
+becomes one near-dup chain), re-runnable at any partitioning. Planted
+structure: i % 97 == 3 docs are EXACT copies of doc i-3;
+i % 50 == 1 docs copy doc i-1 except the last token (49/50 tokens
+shared -> Jaccard ~0.9 near-dups). Train docs at i ≡ 1 (mod 100) are
+near-copies of eval docs (i-1 ≡ 0 mod 100), so decontamination has a
+planted ~1% contaminated slice.
+
+Usage:  python tools/bench_corpus.py [N ...]   (default: 1e5 1e6)
+Prints one JSON line per N:
+  {"metric": "corpus_ops_sec", "docs": N, "stages": {...},
+   "value": total, "unit": "sec"}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from contacts_etl_phase21_spark.session import get_spark  # noqa: E402
+
+VOCAB = 50_000
+DOC_TOKENS = 50
+DIM = 64
+
+
+def synthetic_docs(spark: SparkSession, n: int) -> DataFrame:
+    """(doc_id, text, lang) — declarative generator, no driver rows."""
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    # exact dup: i % 97 == 3 copies doc i-3 wholesale; near-dup:
+    # i % 50 == 1 copies doc i-1 except the last token
+    src = F.when(F.col("doc_id") % 97 == 3, F.col("doc_id") - 3) \
+        .when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1) \
+        .otherwise(F.col("doc_id"))
+    tok = (
+        lambda i, j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(i, j), F.lit(VOCAB)).cast("string")))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(DOC_TOKENS - 1)),
+        lambda j: F.when(
+            (F.col("doc_id") % 50 == 1) & (F.col("doc_id") % 97 != 3)
+            & (j == DOC_TOKENS - 1),
+            tok(F.col("doc_id"), j)).otherwise(tok(src, j)))
+    return base.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("es"),
+                             F.lit("fr"), F.lit("zh")),
+                     (F.col("doc_id") % 5 + 1).cast("int")).alias("lang"))
+
+
+def synthetic_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    comp = lambda j: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(104729))
+        .cast("double") / 104729.0 - 0.5)
+    return base.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)),
+                    lambda j: comp(j).cast("float")).alias("embedding"))
+
+
+def run_once(spark: SparkSession, n: int) -> dict:
+    from contacts_etl_phase21_spark.operators import dedup as dd
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+    from contacts_etl_phase21_spark.operators import text_analysis as ta
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+
+    stages: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    docs = synthetic_docs(spark, n) \
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+    docs.count()
+    stages["generate"] = round(time.perf_counter() - t_all, 1)
+
+    t0 = time.perf_counter()
+    n_exact = dd.exact_duplicates(
+        docs, "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+"))), " "))).count()
+    stages["dd_exact"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    n_lsh = dd.minhash_lsh_pairs(docs, "doc_id", "text").count()
+    stages["dd_lsh"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    n_kept = dd.dedup_keep_first(docs, "doc_id", "text") \
+        .filter(F.col("kept") == 1).count()
+    stages["dd_keep"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    scan = docs.select(
+        "doc_id",
+        ta.predict_language(F.col("text")).alias("predicted"),
+        ta.quality_score(F.col("text")).alias("quality"),
+        ta.whitespace_token_count(F.col("text")).alias("n_tokens"))
+    scan_row = scan.agg(F.count(F.lit(1)), F.sum("quality"),
+                        F.sum("n_tokens")).collect()[0]
+    stages["ta_scan"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    n_cont = contamination_flags(train, ev, "doc_id", "text", n=8) \
+        .filter(F.col("contaminated") == 1).count()
+    stages["decontam"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    emb = synthetic_embeddings(spark, n) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    n_ann = ann.lsh_topk(emb, queries, k=10, dim=DIM, bits=8).count()
+    stages["ann_lsh"] = round(time.perf_counter() - t0, 1)
+
+    docs.unpersist()
+    total = round(time.perf_counter() - t_all, 1)
+    return {
+        "metric": "corpus_ops_sec", "docs": n, "stages": stages,
+        "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
+                   "kept": n_kept, "contaminated": n_cont,
+                   "ann_rows": n_ann, "scanned": scan_row[0]},
+        "value": total, "unit": "sec",
+    }
+
+
+def main() -> None:
+    ns = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    spark = get_spark("corpus-ops-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in ns:
+        print(json.dumps(run_once(spark, n)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
