@@ -55,7 +55,13 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame,
     tokens) — matching dedup.with_hashed_shingles semantics.
     """
     ev = broadcast(eval_ngram_set(eval_df, id_col, text_col, n))
-    tr = with_hashed_shingles(train, id_col, text_col, n)
+    # Materialize (doc, sh_h) BEFORE the explode: fused into one span,
+    # Generate re-evaluates its inlined generator expression per
+    # OUTPUT row, so the whole interpreted window-hash chain would run
+    # ~|n-grams-per-doc| times per document — measured 169s vs 4s at
+    # 10^6 docs. Same bounded-persist rationale as the MinHash tier
+    # (one LRU cache entry per distinct input plan).
+    tr = with_hashed_shingles(train, id_col, text_col, n).persist()
     hits = (tr.select("doc", F.explode("sh_h").alias("g"))
             .join(ev, "g")
             .groupBy("doc")

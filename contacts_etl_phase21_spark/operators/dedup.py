@@ -97,14 +97,21 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     per-pair shared count → jaccard. One wide shuffle on shingle, one
     on the pair key; no cartesian anywhere.
     """
-    sh = with_shingles(df, id_col, text_col, n) \
-        .select("doc", "shingles", F.size("shingles").alias("n_sh"))
+    # Hash inside the MATERIALIZED projection and explode the plain
+    # attribute: Generate re-evaluates an inlined non-cheap generator
+    # per OUTPUT row — fused, the interpreted shingling/hash chain
+    # would re-run ~|shingles| times per doc (see
+    # decontamination.contamination_flags; measured 40× at 10^6 docs).
     # Join on the 64-bit shingle hash, not the string: ~4× smaller
     # shuffle, same counts (collision odds ≪ 1e-6 at corpus scale).
+    sh = with_shingles(df, id_col, text_col, n) \
+        .select("doc",
+                F.size("shingles").alias("n_sh"),
+                F.transform("shingles", lambda s: F.xxhash64(s))
+                .alias("sh_h")) \
+        .persist()
     posting = sh.select(
-        "doc", "n_sh",
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s)))
-        .alias("shingle"))
+        "doc", "n_sh", F.explode("sh_h").alias("shingle"))
     left = posting.select(F.col("doc").alias("doc_a"),
                           F.col("n_sh").alias("n_a"), "shingle")
     right = posting.select(F.col("doc").alias("doc_b"),
@@ -197,9 +204,16 @@ def _signature_from_hashed(sh: DataFrame, num_hashes: int) -> DataFrame:
 
 def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
                          n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """Per-doc MinHash signature (see _signature_from_hashed)."""
+    """Per-doc MinHash signature (see _signature_from_hashed).
+
+    The shingle frame is persisted before the signature explode —
+    Generate re-evaluates an inlined generator per OUTPUT row, so an
+    unmaterialized sh_h would re-run the window-hash chain ~|shingles|
+    times per doc (minhash_lsh_pairs persists it for reuse anyway;
+    this standalone entry needs the same barrier)."""
     return _signature_from_hashed(
-        with_hashed_shingles(df, id_col, text_col, n), num_hashes)
+        with_hashed_shingles(df, id_col, text_col, n).persist(),
+        num_hashes)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
