@@ -236,18 +236,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # distinct input, not per call.
     sh = with_hashed_shingles(df, id_col, text_col, n).persist()
     sig = _signature_from_hashed(sh, num_hashes)
-    # Band + explode in ONE projection: the signature expression is
-    # referenced exactly once, so Catalyst evaluates it once per row
-    # (separate per-band columns would re-inline — and recompute — the
-    # whole signature for every band).
-    buckets = sig.select(
+    # Band array MATERIALIZED (persist), then explode the attribute —
+    # two reasons, both measured (1.8× on the LSH stage at 10^6 docs,
+    # identical pairs): (a) Generate re-evaluates an inlined generator
+    # per OUTPUT row (the 16-struct band array would be built 16× per
+    # doc — the explode pitfall, PLANS.md); (b) the candidate
+    # self-join's two sides are separate subplans, so an
+    # unmaterialized bucket frame computes the signature agg + banding
+    # TWICE. The cache entry is (doc, 16×(int,long)) — no vectors, no
+    # text; ~50 B/doc.
+    bba = sig.select(
         "doc",
-        F.explode(F.transform(
+        F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.cast("int").alias("band"),
                 F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
-                .alias("bucket")))).alias("bb"))
+                .alias("bucket"))).alias("bba")).persist()
+    buckets = bba.select("doc", F.explode("bba").alias("bb"))
     l = buckets.select(F.col("doc").alias("doc_a"), "bb")
     r = buckets.select(F.col("doc").alias("doc_b"), "bb")
     candidates = (
