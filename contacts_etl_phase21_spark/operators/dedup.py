@@ -397,9 +397,14 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     """SimHash near-dup pairs: 64-bit fingerprint (pandas UDF over
     token arrays), blocked on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
     ≥1 identical chunk of 4), verified with exact popcount."""
+    # persist: the chunk self-join's two sides are separate subplans —
+    # unmaterialized, the pandas-UDF fingerprint pass (the corpus-scale
+    # stage) would run TWICE over the corpus (same lesson as the
+    # MinHash band array, PLANS.md). Cache entry is (doc, long).
     fp = widen(df).select(
         F.col(id_col).alias("doc"),
-        _udf_simhash(F.split(F.trim(F.col(text_col)), r"\s+")).alias("simhash"))
+        _udf_simhash(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("simhash")).persist()
     chunks = fp.select(
         "doc", "simhash",
         F.explode(F.array(*[
