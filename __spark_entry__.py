@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "ta_vocab_topk",
     "st_stream_near_dup_flags",
     "curate_corpus",
+    "ta_corpus_stats",
 ]
 
 

@@ -1381,3 +1381,51 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return _curate(train, ev, rates_permille={"en": 600, "de": 800})
+
+
+@query(
+    "ta_corpus_stats",
+    survey="LLM-text(stats)",
+    doc="Corpus report card: per-(lang, source) document/token/char "
+        "counts and mean quality score — the audit table a curation "
+        "run publishes beside its output. ONE groupBy over scan-side "
+        "column arithmetic (map-side combined; 100 groups out of the "
+        "shuffle regardless of corpus size).",
+    oracle="""
+        WITH s AS (
+            SELECT lang, source,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               ROUND(AVG(
+                 (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+               + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
+                            BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+               + (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0
+                       THEN 20 ELSE 0 END)
+               + (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2
+                       THEN 10 ELSE 0 END)), 4) AS mean_quality
+        FROM s GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (docs
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ta.whitespace_token_count(F.col("text")).cast("long"))
+                 .alias("total_tokens"),
+                 F.sum(F.length("text").cast("long")).alias("total_chars"),
+                 F.round(F.avg(ta.quality_score(F.col("text"))
+                               .cast("double")), 4).alias("mean_quality"))
+            .orderBy("lang", "source"))

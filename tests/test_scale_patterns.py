@@ -369,3 +369,46 @@ def test_fold_key_overlap_equals_scalar_cross_eq(spark):
     bad = cmp.filter((F.col("new_a") != F.col("ref_a"))
                      | (F.col("new_n") != F.col("ref_n"))).count()
     assert bad == 0
+
+
+def test_llm_op_plan_shapes(spark, sf_small):
+    """Pin the physical-plan properties the scale story depends on:
+    broadcast probes, cache reuse across self-join sides, shuffle-free
+    generators, heap top-k."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import dedup as dd
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_flags,
+    )
+    from contacts_etl_phase21_spark.operators.sampling import epoch_mix
+    from contacts_etl_phase21_spark.operators.text_analysis import vocab_topk
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    docs = load(spark, sf_small, "documents")
+
+    # decontamination: BOTH joins broadcast — the corpus never shuffles
+    p = plan(contamination_flags(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text"))
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+    # epoch mix: pure scan-side generator — no exchange anywhere
+    p = plan(epoch_mix(docs.select("doc_id", "lang"), "doc_id", "lang",
+                       {"en": 2300}))
+    assert "Exchange" not in p and "Generate" in p
+
+    # vocab: heap top-k (TakeOrdered), not a global sort
+    p = plan(vocab_topk(docs, "doc_id", "text", k=10))
+    assert "TakeOrdered" in p and "Sort " not in p
+
+    # minhash LSH: both candidate-join sides read the persisted band
+    # array (InMemoryTableScan), so signatures compute once
+    p = plan(dd.minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert p.count("InMemoryTableScan") >= 2
+
+    # simhash: fingerprint UDF pass materialized once for both sides
+    p = plan(dd.simhash_pairs(docs, "doc_id", "text"))
+    assert p.count("InMemoryTableScan") >= 2
