@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "st_stream_near_dup_flags",
     "curate_corpus",
     "ta_corpus_stats",
+    "ann_brute_blas_topk",
 ]
 
 

@@ -58,7 +58,9 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
         return {(r["query_id"], r["vec_id"]) for r in
                 df.select("query_id", "vec_id").collect()}
 
-    truth = pairs(ann.brute_force_topk(emb, queries, k=k))
+    # ground truth from the BLAS exact tier — identical results to the
+    # declarative brute (pinned in tests), ~20× faster to compute
+    truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
     configs = {
         "ann_recall_at_10_lsh_t1": lambda: ann.lsh_topk(
             emb, queries, k=k, dim=64, bits=8, n_tables=1),

@@ -1429,3 +1429,38 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(ta.quality_score(F.col("text"))
                                .cast("double")), 4).alias("mean_quality"))
             .orderBy("lang", "source"))
+
+
+@query(
+    "ann_brute_blas_topk",
+    survey="LLM-similarity-search(brute-blas)",
+    doc="Exact cosine top-10 via the BLAS tier "
+        "(similarity_search.brute_force_topk_blas): one numpy GEMM "
+        "per Arrow batch against the broadcast query matrix, "
+        "per-batch top-k in the kernel, global window over "
+        "|batches|x|queries|xk candidates only. Same oracle as "
+        "ann_brute_topk — two implementations (declarative zip_with "
+        "vs vectorized mapInPandas), one cross-engine check.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) AS cosine
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+)
+def ann_brute_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann.brute_force_topk_blas(emb, queries, k=10)

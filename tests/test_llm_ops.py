@@ -606,3 +606,16 @@ def test_curate_corpus_stage_monotonicity(spark, sf_small):
             contamination_flags(qual, ev, "doc_id", "text", n=8)
             .filter(F.col("contaminated") == 1).collect()}
     assert not (survivors & cont)
+
+
+def test_brute_blas_equals_declarative(spark, sf_small):
+    """The BLAS exact tier must return bit-identical (query, rank,
+    vec_id, cosine) rows to the declarative zip_with tier."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    decl = {tuple(r) for r in
+            ann.brute_force_topk(emb, queries, k=10).collect()}
+    blas = {tuple(r) for r in
+            ann.brute_force_topk_blas(emb, queries, k=10).collect()}
+    assert decl == blas and len(decl) == 100

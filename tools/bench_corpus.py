@@ -141,11 +141,16 @@ def run_once(spark: SparkSession, n: int) -> dict:
 
     t0 = time.perf_counter()
     emb = synthetic_embeddings(spark, n) \
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism).persist()
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding")
     n_ann = ann.lsh_topk(emb, queries, k=10, dim=DIM, bits=8).count()
     stages["ann_lsh"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    n_blas = ann.brute_force_topk_blas(emb, queries, k=10).count()
+    stages["ann_brute_blas"] = round(time.perf_counter() - t0, 1)
+    emb.unpersist()
 
     docs.unpersist()
     total = round(time.perf_counter() - t_all, 1)
@@ -153,7 +158,8 @@ def run_once(spark: SparkSession, n: int) -> dict:
         "metric": "corpus_ops_sec", "docs": n, "stages": stages,
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
                    "kept": n_kept, "contaminated": n_cont,
-                   "ann_rows": n_ann, "scanned": scan_row[0]},
+                   "ann_rows": n_ann, "ann_blas_rows": n_blas,
+                   "scanned": scan_row[0]},
         "value": total, "unit": "sec",
     }
 
