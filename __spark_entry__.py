@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "curate_corpus",
     "ta_corpus_stats",
     "ann_brute_blas_topk",
+    "ta_encode_tokens",
 ]
 
 

@@ -1464,3 +1464,61 @@ def ann_brute_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return ann.brute_force_topk_blas(emb, queries, k=10)
+
+
+@query(
+    "ta_encode_tokens",
+    survey="LLM-text(encode)",
+    doc="Dictionary token encoding — the corpus-to-training-ids step: "
+        "tokens are mapped to their rank in the induced top-100 "
+        "vocabulary (ta_vocab_topk), out-of-vocab -> 0. The vocab is "
+        "a BROADCAST dictionary (vocabularies are ~100k entries at "
+        "any corpus size), so encoding is a map-side join fused into "
+        "the token explode — the corpus is never shuffled. Output is "
+        "one (doc_id, pos, token_id) row per token (scalar-typed per "
+        "the registry rule; a production sink would re-assemble "
+        "arrays at write time).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (
+                SELECT doc_id,
+                       unnest([{'pos': i, 'tok': w[i]}
+                               for i in range(1, len(w) + 1)]) AS u
+                FROM toks)
+        ),
+        counts AS (
+            SELECT tok AS token, COUNT(*) AS n
+            FROM flat GROUP BY tok
+        ),
+        ranked AS (
+            SELECT token,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC)
+                        AS INT) AS rank
+            FROM counts ORDER BY rank LIMIT 100
+        )
+        SELECT f.doc_id, CAST(f.pos AS INT) AS pos,
+               CAST(COALESCE(r.rank, 0) AS INT) AS token_id
+        FROM flat f LEFT JOIN ranked r ON f.tok = r.token
+        ORDER BY f.doc_id, f.pos
+    """,
+)
+def ta_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = ta.vocab_topk(docs, "doc_id", "text", k=100) \
+        .select("token", "rank")
+    flat = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("pos0", "token"))
+    return (flat.join(broadcast(vocab), "token", "left")
+            .select("doc_id",
+                    (F.col("pos0") + 1).cast("int").alias("pos"),
+                    F.coalesce(F.col("rank"), F.lit(0)).cast("int")
+                    .alias("token_id"))
+            .orderBy("doc_id", "pos"))
