@@ -21,7 +21,7 @@ from contacts_etl_phase21_spark.io import load
 from contacts_etl_phase21_spark.operators.entity_resolution import (
     connected_components,
 )
-from contacts_etl_phase21_spark.plans.registry import query
+from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
 
 # --------------------------------------------------------------------------
 # E1: blocking-key assignment + block statistics
@@ -37,7 +37,7 @@ from contacts_etl_phase21_spark.plans.registry import query
     oracle="""
         SELECT c_nationkey, c_mktsegment,
                COUNT(*) AS block_size,
-               COUNT(*) * (COUNT(*) - 1) / 2 AS pair_cost
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pair_cost
         FROM customer
         GROUP BY c_nationkey, c_mktsegment
         ORDER BY c_nationkey, c_mktsegment
@@ -45,10 +45,13 @@ from contacts_etl_phase21_spark.plans.registry import query
 )
 def e1_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
+    # pair_cost is a whole number — emitted as BIGINT per the registry's
+    # no-raw-doubles rule (both engines' `/` would otherwise yield DOUBLE).
     return (
         customer.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count("*").alias("block_size"),
-             (F.count("*") * (F.count("*") - 1) / 2).alias("pair_cost"))
+             (F.count("*") * (F.count("*") - 1) / 2).cast("long")
+             .alias("pair_cost"))
         .orderBy("c_nationkey", "c_mktsegment")
     )
 
@@ -67,7 +70,8 @@ def e1_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block key; the score predicate is pure column algebra.",
     oracle="""
         SELECT l.c_custkey AS l_key, r.c_custkey AS r_key,
-               ROUND(ABS(l.c_acctbal - r.c_acctbal), 2) AS balance_gap
+               CAST(ROUND(ABS(l.c_acctbal - r.c_acctbal) * 100, 0) AS BIGINT)
+                   AS balance_gap_cents
         FROM customer l JOIN customer r
           ON l.c_nationkey = r.c_nationkey
          AND l.c_mktsegment = r.c_mktsegment
@@ -94,8 +98,8 @@ def e2_blocked_pairs_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l_key") < F.col("r_key")))
         .filter(F.abs(F.col("l_bal") - F.col("r_bal")) < 50)
         .select("l_key", "r_key",
-                F.round(F.abs(F.col("l_bal") - F.col("r_bal")), 2)
-                .alias("balance_gap"))
+                F.round(F.abs(F.col("l_bal") - F.col("r_bal")) * 100, 0)
+                .cast("long").alias("balance_gap_cents"))
         .orderBy("l_key", "r_key")
     )
 
@@ -166,21 +170,23 @@ def e5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Single-row dataset summary: counts + presence percentages + "
         "average — one map-side-combined aggregation, no shuffle beyond "
         "the final 1-row combine.",
-    oracle="""
+    oracle=e6_oracle("""
         SELECT COUNT(*) AS total_rows,
                ROUND(100.0 * AVG(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END), 2)
                    AS positive_balance_pct,
                ROUND(AVG(c_acctbal), 2) AS avg_balance
         FROM customer
-    """,
+    """, "positive_balance_pct", "avg_balance"),
 )
 def a2_presence_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
-    return customer.agg(
-        F.count("*").alias("total_rows"),
-        F.round(100.0 * F.avg((F.col("c_acctbal") > 0).cast("int")), 2)
-        .alias("positive_balance_pct"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_balance"))
+    return scale_e6(
+        customer.agg(
+            F.count("*").alias("total_rows"),
+            F.round(100.0 * F.avg((F.col("c_acctbal") > 0).cast("int")), 2)
+            .alias("positive_balance_pct"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance")),
+        "positive_balance_pct", "avg_balance")
 
 
 # --------------------------------------------------------------------------

@@ -20,7 +20,7 @@ from contacts_etl_phase21_spark.functions.spark_cols import (
     udf_seq_ratio,
 )
 from contacts_etl_phase21_spark.io import load
-from contacts_etl_phase21_spark.plans.registry import query
+from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
 
 
 @query(
@@ -148,7 +148,7 @@ def f11_guess_name_from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ratio_exact (= 1.0 exactly on string-equal pairs, NULL "
         "otherwise; ratio = 1 ⟺ equality for difflib). Any difflib "
         "divergence flips a boolean / value and hash-mismatches.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH pairs AS (
             SELECT l.c_custkey AS l_key, r.c_custkey AS r_key,
                    l.c_name AS l_name, r.c_name AS r_name
@@ -165,7 +165,7 @@ def f11_guess_name_from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN l_name = r_name THEN 1.0 END AS ratio_exact
         FROM pairs
         ORDER BY l_key, r_key
-    """,
+    """, "ratio_exact"),
 )
 def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -183,7 +183,7 @@ def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper = F.least(F.lit(2.0) * F.least(la, lb) / total,
                     F.lit(1.0) - lev / total)
     eps = F.lit(1e-9)
-    return (
+    return scale_e6(
         left.join(right, "bucket")
         .filter(F.col("l_key") < F.col("r_key"))
         .select("l_key", "r_key",
@@ -193,8 +193,8 @@ def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("in_bounds"),
                 F.when(F.col("l_name") == F.col("r_name"), ratio)
                 .alias("ratio_exact"))
-        .orderBy("l_key", "r_key")
-    )
+        .orderBy("l_key", "r_key"),
+        "ratio_exact")
 
 
 @query(
@@ -242,25 +242,26 @@ def f18_deterministic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="F25,A2",
     doc="pct with zero-denominator guard (validate_quality.py:17-18) — "
         "share of 'F' orders per customer incl. customers with no orders.",
-    oracle="""
+    oracle=e6_oracle("""
         SELECT c_custkey,
                CASE WHEN COUNT(o_orderkey) = 0 THEN 0.0
                     ELSE ROUND(100.0 * COUNT(o_orderkey) FILTER (WHERE o_orderstatus = 'F')
                                / COUNT(o_orderkey), 2) END AS filled_pct
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
-    """,
+    """, "filled_pct"),
 )
 def f25_pct_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return (
+    return scale_e6(
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n"),
              F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("nf"))
-        .select("c_custkey", col_pct(F.col("nf"), F.col("n")).alias("filled_pct"))
-    )
+        .select("c_custkey",
+                col_pct(F.col("nf"), F.col("n")).alias("filled_pct")),
+        "filled_pct")
 
 
 @query(

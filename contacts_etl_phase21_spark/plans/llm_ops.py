@@ -20,7 +20,7 @@ from contacts_etl_phase21_spark.operators import text_analysis as ta
 from contacts_etl_phase21_spark.operators.multimodal import (
     extract_features, resize_images, sample_frames, with_binary_payload,
 )
-from contacts_etl_phase21_spark.plans.registry import query
+from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
 
 # Shared DuckDB fragments -----------------------------------------------------
 
@@ -83,11 +83,13 @@ def dd_exact_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXACT word-3-gram Jaccard ≥ 0.8 pairs via inverted-index "
         "self-join (explode shingles → equi-join → per-pair overlap). No "
         "cartesian product; the only shuffles are on shingle and pair key.",
-    oracle=_DUCK_JACCARD_PAIRS,
+    oracle=e6_oracle(_DUCK_JACCARD_PAIRS, "jaccard"),
 )
 def dd_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dd.jaccard_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.8)
+    return scale_e6(
+        dd.jaccard_near_duplicates(docs, "doc_id", "text", n=3, threshold=0.8),
+        "jaccard")
 
 
 @query(
@@ -98,12 +100,14 @@ def dd_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "< 1e-3 at j=0.8, so the verified output equals the exact pair "
         "set and shares its oracle; the all-corpus work is one equi-join "
         "on band buckets.",
-    oracle=_DUCK_JACCARD_PAIRS,
+    oracle=e6_oracle(_DUCK_JACCARD_PAIRS, "jaccard"),
 )
 def dd_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text",
-                                n=3, num_hashes=64, bands=16, threshold=0.8)
+    return scale_e6(
+        dd.minhash_lsh_pairs(docs, "doc_id", "text",
+                             n=3, num_hashes=64, bands=16, threshold=0.8),
+        "jaccard")
 
 
 # DuckDB twin of functions/similarity._hash64: md5(f"{seed}:{tok}") first
@@ -162,7 +166,7 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per chunk pair (BLAS, not per-pair interpreted dots). At "
         "100 TB the LSH-bucketed tier generates candidates and this "
         "kernel verifies within buckets.",
-    oracle="""
+    oracle=e6_oracle("""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])),
@@ -171,14 +175,16 @@ def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
         ORDER BY vec_a, vec_b
-    """,
+    """, "cosine"),
 )
 def dd_embedding_cosine_near_dups(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return dd.embedding_cosine_pairs(emb, "vec_id", "embedding",
-                                     threshold=0.45, n_chunks=8) \
-        .orderBy("vec_a", "vec_b")
+    return scale_e6(
+        dd.embedding_cosine_pairs(emb, "vec_id", "embedding",
+                                  threshold=0.45, n_chunks=8)
+        .orderBy("vec_a", "vec_b"),
+        "cosine")
 
 
 @query(
@@ -302,7 +308,7 @@ def dd_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact cosine top-10 for the first 10 vectors as queries: "
         "broadcast queries × one streaming pass over the corpus; "
         "deterministic rank tiebreak on (rounded cosine desc, vec_id).",
-    oracle="""
+    oracle=e6_oracle("""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
             FROM embeddings WHERE vec_id < 10
@@ -318,14 +324,16 @@ def dd_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= 10
-    """,
+    """, "cosine"),
 )
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ann.brute_force_topk(emb, queries, k=10).withColumn(
-        "rank", F.col("rank").cast("int"))
+    return scale_e6(
+        ann.brute_force_topk(emb, queries, k=10).withColumn(
+            "rank", F.col("rank").cast("int")),
+        "cosine")
 
 
 # DuckDB twin of similarity_search.hyperplane_bucket: the plane weights
@@ -370,13 +378,14 @@ _DUCK_LSH_TOPK = f"""
         "scale path; recall vs brute force reported in tests/bench. "
         "The plane weights are a deterministic integer mix, so the "
         "oracle reproduces the bucketing exactly in SQL.",
-    oracle=_DUCK_LSH_TOPK,
+    oracle=e6_oracle(_DUCK_LSH_TOPK, "cosine"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ann.lsh_topk(emb, queries, k=10, dim=64, bits=8)
+    return scale_e6(ann.lsh_topk(emb, queries, k=10, dim=64, bits=8),
+                    "cosine")
 
 
 _DUCK_IVF_TOPK = """
@@ -427,13 +436,14 @@ _DUCK_IVF_TOPK = """
         "partitioned by cell so a query reads n_probe/n_cells of the "
         "data. The quantizer is fully relational, so the oracle "
         "reproduces cell assignment, probing and rerank in SQL.",
-    oracle=_DUCK_IVF_TOPK,
+    oracle=e6_oracle(_DUCK_IVF_TOPK, "cosine"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ann.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+    return scale_e6(ann.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4),
+                    "cosine")
 
 
 @query(
@@ -474,7 +484,7 @@ def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gopher-style quality signals (length, punct ratio, stopword "
         "ratio, mean word length) + composite 0-100 score — pure column "
         "arithmetic, whole-stage codegen over the corpus.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH s AS (
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -497,18 +507,20 @@ def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2 THEN 10 ELSE 0 END)
                AS INT) AS quality
         FROM s
-    """,
+    """, "punct_ratio", "stopword_ratio", "mean_word_len"),
 )
 def ta_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     s = ta.quality_signals(F.col("text"))
-    return docs.select(
-        "doc_id",
-        s["n_tokens"].cast("int").alias("n_tokens"),
-        s["punct_ratio"].alias("punct_ratio"),
-        s["stopword_ratio"].alias("stopword_ratio"),
-        s["mean_word_len"].alias("mean_word_len"),
-        ta.quality_score(F.col("text")).alias("quality"))
+    return scale_e6(
+        docs.select(
+            "doc_id",
+            s["n_tokens"].cast("int").alias("n_tokens"),
+            s["punct_ratio"].alias("punct_ratio"),
+            s["stopword_ratio"].alias("stopword_ratio"),
+            s["mean_word_len"].alias("mean_word_len"),
+            ta.quality_score(F.col("text")).alias("quality")),
+        "punct_ratio", "stopword_ratio", "mean_word_len")
 
 
 @query(
@@ -598,20 +610,22 @@ def sp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column + metadata → mapInPandas feature extraction (stubbed "
         "deterministic decode — codecs absent; Spark plumbing real). "
         "Oracle recomputes the deterministic double from the bytes.",
-    oracle="""
+    oracle=e6_oracle("""
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                CAST(octet_length(encode(text)) % 10 + 1 AS INT) AS n_frames,
                ROUND(ascii(substr(text, 1, 1)) / 255.0, 6) AS feat0
         FROM documents
-    """,
+    """, "feat0"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     feats = extract_features(with_binary_payload(docs), fake=True)
-    return feats.select(
-        "doc_id", "byte_len", "n_frames",
-        F.round(F.element_at("feature", 1), 6).alias("feat0"))
+    return scale_e6(
+        feats.select(
+            "doc_id", "byte_len", "n_frames",
+            F.round(F.element_at("feature", 1), 6).alias("feat0")),
+        "feat0")
 
 
 @query(
@@ -779,7 +793,7 @@ def mm_ppm_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cosine range search: all corpus vectors within similarity >= "
         "0.3 of each query — the radius-query companion to top-k; same "
         "broadcast-queries x streamed-corpus plan, no window needed.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
             FROM embeddings WHERE vec_id < 5
@@ -791,7 +805,7 @@ def mm_ppm_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                            q.q_vec), 6) >= 0.3
         ORDER BY query_id, vec_id
-    """,
+    """, "cosine"),
 )
 def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
@@ -804,12 +818,14 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = broadcast(emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec")))
-    return (emb.crossJoin(q)
-            .select("query_id", "vec_id",
-                    F.round(cosine_col(F.col("embedding"),
-                                       F.col("q_vec")), 6).alias("cosine"))
-            .filter(F.col("cosine") >= 0.3)
-            .orderBy("query_id", "vec_id"))
+    return scale_e6(
+        emb.crossJoin(q)
+        .select("query_id", "vec_id",
+                F.round(cosine_col(F.col("embedding"),
+                                   F.col("q_vec")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("query_id", "vec_id"),
+        "cosine")
 
 
 @query(
@@ -930,7 +946,7 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scan-projection column algebra; bigram counting is one "
         "map-side-combined shuffle on (doc, bigram) — no global "
         "structure, survives 100 TB unchanged.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH t AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -962,11 +978,12 @@ def ta_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS top_bigram_frac
         FROM base b LEFT JOIN top USING (doc_id)
         ORDER BY doc
-    """,
+    """, "dup_token_frac", "top_bigram_frac"),
 )
 def ta_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return ta.repetition_scores(docs, "doc_id", "text").orderBy("doc")
+    return scale_e6(ta.repetition_scores(docs, "doc_id", "text").orderBy("doc"),
+                    "dup_token_frac", "top_bigram_frac")
 
 
 # Training-shard assignment --------------------------------------------------
@@ -1181,7 +1198,7 @@ def sp_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "division at the end — the 4x-smaller memory tier for 100 TB "
         "embedding stores. All pairwise math is exact int64, so the "
         "oracle reproduces every score bit-identically.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
@@ -1222,13 +1239,13 @@ def sp_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ORDER BY qcosine DESC, vec_id ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= 10
-    """,
+    """, "qcosine"),
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ann.quantized_topk(emb, queries, k=10)
+    return scale_e6(ann.quantized_topk(emb, queries, k=10), "qcosine")
 
 
 # Vocabulary induction --------------------------------------------------------
@@ -1281,7 +1298,10 @@ def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact-Jaccard pairs + recursive-CTE closure restricted to "
         "the clean subset, Knuth-hash sampling, md5 shards — so the "
         "whole composition (including stage ORDER) is value-checked "
-        "cross-engine.",
+        "cross-engine. Note the dedup stage's oracle equivalence is "
+        "probabilistic for pairs near j = 0.8: the LSH candidate "
+        "stage has P(miss) = (1-j^4)^16 < 1e-3 at the threshold "
+        "(not exactly 0); no miss occurs on the driver tables.",
     oracle="""
         WITH RECURSIVE
         s AS (
@@ -1390,7 +1410,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts and mean quality score — the audit table a curation "
         "run publishes beside its output. ONE groupBy over scan-side "
         "column arithmetic (map-side combined; 100 groups out of the "
-        "shuffle regardless of corpus size).",
+        "shuffle regardless of corpus size). Registry rule: hashed "
+        "outputs carry no raw doubles — mean quality is emitted as a "
+        "scaled BIGINT (mean_quality_e4 = round(avg*10000)); the "
+        "per-doc scores are integers so the double sum is exact and "
+        "order-independent, making the rounding engine-portable.",
     oracle="""
         WITH s AS (
             SELECT lang, source,
@@ -1406,14 +1430,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                SUM(n_tokens) AS total_tokens,
                SUM(n_chars) AS total_chars,
-               ROUND(AVG(
+               CAST(ROUND(AVG(
                  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
                + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
                             BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
                + (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0
                        THEN 20 ELSE 0 END)
                + (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2
-                       THEN 10 ELSE 0 END)), 4) AS mean_quality
+                       THEN 10 ELSE 0 END)) * 10000, 0) AS BIGINT)
+                 AS mean_quality_e4
         FROM s GROUP BY lang, source
         ORDER BY lang, source
     """,
@@ -1427,7 +1452,8 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_tokens"),
                  F.sum(F.length("text").cast("long")).alias("total_chars"),
                  F.round(F.avg(ta.quality_score(F.col("text"))
-                               .cast("double")), 4).alias("mean_quality"))
+                               .cast("double")) * 10000, 0)
+                 .cast("long").alias("mean_quality_e4"))
             .orderBy("lang", "source"))
 
 
@@ -1441,7 +1467,7 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|batches|x|queries|xk candidates only. Same oracle as "
         "ann_brute_topk — two implementations (declarative zip_with "
         "vs vectorized mapInPandas), one cross-engine check.",
-    oracle="""
+    oracle=e6_oracle("""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
             FROM embeddings WHERE vec_id < 10
@@ -1457,13 +1483,13 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= 10
-    """,
+    """, "cosine"),
 )
 def ann_brute_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ann.brute_force_topk_blas(emb, queries, k=10)
+    return scale_e6(ann.brute_force_topk_blas(emb, queries, k=10), "cosine")
 
 
 @query(

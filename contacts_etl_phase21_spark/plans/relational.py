@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from contacts_etl_phase21_spark.io import load, widen
-from contacts_etl_phase21_spark.plans.registry import query
+from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
 
 # --------------------------------------------------------------------------
 # Flagship: scan → filter → join → agg → sort (TPC-H Q3 shape).
@@ -387,7 +387,8 @@ def j3_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         )
         SELECT bucket, COUNT(*) AS bucket_count,
-               ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+               CAST(ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER () * 10000, 0)
+                    AS BIGINT) AS pct_e4
         FROM b GROUP BY bucket
     """,
 )
@@ -404,8 +405,9 @@ def a3_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     return counted.select(
         "bucket", "bucket_count",
-        F.round(100.0 * F.col("bucket_count") / F.sum("bucket_count").over(w), 2)
-        .alias("pct"),
+        F.round(100.0 * F.col("bucket_count")
+                / F.sum("bucket_count").over(w) * 10000, 0)
+        .cast("long").alias("pct_e4"),
     )
 
 

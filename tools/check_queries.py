@@ -56,7 +56,9 @@ def main() -> int:
               f"{'' if s_names == d_names else d_names}")
         if not ok:
             rc = 1
-            for i, (a, b) in enumerate(zip(sorted(s_rows), sorted(d_rows))):
+            _key = lambda r: tuple(map(str, r))  # noqa: E731 — NULL/mixed-type safe
+            for i, (a, b) in enumerate(zip(sorted(s_rows, key=_key),
+                                           sorted(d_rows, key=_key))):
                 if tuple(map(str, a)) != tuple(map(str, b)):
                     print(f"  first diff row {i}: spark={a} oracle={b}")
                     break
