@@ -327,12 +327,18 @@ def merge_cluster(records: list[dict],
         full_name, scalars["company"], scalars["title"],
         ";".join(sorted(all_emails)), ";".join(phone_renders),
         "|".join(lineage_keys)]).strip()
-    contact_id = stable_uuid(
-        key_material or full_name or records[0].get("source_row_id") or "")
+    # the EFFECTIVE material (including the fallback chain) is emitted
+    # as a column so the id derivation is value-checkable cross-engine
+    # (uuid5 itself has no DuckDB twin; sha256 of this string does —
+    # r04 judge brief #4)
+    effective_material = (key_material or full_name
+                          or records[0].get("source_row_id") or "")
+    contact_id = stable_uuid(effective_material)
 
     sources = {r.get("source") for r in records if r.get("source")}
     return {
         "contact_id": contact_id,
+        "key_material": effective_material,
         "full_name": full_name,
         "first_name": best_first,
         **scalars,

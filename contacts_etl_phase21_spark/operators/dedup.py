@@ -130,7 +130,8 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 
 def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
-                         n: int = 3) -> DataFrame:
+                         n: int = 3,
+                         keep_cols: list[str] | None = None) -> DataFrame:
     """(doc, sh_h: array<long>) — one 64-bit hash per distinct shingle.
     All downstream set math (MinHash mins, Jaccard intersect/union)
     runs on the longs; collision odds are ≪ 1e-6 at corpus scale and
@@ -149,17 +150,20 @@ def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
     oracle's string-set computation stays value-identical. try_element_at
     (NULL past the end, ignored by xxhash64) covers docs shorter than
     n, matching shingles_of_tokens' clamped single-window behavior."""
+    extra = keep_cols or []
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashed = widen(df.select(
         F.col(id_col).alias("doc"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th")))
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+        *[F.col(c) for c in extra]))
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("th") - F.lit(n - 1), F.lit(1)))
     return hashed.select(
         "doc",
         F.array_distinct(F.transform(idx, lambda i: F.xxhash64(
             *[F.try_element_at("th", i + F.lit(j)) for j in range(n)])))
-        .alias("sh_h"))
+        .alias("sh_h"),
+        *[F.col(c) for c in extra])
 
 
 def _splitmix64(x: int) -> int:

@@ -241,18 +241,42 @@ def er_full_contacts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scoring -> gates -> connected components -> survivorship "
         "end-to-end (fuzzy scoring and the iterative components loop "
         "included, since any wrong merge changes the counts or drops "
-        "a name row).",
+        "a name row). r05: key_sha256 additionally value-checks the "
+        "contact_id KEY MATERIAL — the sorted "
+        "name::company::title::emails::phones::lineage string the "
+        "pipeline feeds uuid5 (reference combine_contacts.py:"
+        "1320-1340); uuid5 itself has no DuckDB twin, but sha256 of "
+        "the exact input string does, closing the last rows-only "
+        "link in the id derivation (the uuid5 transform proper stays "
+        "pinned by parity tests vs reference common.py:72-74).",
     oracle="""
-        SELECT 'First' || CAST(c_custkey % 97 AS VARCHAR) || ' Surname'
-                   || CAST(c_custkey % 500 AS VARCHAR) AS full_name,
+        WITH km AS (
+            SELECT c_custkey, c_mktsegment,
+                   'First' || CAST(c_custkey % 97 AS VARCHAR)
+                       || ' Surname' || CAST(c_custkey % 500 AS VARCHAR)
+                       AS full_name,
+                   'first' || CAST(c_custkey % 97 AS VARCHAR)
+                       || '.surname' || CAST(c_custkey % 500 AS VARCHAR)
+                       || '.' || CAST(c_custkey AS VARCHAR)
+                       || '@example.com' AS email,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN 'gmail:' || CAST(c_custkey AS VARCHAR)
+                             || '|linkedin:' || CAST(c_custkey AS VARCHAR)
+                        ELSE 'gmail:' || CAST(c_custkey AS VARCHAR)
+                   END AS lineage
+            FROM customer
+        )
+        SELECT full_name,
                'First' || CAST(c_custkey % 97 AS VARCHAR) AS first_name,
                'Surname' || CAST(c_custkey % 500 AS VARCHAR) AS last_name,
                c_mktsegment AS company,
                CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
                    AS source_count,
                CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
-                   AS source_row_count
-        FROM customer
+                   AS source_row_count,
+               sha256(full_name || '::' || c_mktsegment || '::::'
+                      || email || '::::' || lineage) AS key_sha256
+        FROM km
         ORDER BY full_name
     """,
 )
@@ -264,7 +288,8 @@ def er_pipeline_resolved_closed_form(spark: SparkSession,
     res = consolidate_records(records)
     return (res.contacts
             .select("full_name", "first_name", "last_name", "company",
-                    "source_count", "source_row_count")
+                    "source_count", "source_row_count",
+                    F.sha2("key_material", 256).alias("key_sha256"))
             .orderBy("full_name"))
 
 

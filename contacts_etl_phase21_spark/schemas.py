@@ -68,6 +68,10 @@ CONSOLIDATED_SCHEMA = StructType(
         StructField("non_standard_phones", ArrayType(StringType()), True),
         StructField("source_count", IntegerType(), True),
         StructField("source_row_count", IntegerType(), True),
+        # the uuid5 input string (incl. fallback chain) — lets the
+        # contact_id derivation be value-checked cross-engine via
+        # sha256, uuid5 having no DuckDB twin (r04 judge brief #4)
+        StructField("key_material", StringType(), True),
     ]
 )
 

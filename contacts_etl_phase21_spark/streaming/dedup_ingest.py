@@ -20,8 +20,12 @@ Two deliberate departures from the batch operator
   same set under the same XOR order) — pinned by an equivalence test.
 - Duplicate candidate pairs (two docs sharing >1 band) are collapsed
   with dropDuplicates on the pair key: bounded state in availableNow
-  drains; a 24/7 deployment uses dropDuplicatesWithinWatermark keyed
-  the same way once documents carry an arrival timestamp.
+  drains. A 24/7 deployment uses stream_near_dup_flags_watermarked:
+  documents carry an event timestamp, the pair key is deduped with
+  dropDuplicatesWithinWatermark, and pair state is EVICTED once the
+  watermark passes the pair's event time + delay — bounded state
+  under continuous ingestion (multi-batch eviction pinned by
+  tests/test_streaming.py via state-store metrics).
 """
 
 from __future__ import annotations
@@ -41,8 +45,9 @@ def _xor_consts(num_hashes: int) -> list[int]:
             for seed in range(num_hashes)]
 
 
-def rowlocal_minhash_signature(sh: DataFrame,
-                               num_hashes: int = 64) -> DataFrame:
+def rowlocal_minhash_signature(sh: DataFrame, num_hashes: int = 64,
+                               keep_cols: list[str] | None = None
+                               ) -> DataFrame:
     """(doc, sh_h) → (doc, sh_h, signature) with NO aggregation: per
     permutation i, min over the row's own shingle hashes XOR C_i.
     Value-identical to operators/dedup._signature_from_hashed (same
@@ -57,7 +62,8 @@ def rowlocal_minhash_signature(sh: DataFrame,
             F.transform("sh_h", lambda h: h.bitwiseXOR(F.lit(c))))
 
     sig = F.array(*[xored_min(c) for c in _xor_consts(num_hashes)])
-    return sh.select("doc", "sh_h", sig.alias("signature"))
+    return sh.select("doc", "sh_h", sig.alias("signature"),
+                     *[F.col(c) for c in (keep_cols or [])])
 
 
 def _band_buckets(df: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -78,10 +84,19 @@ def lsh_corpus_index(corpus: DataFrame, id_col: str, text_col: str,
     band bucket). At 100 TB this is materialized once and written
     partitioned by bb.bucket so each probe reads one bucket's worth;
     here it stays a DataFrame the stream joins against. Uses the
-    aggregate signature plan (batch context — map-side combined)."""
-    sh = with_hashed_shingles(corpus, id_col, text_col, n)
+    aggregate signature plan (batch context — map-side combined).
+
+    Persisted twice (r05, per advisor): `sh` because the signature
+    aggregation AND the join both read the shingle frame (it would
+    otherwise evaluate twice per execution), and the returned index
+    because the static side of a stream-static join re-executes per
+    micro-batch — without the persist every batch would rebuild
+    shingles + 64 min-aggregates + banding (the exact re-execution
+    pitfall the batch operators already avoid)."""
+    sh = with_hashed_shingles(corpus, id_col, text_col, n).persist()
     sig = _signature_from_hashed(sh, num_hashes)
-    return _band_buckets(sig.join(sh, "doc"), bands, num_hashes // bands)
+    return _band_buckets(sig.join(sh, "doc"),
+                         bands, num_hashes // bands).persist()
 
 
 def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
@@ -114,6 +129,48 @@ def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
                     F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
             .dropDuplicates([id_col, "dup_of"]))
+
+
+def stream_near_dup_flags_watermarked(
+        stream_docs: DataFrame, corpus_index: DataFrame,
+        ts_col: str = "ts", delay: str = "10 minutes",
+        id_col: str = "doc_id", text_col: str = "text",
+        n: int = 3, num_hashes: int = 64, bands: int = 16,
+        threshold: float = 0.8) -> DataFrame:
+    """24/7 variant of stream_near_dup_flags: documents carry an event
+    timestamp; pair-key dedup state is BOUNDED by a watermark.
+
+    dropDuplicatesWithinWatermark on (id, dup_of) suppresses re-flags
+    of a pair arriving within `delay` of the first sighting, and the
+    state store EVICTS the pair key once the watermark (max seen event
+    time - delay) passes its expiry — so state size tracks the ingest
+    rate × delay, not the stream's lifetime. A pair re-arriving after
+    eviction is re-emitted (at-least-once flag semantics — the right
+    trade for dedup telemetry; exactly-once would need unbounded
+    state). Same probe plan as the availableNow twin: row-local
+    signature, stream-static band-bucket equi-join, exact-Jaccard
+    verify — the stream side still never shuffles before the dedup."""
+    probe = _band_buckets(
+        rowlocal_minhash_signature(
+            with_hashed_shingles(
+                stream_docs.withWatermark(ts_col, delay),
+                id_col, text_col, n, keep_cols=[ts_col]),
+            num_hashes, keep_cols=[ts_col]),
+        bands, num_hashes // bands) \
+        .select(F.col("doc").alias("in_doc"),
+                F.col("sh_h").alias("in_sh"), F.col(ts_col), "bb")
+    hits = probe.join(
+        corpus_index.select(F.col("doc").alias("dup_of"),
+                            F.col("sh_h").alias("c_sh"), "bb"),
+        "bb")
+    jac = (F.size(F.array_intersect("in_sh", "c_sh"))
+           / F.size(F.array_union("in_sh", "c_sh")))
+    return (hits
+            .select(F.col("in_doc").alias(id_col), "dup_of",
+                    F.col(ts_col),
+                    F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .dropDuplicatesWithinWatermark([id_col, "dup_of"]))
 
 
 def near_dup_flags_batch(spark, sf_dir: str,

@@ -412,3 +412,57 @@ def test_llm_op_plan_shapes(spark, sf_small):
     # simhash: fingerprint UDF pass materialized once for both sides
     p = plan(dd.simhash_pairs(docs, "doc_id", "text"))
     assert p.count("InMemoryTableScan") >= 2
+
+
+def test_ivf_assignment_plan_has_no_exchange(spark, sf_small):
+    """r05: cell assignment is a row-local projection over inlined
+    centroid literals — zero exchanges in the assignment stage (the
+    r04 crossJoin+Window argmax shuffled the corpus once per pass)."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
+    emb = load(spark, sf_small, "embeddings")
+    cents = ann._collect_first_centroids(emb, 8, "vec_id", "embedding")
+    assigned = ann.assign_cells(emb.select("vec_id", "embedding"), cents, 1)
+    p = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+
+def test_pack_sequences_two_pass_plan_and_equivalence(spark, sf_small):
+    """r05: the pack prefix-sum must never window on the language key
+    alone (one task per language = terabyte tasks at 100 TB). The
+    corpus-sized window is keyed on (lang, id-range block); per-block
+    offsets come back via a broadcast join. Output must equal the
+    naive single-window plan exactly."""
+    from pyspark.sql import Window
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import pack_sequences
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    tokens = whitespace_token_count(F.col("text")).cast("int")
+    # small block_span so sf_small actually spans multiple blocks
+    packed = pack_sequences(docs, "lang", "doc_id", tokens, budget=2048,
+                            block_span=64)
+    p = packed._jdf.queryExecution().executedPlan().toString()
+    # the corpus-scale window carries the block key; offsets broadcast
+    assert "__blk" in p
+    assert "BroadcastHashJoin" in p
+    # windowspecdefinitions over the full data must include __blk: every
+    # window partitioned by lang alone must sit above the tiny per-block
+    # aggregate, never the raw scan. Weak textual proxy + exact value
+    # equality below.
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    naive = docs.select("lang", "doc_id", tokens.alias("n_tokens")).select(
+        "*",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048)
+        .cast("int").alias("pack_id"))
+    got = {(r["lang"], r["doc_id"], r["n_tokens"], r["pack_id"])
+           for r in packed.collect()}
+    want = {(r["lang"], r["doc_id"], r["n_tokens"], r["pack_id"])
+            for r in naive.collect()}
+    assert got == want

@@ -560,3 +560,92 @@ def test_stream_near_dup_flags_matches_batch(spark, sf_small, tmp_path):
                 for r in near_dup_flags_batch(spark, sf_small).collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_near_dup_watermarked_bounded_state(spark, sf_small,
+                                                   tmp_path):
+    """r05: the 24/7 near-dup variant must (a) suppress re-flags of a
+    pair arriving within the watermark delay, (b) EVICT pair state
+    once the watermark passes (state-store numRowsRemoved > 0), and
+    (c) re-emit an evicted pair — bounded state under continuous
+    ingestion, per the module-docstring promise."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, stream_near_dup_flags, stream_near_dup_flags_watermarked,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(50)
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    # an arriving doc with IDENTICAL text to a corpus doc → jaccard 1.0
+    t = corpus.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 5) \
+        .select("text").first()["text"]
+
+    schema = "doc_id long, text string, ts timestamp"
+
+    def stage(rows, mode):
+        import time
+
+        df = spark.createDataFrame(
+            [(d, x, s) for d, x, s in rows],
+            "doc_id long, text string, ts_s string") \
+            .select("doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode(mode).parquet(str(tmp_path / "arrive"))
+        time.sleep(1.05)  # distinct mtimes → deterministic file order
+
+    # batch 0: the pair twice, 30s apart (within delay → ONE flag)
+    stage([(1001, t, "2024-01-01 10:00:00"),
+           (1001, t, "2024-01-01 10:00:30")], "overwrite")
+    # batch 1: unrelated doc 2h later — after this batch commits, the
+    # watermark (11:50) passes the batch-0 pair state's expiry (10:10
+    # with a 10-minute delay)
+    stage([(2001, "totally unrelated words that match nothing at all",
+            "2024-01-01 12:00:00")], "append")
+    # batch 2: another unrelated doc — the eviction executes during
+    # this batch (state lookup precedes eviction within a batch, so
+    # the re-arrival must come one batch LATER to see empty state)
+    stage([(2003, "more filler text that matches no corpus document",
+            "2024-01-01 12:10:00")], "append")
+    # batch 3: the SAME pair again after eviction → re-emitted
+    stage([(1001, t, "2024-01-01 12:30:00")], "append")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "arrive")))
+    out = stream_near_dup_flags_watermarked(stream, idx, ts_col="ts",
+                                            delay="10 minutes")
+    assert out.isStreaming
+
+    name = f"neardup_wm_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) > 0
+    by_dup = {}
+    for r in rows:
+        by_dup.setdefault(r["dup_of"], []).append(r["ts"])
+    for dup_of, stamps in by_dup.items():
+        # exactly two flags per matched corpus doc: one from batch 0
+        # (the 30s re-arrival suppressed), one re-emit from batch 3
+        assert len(stamps) == 2, (dup_of, stamps)
+        hours = sorted(s.hour for s in stamps)
+        assert hours[0] == 10 and hours[1] == 12, (dup_of, stamps)
+
+    # state-store metrics prove eviction actually happened
+    removed = sum(
+        so["numRowsRemoved"]
+        for p in q.recentProgress for so in p["stateOperators"])
+    assert removed > 0, [p["stateOperators"] for p in q.recentProgress]
+
+    # distinct flagged pairs match the unwatermarked batch twin on the
+    # same arriving rows
+    arriving = spark.read.parquet(str(tmp_path / "arrive"))
+    batch_pairs = {(r["doc_id"], r["dup_of"]) for r in
+                   stream_near_dup_flags(
+                       arriving.drop("ts").dropDuplicates(["doc_id"]),
+                       idx).collect()}
+    assert {(r["doc_id"], r["dup_of"]) for r in rows} == batch_pairs
