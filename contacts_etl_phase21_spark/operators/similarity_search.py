@@ -391,6 +391,110 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _lsh_bucketed(df: DataFrame, vec_col: str, dim: int, bits: int,
+                  n_tables: int, probe: bool) -> DataFrame:
+    """Tag each row with its (table, bucket) struct(s), exploded — one
+    row per table (plus bits Hamming-1 probes per table when probe)."""
+    renamed = df.withColumnRenamed(vec_col, "__vec__")
+    entries = []
+    for t in range(n_tables):
+        bucket = hyperplane_bucket(F.col("__vec__"), dim, bits, t)
+        entries.append(F.struct(F.lit(t).alias("tbl"),
+                                bucket.alias("bucket")))
+        if probe:
+            # XOR with each single-bit mask = flip one hyperplane
+            entries.extend(
+                F.struct(F.lit(t).alias("tbl"),
+                         bucket.bitwiseXOR(F.lit(1 << b))
+                         .alias("bucket"))
+                for b in range(bits))
+    return renamed.withColumn("tb", F.explode(F.array(*entries))) \
+        .withColumnRenamed("__vec__", vec_col)
+
+
+def _lsh_bucketed_blas(df: DataFrame, id_col: str, vec_col: str,
+                       dim: int, bits: int, n_tables: int,
+                       probe: bool) -> DataFrame:
+    """Numpy twin of _lsh_bucketed: ALL table buckets per row from one
+    GEMM against the deterministic plane matrix (w[p, i] =
+    ((p*1000003 + i*7919) % 104729)/104729 - 0.5 — the exact integer
+    mix hyperplane_bucket inlines), emitting (id, tb) rows. Sign
+    parity with the JVM per-plane fold is exact except for dots within
+    ulps of 0 (measure-zero on real data; equality pinned on the test
+    tables). This is the sweep tier: bits×tables interpreted HOF dots
+    per row become one matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    planes = np.arange(n_tables * bits, dtype=np.int64)
+    comps = np.arange(dim, dtype=np.int64)
+    w = (((planes[:, None] * 1000003 + comps[None, :] * 7919) % 104729)
+         / 104729.0 - 0.5)  # (tables*bits, dim)
+    pow2 = (1 << np.arange(bits, dtype=np.int64))
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast(w)
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("tbl", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def kernel(batches):
+        w_ = bw.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            signs = (mat @ w_.T) >= 0  # (n, tables*bits)
+            bk = (signs.reshape(len(ids), n_tables, bits)
+                  * pow2).sum(axis=2)  # (n, tables)
+            rows = []
+            for r in range(len(ids)):
+                for t in range(n_tables):
+                    b0 = int(bk[r, t])
+                    rows.append((int(ids[r]), t, b0))
+                    if probe:
+                        rows.extend((int(ids[r]), t, b0 ^ (1 << b))
+                                    for b in range(bits))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "tbl", "bucket"])
+
+    return (df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+            .select(id_col, F.struct("tbl", "bucket").alias("tb")))
+
+
+def lsh_candidate_pairs(corpus: DataFrame, queries: DataFrame,
+                        dim: int = 64, bits: int = 8, n_tables: int = 1,
+                        multiprobe: bool = False,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        kernel: str = "sql") -> DataFrame:
+    """Distinct (query_id, vec_id) candidate pairs an LSH config would
+    rerank — the COST side of the recall/candidate-fraction frontier
+    (candidate_frac = |pairs| / (|queries| × |corpus|) is the fraction
+    of the corpus a query reads at this config; BASELINE.md records
+    the frontier so a consumer can pick a ≥0.9-recall point).
+    kernel='blas' buckets via the GEMM twin — same pairs, one matmul
+    per Arrow batch instead of bits×tables interpreted dots per row."""
+    bucketer = (_lsh_bucketed_blas if kernel == "blas"
+                else lambda d, i, v, *a: _lsh_bucketed(
+                    d.select(i, v), v, *a))
+    c = widen(corpus.select(id_col, vec_col))
+    c = bucketer(c, id_col, vec_col, dim, bits, n_tables, False) \
+        .select(id_col, "tb")
+    q = broadcast(
+        bucketer(queries, query_id_col, vec_col,
+                 dim, bits, n_tables, multiprobe)
+        .select(query_id_col, "tb"))
+    return c.join(q, "tb").select(query_id_col, id_col).distinct()
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              dim: int = 64, bits: int = 8, n_tables: int = 1,
              multiprobe: bool = False,
@@ -416,26 +520,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     keeps one bucket per table, so corpus storage and the equi-join
     shape are unchanged — the candidate set grows ~(bits+1)x, still a
     tiny corpus fraction at 2^bits buckets."""
-    def bucketed(df: DataFrame, idc: str, probe: bool) -> DataFrame:
-        renamed = df.withColumnRenamed(vec_col, "__vec__")
-        entries = []
-        for t in range(n_tables):
-            bucket = hyperplane_bucket(F.col("__vec__"), dim, bits, t)
-            entries.append(F.struct(F.lit(t).alias("tbl"),
-                                    bucket.alias("bucket")))
-            if probe:
-                # XOR with each single-bit mask = flip one hyperplane
-                entries.extend(
-                    F.struct(F.lit(t).alias("tbl"),
-                             bucket.bitwiseXOR(F.lit(1 << b))
-                             .alias("bucket"))
-                    for b in range(bits))
-        return renamed.withColumn("tb", F.explode(F.array(*entries))) \
-            .withColumnRenamed("__vec__", vec_col)
-
-    c = bucketed(widen(corpus.select(id_col, vec_col)), id_col, False)
-    q = broadcast(bucketed(
-        queries.select(query_id_col, vec_col), query_id_col, multiprobe)
+    c = _lsh_bucketed(widen(corpus.select(id_col, vec_col)), vec_col,
+                      dim, bits, n_tables, False)
+    q = broadcast(_lsh_bucketed(
+        queries.select(query_id_col, vec_col), vec_col,
+        dim, bits, n_tables, multiprobe)
         .select(query_id_col, F.col(vec_col).alias("q_vec"), "tb"))
     scored = c.join(q, "tb").select(
         query_id_col, id_col,

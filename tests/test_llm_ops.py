@@ -619,3 +619,23 @@ def test_brute_blas_equals_declarative(spark, sf_small):
     blas = {tuple(r) for r in
             ann.brute_force_topk_blas(emb, queries, k=10).collect()}
     assert decl == blas and len(decl) == 100
+
+
+def test_lsh_candidate_pairs_blas_matches_sql(spark, sf_small):
+    """The GEMM bucketing twin must produce the exact same candidate
+    pair set as the declarative per-plane fold (same integer-mix plane
+    weights; sign parity holds unless a dot sits within ulps of 0)."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    for bits, tables, mp in [(8, 2, False), (6, 4, True)]:
+        sql_pairs = {(r["query_id"], r["vec_id"]) for r in
+                     ann.lsh_candidate_pairs(
+                         emb, queries, dim=64, bits=bits, n_tables=tables,
+                         multiprobe=mp).collect()}
+        blas_pairs = {(r["query_id"], r["vec_id"]) for r in
+                      ann.lsh_candidate_pairs(
+                          emb, queries, dim=64, bits=bits,
+                          n_tables=tables, multiprobe=mp,
+                          kernel="blas").collect()}
+        assert sql_pairs == blas_pairs and len(sql_pairs) > 0
