@@ -139,3 +139,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all testdata tables as temp views for spark.sql use."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def with_file_order_ids(df: DataFrame, id_col: str = "__row_id",
+                        keep_string: bool = True) -> DataFrame:
+    """Consecutive file-order row ids, MULTI-FILE safe.
+
+    The r1-r4 loaders numbered rows with coalesce(1) +
+    monotonically_increasing_id (or a global orderBy window) — correct
+    for a single contact export but a one-task funnel for a multi-file
+    drop directory. Here each file numbers its own rows with a window
+    partitioned by input_file_name() (bounded by file size, parallel
+    across files), and a driver-side cumulative-offset map — one tiny
+    count per file, lexicographic path order — turns per-file indices
+    into a single consecutive sequence. A single-file input yields ids
+    0..N-1, byte-identical to the old numbering (reference parity gate
+    stays green); for multi-file the order is files-sorted-by-path,
+    rows-in-file-order — deterministic, unlike the size-ordered
+    partition packing coalesce(1) inherited from the scan.
+
+    Row order WITHIN a file comes from monotonically_increasing_id,
+    which is ascending per partition; non-splittable scans (multiLine
+    CSV, custom-lineSep text — both loader cases) give one partition
+    per file, and splittable scans order a file's partitions by
+    offset, so the within-file ordering holds generally."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = (df.groupBy(F.input_file_name().alias("__f"))
+              .count().collect())
+    offsets: dict[str, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__f"]):
+        offsets[row["__f"]] = acc
+        acc += row["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("__f").orderBy("__mono")
+    rid = (off_map[F.col("__f")] + F.row_number().over(w) - 1)
+    return (df.withColumn("__f", F.input_file_name())
+            .withColumn("__mono", F.monotonically_increasing_id())
+            .withColumn(id_col,
+                        rid.cast("string") if keep_string else rid)
+            .drop("__f", "__mono"))

@@ -114,20 +114,20 @@ def load_gmail(spark: SparkSession, path: str) -> DataFrame:
     """csv scan (all-string, header) → mapInPandas(parse) → typed rows.
 
     Row ids are assigned from the file-order position so lineage and
-    the notes join match the reference's indices; the csv is read in a
-    single partition per file (contacts exports are small relative to
-    block size), so partition order is file order.
+    the notes join match the reference's indices. r05: ids come from
+    io.with_file_order_ids — per-file windows + cumulative offsets —
+    so a multi-file drop directory numbers files in parallel instead
+    of funneling through the old coalesce(1) single task; single-file
+    ids are unchanged (parity gate green). The rows are then spread so
+    the per-row Python parse runs on every core.
     """
+    from contacts_etl_phase21_spark.io import with_file_order_ids
+
     raw = spark.read.option("header", True).option("multiLine", True) \
         .option("escape", '"').csv(path)
     columns = raw.columns
-    # File-order row ids are assigned in ONE narrow JVM pass
-    # (monotonically_increasing_id on a single partition is consecutive
-    # from 0 in file order), then the rows are spread so the per-row
-    # Python parse runs on every core instead of one.
     sc = spark.sparkContext
-    with_ids = raw.coalesce(1).withColumn(
-        "__row_id", F.monotonically_increasing_id().cast("string")) \
+    with_ids = with_file_order_ids(raw, "__row_id") \
         .repartition(sc.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

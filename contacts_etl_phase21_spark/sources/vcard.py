@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from contacts_etl_phase21_spark.functions.labels import (
     apple_label, vcard_type_tokens,
@@ -138,14 +138,17 @@ def parse_vcard_block(block: str, row_id: str) -> dict:
 
 
 def load_vcards(spark: SparkSession, path: str) -> DataFrame:
-    """text scan split on END:VCARD → ordered row ids → mapInPandas."""
+    """text scan split on END:VCARD → file-order row ids (per-file
+    windows + offsets, multi-file safe — io.with_file_order_ids, r05;
+    was a global single-task orderBy window) → mapInPandas parse
+    spread across all cores."""
+    from contacts_etl_phase21_spark.io import with_file_order_ids
+
     blocks = spark.read.option("lineSep", "END:VCARD").text(path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    # row ids need file order (the window forces one task — cheap, no
-    # Python); the block PARSE is then spread across all cores.
     ordered = (
-        blocks.filter(F.col("value").contains("BEGIN:VCARD"))
-        .withColumn("row_id", (F.row_number().over(w) - 1).cast("string"))
+        with_file_order_ids(
+            blocks.filter(F.col("value").contains("BEGIN:VCARD")),
+            "row_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
 

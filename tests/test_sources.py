@@ -128,3 +128,32 @@ def test_union_sources(spark, fixture_paths):
     by_source = {r["source"]: r for r in df.collect()}
     assert set(by_source) == {"linkedin", "gmail", "mac_vcf"}
     assert df.count() == 5
+
+
+def test_gmail_multi_file_row_ids(spark, tmp_path):
+    """r05: a multi-file drop directory numbers rows per-file in
+    parallel (io.with_file_order_ids) — consecutive 0..N-1 ids across
+    files in lexicographic path order, no coalesce(1) funnel."""
+    d = tmp_path / "gmail_multi"
+    d.mkdir()
+    header, row = GMAIL_CSV.split("\n", 1)
+    (d / "a_export.csv").write_text(
+        header + "\n" + row.replace("Bill", "Alpha"))
+    (d / "b_export.csv").write_text(
+        header + "\n" + row.replace("Bill", "Beta"))
+    rows = load_gmail(spark, str(d)).collect()
+    by_id = {r["source_row_id"]: r["full_name"] for r in rows}
+    # a_export.csv sorts first → its row takes id 0
+    assert by_id == {"0": "Alpha Doe", "1": "Beta Doe"}
+
+
+def test_vcard_multi_file_row_ids(spark, tmp_path):
+    d = tmp_path / "vcf_multi"
+    d.mkdir()
+    (d / "a.vcf").write_text(VCF)
+    (d / "b.vcf").write_text(VCF.replace("Casey", "Dana")
+                             .replace("Riley", "Sky"))
+    rows = {r["source_row_id"]: r["full_name"]
+            for r in load_vcards(spark, str(d)).collect()}
+    assert rows == {"0": "Casey Example", "1": "Riley Example",
+                    "2": "Dana Example", "3": "Sky Example"}
