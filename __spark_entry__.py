@@ -80,6 +80,9 @@ _DRIVER_PRIORITY = [
     "ta_vocab_topk",
     "st_stream_near_dup_flags",
     "curate_corpus",
+    # r05: the one red r04 driver row — mean quality now a scaled BIGINT
+    # (no-raw-doubles registry rule, plans/registry.py); stays inside
+    # the 50-row window so the fix is driver-visible
     "ta_corpus_stats",
     "ann_brute_blas_topk",
     "ta_encode_tokens",

@@ -20,7 +20,9 @@ from contacts_etl_phase21_spark.operators import text_analysis as ta
 from contacts_etl_phase21_spark.operators.multimodal import (
     extract_features, resize_images, sample_frames, with_binary_payload,
 )
-from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
+from contacts_etl_phase21_spark.plans.registry import (
+    cents_oracle, e6_oracle, query, scale_cents, scale_e6,
+)
 
 # Shared DuckDB fragments -----------------------------------------------------
 
@@ -834,7 +836,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP grouping sets over lineitem status flags — beyond the "
         "reference's aggregation surface (SURVEY notes it has none); "
         "Spark expands the sets map-side, one shuffle.",
-    oracle="""
+    oracle=cents_oracle("""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
                COUNT(*) AS n,
@@ -842,19 +844,21 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
-    """,
+    """, "total_price"),
 )
 def agg_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
-    return (lineitem
-            .rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
-            .select(F.coalesce("l_returnflag", F.lit("ALL"))
-                    .alias("returnflag"),
-                    F.coalesce("l_linestatus", F.lit("ALL"))
-                    .alias("linestatus"), "n", "total_price")
-            .orderBy("returnflag", "linestatus"))
+    return scale_cents(
+        lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                .alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL"))
+                .alias("linestatus"), "n", "total_price")
+        .orderBy("returnflag", "linestatus"),
+        "total_price")
 
 
 # PII scrub ------------------------------------------------------------------

@@ -64,25 +64,58 @@ def query(name: str, *, oracle: str | None, survey: str, doc: str = "",
     return deco
 
 
-def scale_e6(df: DataFrame, *cols: str) -> DataFrame:
-    """Replace rounded double ratio columns with scaled BIGINTs (c_e6).
+def scale_fixed(df: DataFrame, cols: tuple[str, ...], scale: int,
+                suffix: str) -> DataFrame:
+    """Replace rounded double columns with scaled BIGINTs (c<suffix>).
 
     Implements the no-raw-doubles registry rule. For a column already
-    rounded to <= 6 decimals with |c| < 2^22, c * 1e6 lands within an
-    ulp of an integer on both engines (IEEE multiply is deterministic),
-    so round-to-0-decimals then cast is exact and engine-portable.
-    """
+    rounded to <= log10(scale) decimals with |c * scale| < 2^52,
+    c * scale lands within an ulp of an integer on both engines (IEEE
+    multiply is deterministic), so round-to-0-decimals then cast is
+    exact and engine-portable. Pick the scale by magnitude: 1e6 for
+    ratios/scores (|c| small), 100 (cents) for money sums whose groups
+    reach 1e9+ — cents keep 2^52 headroom at any realistic SF."""
     for c in cols:
         df = df.withColumn(
-            f"{c}_e6", F.round(F.col(c) * 1000000, 0).cast("long")).drop(c)
+            f"{c}{suffix}",
+            F.round(F.col(c) * scale, 0).cast("long")).drop(c)
     return df
 
 
-def e6_oracle(sql: str, *cols: str) -> str:
-    """DuckDB twin of scale_e6: wrap an oracle SQL so its double ratio
-    columns become scaled BIGINTs named c_e6 (driver compares columns
-    by sorted name, so position changes are fine)."""
+def fixed_oracle(sql: str, cols: tuple[str, ...], scale: int,
+                 suffix: str) -> str:
+    """DuckDB twin of scale_fixed: wrap an oracle SQL so its double
+    columns become scaled BIGINTs named c<suffix> (driver compares
+    columns by sorted name, so position changes are fine)."""
     excl = ", ".join(cols)
     scaled = ", ".join(
-        f"CAST(ROUND({c} * 1000000, 0) AS BIGINT) AS {c}_e6" for c in cols)
-    return f"SELECT * EXCLUDE ({excl}), {scaled} FROM (\n{sql}\n) __e6"
+        f"CAST(ROUND({c} * {scale}, 0) AS BIGINT) AS {c}{suffix}"
+        for c in cols)
+    return f"SELECT * EXCLUDE ({excl}), {scaled} FROM (\n{sql}\n) __fx"
+
+
+def scale_e6(df: DataFrame, *cols: str) -> DataFrame:
+    """Ratio columns → c_e6 BIGINTs (see scale_fixed)."""
+    return scale_fixed(df, cols, 1000000, "_e6")
+
+
+def e6_oracle(sql: str, *cols: str) -> str:
+    return fixed_oracle(sql, cols, 1000000, "_e6")
+
+
+def scale_cents(df: DataFrame, *cols: str) -> DataFrame:
+    """Money-sum columns (already ROUND(x, 2)) → c_cents BIGINTs."""
+    return scale_fixed(df, cols, 100, "_cents")
+
+
+def cents_oracle(sql: str, *cols: str) -> str:
+    return fixed_oracle(sql, cols, 100, "_cents")
+
+
+def scale_e4(df: DataFrame, *cols: str) -> DataFrame:
+    """ROUND(x, 4) average columns → c_e4 BIGINTs."""
+    return scale_fixed(df, cols, 10000, "_e4")
+
+
+def e4_oracle(sql: str, *cols: str) -> str:
+    return fixed_oracle(sql, cols, 10000, "_e4")

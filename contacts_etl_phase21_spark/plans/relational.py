@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from contacts_etl_phase21_spark.io import load, widen
-from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
+from contacts_etl_phase21_spark.plans.registry import (
+    cents_oracle, e4_oracle, e6_oracle, fixed_oracle, query, scale_cents,
+    scale_e4, scale_e6, scale_fixed,
+)
 
 # --------------------------------------------------------------------------
 # Flagship: scan → filter → join → agg → sort (TPC-H Q3 shape).
@@ -38,8 +41,11 @@ from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
     survey="S1,P-family,J2,A1,O1",
     doc="TPC-H Q3-shaped flagship: filtered 3-way join, grouped revenue, top-k. "
         "customer filter is pushed to the parquet scan; orders⋈lineitem shuffles "
-        "on orderkey; top-10 via sort+limit (Spark TakeOrderedAndProject).",
-    oracle="""
+        "on orderkey; top-10 via sort+limit (Spark TakeOrderedAndProject). "
+        "revenue emitted as cents BIGINT per the no-raw-doubles rule "
+        "(ordering still on the rounded double, so the top-10 cut is "
+        "unchanged).",
+    oracle=cents_oracle("""
         SELECT l_orderkey,
                CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
                o_orderpriority,
@@ -53,13 +59,13 @@ from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
-    """,
+    """, "revenue"),
 )
 def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    return (
+    return scale_cents(
         customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -70,8 +76,8 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
-    )
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue"),
+        "revenue")
 
 
 # --------------------------------------------------------------------------
@@ -84,8 +90,9 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A1,A2,C-family",
     doc="Q1-shaped grouped aggregation: 6 groups, partial aggregation map-side "
         "(hash agg + WholeStageCodegen) so the shuffle moves 6 rows/partition, "
-        "not 100 TB.",
-    oracle="""
+        "not 100 TB. Sums emitted as cents, averages as e4 BIGINTs "
+        "(no-raw-doubles rule).",
+    oracle=e4_oracle(cents_oracle("""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
                ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
@@ -99,12 +106,13 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-    """,
+    """, "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"),
+        "avg_qty", "avg_price", "avg_disc"),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    out = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -119,6 +127,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+    return scale_e4(
+        scale_cents(out, "sum_qty", "sum_base_price", "sum_disc_price",
+                    "sum_charge"),
+        "avg_qty", "avg_price", "avg_disc")
 
 
 # --------------------------------------------------------------------------
@@ -299,7 +311,7 @@ def j1_blocked_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFram
     doc="customers left-joined to per-customer order metrics; absent side → "
         "0 defaults (the contacts⟕validation join). Aggregate before the join "
         "so the shuffle carries one row per key.",
-    oracle="""
+    oracle=cents_oracle("""
         SELECT c_custkey, c_mktsegment,
                CAST(COALESCE(o.order_count, 0) AS BIGINT)  AS order_count,
                ROUND(COALESCE(o.total_spend, 0.0), 2)      AS total_spend
@@ -308,7 +320,7 @@ def j1_blocked_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFram
             SELECT o_custkey, COUNT(*) AS order_count, SUM(o_totalprice) AS total_spend
             FROM orders GROUP BY o_custkey
         ) o ON c.c_custkey = o.o_custkey
-    """,
+    """, "total_spend"),
 )
 def j2_left_join_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -318,14 +330,14 @@ def j2_left_join_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"),
              F.sum("o_totalprice").alias("total_spend"))
     )
-    return (
+    return scale_cents(
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .select(
             "c_custkey", "c_mktsegment",
             F.coalesce(F.col("order_count"), F.lit(0)).cast("long").alias("order_count"),
             F.round(F.coalesce(F.col("total_spend"), F.lit(0.0)), 2).alias("total_spend"),
-        )
-    )
+        ),
+        "total_spend")
 
 
 # --------------------------------------------------------------------------
@@ -339,7 +351,7 @@ def j2_left_join_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Fact⋈small-dims revenue rollup (Q5 shape). nation/region are "
         "broadcast — the Spark analog of the reference's in-memory dict lookups "
         "(validate_quality.py:91-104); no shuffle for the dim sides.",
-    oracle="""
+    oracle=cents_oracle("""
         SELECT r_name AS region_name, n_name AS nation_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
@@ -348,7 +360,7 @@ def j2_left_join_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
-    """,
+    """, "revenue"),
 )
 def j3_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -356,7 +368,7 @@ def j3_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    return (
+    return scale_cents(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -364,8 +376,8 @@ def j3_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"),
                  F.col("n_name").alias("nation_name"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
-    )
+             .alias("revenue")),
+        "revenue")
 
 
 # --------------------------------------------------------------------------

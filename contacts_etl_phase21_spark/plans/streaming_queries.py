@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
+from contacts_etl_phase21_spark.plans.registry import (
+    cents_oracle, e6_oracle, query, scale_cents, scale_e6,
+)
 from contacts_etl_phase21_spark.streaming.events import (
     sessionized_counts_batch, sliding_window_counts_batch,
     windowed_counts_batch,
@@ -25,16 +27,17 @@ from contacts_etl_phase21_spark.streaming.stateful import first_event_batch
         "watermarked Structured Streaming aggregation's batch twin "
         "(shared transform). Partial aggregation map-side, one shuffle "
         "on (window, event_type).",
-    oracle="""
+    oracle=cents_oracle("""
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2
         ORDER BY window_start, event_type
-    """,
+    """, "sum_value"),
 )
 def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windowed_counts_batch(spark, sf_dir, "1 hour")
+    return scale_cents(windowed_counts_batch(spark, sf_dir, "1 hour"),
+                       "sum_value")
 
 
 @query(
@@ -43,7 +46,7 @@ def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-user session windows (5 min gap) via session_window — "
         "Spark's built-in stateful sessionization; the oracle is the "
         "classic gaps-and-islands SQL (lag + running sum).",
-    oracle="""
+    oracle=cents_oracle("""
         WITH marked AS (
             SELECT user_id, ts, value,
                    CASE WHEN LAG(ts) OVER w IS NULL
@@ -63,10 +66,11 @@ def st_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sessions
         GROUP BY user_id, sid
         ORDER BY user_id, session_start
-    """,
+    """, "sum_value"),
 )
 def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionized_counts_batch(spark, sf_dir, "5 minutes")
+    return scale_cents(sessionized_counts_batch(spark, sf_dir, "5 minutes"),
+                       "sum_value")
 
 
 @query(
@@ -76,7 +80,7 @@ def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window membership expanded map-side (Expand), then one "
         "shuffle; the oracle unions the two half-hour-aligned window "
         "starts each event belongs to.",
-    oracle="""
+    oracle=cents_oracle("""
         WITH m AS (
             SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800)
                         AS TIMESTAMP) AS w0, event_type, value FROM events
@@ -89,10 +93,12 @@ def st_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
         GROUP BY 1, 2
         ORDER BY window_start, event_type
-    """,
+    """, "sum_value"),
 )
 def st_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sliding_window_counts_batch(spark, sf_dir, "1 hour", "30 minutes")
+    return scale_cents(
+        sliding_window_counts_batch(spark, sf_dir, "1 hour", "30 minutes"),
+        "sum_value")
 
 
 @query(
