@@ -133,6 +133,12 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
     Deterministic; a pack may overflow by at most one document — the
     standard streaming packing trade-off (exact bin packing is
     NP-hard and non-parallel).
+
+    NULL partition keys (e.g. documents with no detected language)
+    form their own pack partition, matching Window.partitionBy
+    semantics: the offset join is NULL-SAFE on part_col (a plain
+    equi-join would silently drop NULL-key rows — r05 advisor
+    finding), and groupBy already keeps the NULL group.
     """
     from pyspark.sql.functions import broadcast
 
@@ -154,8 +160,12 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                .withColumn("__offset",
                            F.coalesce(F.sum("__blk_total").over(w_blocks),
                                       F.lit(0)))
-               .drop("__blk_total"))
-    return (local.join(broadcast(offsets), [part_col, "__blk"])
+               .drop("__blk_total")
+               .withColumnRenamed(part_col, "__opart")
+               .withColumnRenamed("__blk", "__oblk"))
+    cond = (local[part_col].eqNullSafe(offsets["__opart"])
+            & (local["__blk"] == offsets["__oblk"]))
+    return (local.join(broadcast(offsets), cond)
             .select(part_col, id_col, "n_tokens",
                     F.floor((F.col("__offset") + F.col("__local_before"))
                             / budget)

@@ -79,12 +79,20 @@ def brute_force_topk_blas(corpus: DataFrame, queries: DataFrame,
     HALF_UP (np.round is half-even), and per-batch selection keeps
     ALL rows tied with the k-th ROUNDED score, so a tied lower-id
     candidate is never cut before the global (cosine desc, id asc)
-    window. Residual divergence risk vs the declarative tier is a
-    raw float64 score straddling the 6-digit boundary by ulps (GEMM
-    accumulation order differs from the sequential zip_with fold);
-    equality with brute_force_topk is test-pinned at sf_small and
-    the declarative tier remains the oracle ground truth — this
-    function does not claim bit-identity on arbitrary data."""
+    window. Residual divergence risk vs the declarative tier is
+    twofold (r06, per advisor): (a) a raw float64 score straddling
+    the 6-digit boundary by ulps (GEMM accumulation order differs
+    from the sequential zip_with fold); (b) the rounding RULE
+    itself — floor(x*1e6 + 0.5) rounds the BINARY double, while
+    Spark's BigDecimal.valueOf(double) rounds the SHORTEST DECIMAL
+    representation, so a double that prints as ...565 rounds up in
+    Spark while its binary value (...64999...) rounds down here.
+    Both are measure-zero on real-valued similarity data; equality
+    with brute_force_topk is test-pinned at sf_small and the
+    declarative tier remains the oracle ground truth — this
+    function does not claim bit-identity on arbitrary data (per-
+    element decimal.Decimal(repr(x)) rounding would close (b) if
+    exact parity were ever required, at ~10x kernel cost)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -193,9 +201,17 @@ def assign_cells(df: DataFrame,
     """Row-local nearest-cell assignment: per row, score every inlined
     centroid (cosine), take the n best by (cosine desc, cell asc), and
     explode — a pure scan projection, zero exchanges regardless of
-    corpus size. Ordering matches the relational argmax it replaced
-    (struct sort on (-cosine, cell)); an all-NaN score row (zero-norm
-    vector) still resolves to the min cell via the tie-break."""
+    corpus size. Ordering: struct sort on (-cosine, cell), same
+    (cosine desc, cell asc) ranking as the relational argmax it
+    replaced for finite scores. NaN handling DIFFERS deliberately from
+    the old Window desc(_cs): Spark's sort ranks NaN greatest, so a
+    NaN cosine (zero-norm centroid, e.g. a degenerate Lloyd cell)
+    sorts LAST here (ns = -cosine = NaN) where the window ranked it
+    FIRST — i.e. rows now prefer any finite-scored centroid over a
+    broken one, which is the behavior we want, not an equivalence
+    claim (r05 advisor finding). An all-NaN row (zero-norm INPUT
+    vector) still resolves deterministically to the min cell via the
+    cell tie-break."""
     cents = _centroid_literal(cent_rows)
     ranked = F.slice(
         F.sort_array(F.transform(

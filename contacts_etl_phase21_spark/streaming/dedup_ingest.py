@@ -86,17 +86,25 @@ def lsh_corpus_index(corpus: DataFrame, id_col: str, text_col: str,
     here it stays a DataFrame the stream joins against. Uses the
     aggregate signature plan (batch context — map-side combined).
 
-    Persisted twice (r05, per advisor): `sh` because the signature
-    aggregation AND the join both read the shingle frame (it would
-    otherwise evaluate twice per execution), and the returned index
-    because the static side of a stream-static join re-executes per
-    micro-batch — without the persist every batch would rebuild
-    shingles + 64 min-aggregates + banding (the exact re-execution
-    pitfall the batch operators already avoid)."""
+    Cache lifecycle (r06, per advisor): the returned index is
+    persisted AND materialized here (the static side of a
+    stream-static join re-executes per micro-batch — without the
+    persist every batch would rebuild shingles + 64 min-aggregates +
+    banding), and the intermediate shingle frame — shared by the
+    signature aggregation and the join, so persisted during the
+    build — is UNPERSISTED before returning: repeated index builds
+    (bench sweeps, long sessions) no longer accumulate cached
+    intermediates. The caller owns the returned index's lifecycle
+    (unpersist it when the stream stops)."""
     sh = with_hashed_shingles(corpus, id_col, text_col, n).persist()
-    sig = _signature_from_hashed(sh, num_hashes)
-    return _band_buckets(sig.join(sh, "doc"),
-                         bands, num_hashes // bands).persist()
+    try:
+        index = _band_buckets(
+            _signature_from_hashed(sh, num_hashes).join(sh, "doc"),
+            bands, num_hashes // bands).persist()
+        index.count()  # materialize while sh is still cached
+    finally:
+        sh.unpersist()
+    return index
 
 
 def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,

@@ -466,3 +466,78 @@ def test_pack_sequences_two_pass_plan_and_equivalence(spark, sf_small):
     want = {(r["lang"], r["doc_id"], r["n_tokens"], r["pack_id"])
             for r in naive.collect()}
     assert got == want
+
+
+def test_pack_sequences_null_partition_key(spark):
+    """r06 (advisor): rows with a NULL partition key (no detected
+    language) must keep getting pack ids — Window.partitionBy treats
+    NULL as its own partition, so the offset join is null-safe."""
+    from pyspark.sql import Window
+
+    from contacts_etl_phase21_spark.operators.sampling import pack_sequences
+
+    rows = [(None if i % 3 == 0 else "en", i, 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, nt int")
+    packed = pack_sequences(df, "lang", "doc_id", F.col("nt"),
+                            budget=500, block_span=8)
+    assert packed.count() == 40  # no NULL-key row dropped
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.select(
+        "lang", "doc_id", F.col("nt").alias("n_tokens"),
+        F.floor(F.coalesce(F.sum("nt").over(w), F.lit(0)) / 500)
+        .cast("int").alias("pack_id"))
+    got = {tuple(r) for r in packed.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+
+
+def test_file_order_ids_broadcast_path(spark, tmp_path, monkeypatch):
+    """r06 (judge task #5): above _OFFSET_LITERAL_MAX_FILES the
+    per-file offsets become a broadcast-joined frame instead of a
+    create_map plan literal — same consecutive file-order ids."""
+    from contacts_etl_phase21_spark import io as io_mod
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(4):
+        (d / f"f{i}.csv").write_text("x\n" + "\n".join(
+            str(i * 10 + j) for j in range(i + 1)) + "\n")
+    df = spark.read.option("header", True).csv(str(d))
+    monkeypatch.setattr(io_mod, "_OFFSET_LITERAL_MAX_FILES", 2)
+    out = io_mod.with_file_order_ids(df, "rid", keep_string=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = sorted((r["rid"], r["x"]) for r in out.collect())
+    # files sorted by path, rows in file order, ids consecutive
+    assert [r[0] for r in got] == list(range(10))
+    assert [r[1] for r in got] == [
+        "0", "10", "11", "20", "21", "22", "30", "31", "32", "33"]
+    # literal path on the same input produces identical numbering
+    monkeypatch.setattr(io_mod, "_OFFSET_LITERAL_MAX_FILES", 1000)
+    lit_out = io_mod.with_file_order_ids(df, "rid", keep_string=False)
+    assert sorted((r["rid"], r["x"]) for r in lit_out.collect()) == got
+
+
+@pytest.mark.parametrize("max_literal", [1000, 0])
+def test_file_order_ids_fail_fast_unmapped_file(spark, tmp_path,
+                                                monkeypatch, max_literal):
+    """r06 (advisor): a file the offset pass never saw (directory
+    changed mid-run) must raise, not silently yield NULL row ids —
+    on both the literal-map and broadcast-join paths."""
+    from contacts_etl_phase21_spark import io as io_mod
+
+    d = tmp_path / f"race_{max_literal}"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n")
+    (d / "b.csv").write_text("x\n2\n")
+    df = spark.read.option("header", True).csv(str(d))
+    monkeypatch.setattr(io_mod, "_OFFSET_LITERAL_MAX_FILES", max_literal)
+    # stale map: only the file sorting first is known
+    known = sorted(
+        r["__f"] for r in
+        df.groupBy(F.input_file_name().alias("__f")).count().collect())
+    stale = {known[0]: 0}
+    out = io_mod._number_with_offsets(df, stale, "rid", keep_string=False)
+    with pytest.raises(Exception, match="appeared after the offset pass"):
+        out.collect()
