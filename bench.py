@@ -81,6 +81,10 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
             quantizer="kmeans"),
         "ann_recall_at_10_int8": lambda: ann.quantized_topk(
             emb, queries, k=k),
+        "ann_recall_at_10_pq_first": lambda: ann.pq_topk(
+            emb, queries, k=k),
+        "ann_recall_at_10_pq_kmeans": lambda: ann.pq_topk(
+            emb, queries, k=k, quantizer="kmeans", train_permille=500),
     }
     return {name: round(len(pairs(fn()) & truth) / len(truth), 4)
             for name, fn in configs.items()}
@@ -104,9 +108,31 @@ def lsh_frontier_metrics(spark, sf_dir: str, k: int = 10,
     import pyspark.sql.functions as F
 
     from contacts_etl_phase21_spark.io import load
-    from contacts_etl_phase21_spark.operators import similarity_search as ann
 
     emb = load(spark, sf_dir, "embeddings").persist()
+    sweep = [  # (bits, tables, multiprobe) — high-recall end → cheap end
+        (2, 8, True), (4, 8, True), (4, 16, True), (6, 8, True),
+        (6, 16, True), (8, 8, True), (8, 16, True),
+        (12, 4, True), (12, 8, True), (16, 8, True),
+    ]
+    out = _lsh_frontier_over(emb, sweep, k=k, n_queries=n_queries)
+    emb.unpersist()
+    return out
+
+
+def _lsh_frontier_over(emb, sweep: list[tuple[int, int, bool]],
+                       k: int = 10, n_queries: int = 20) -> dict[str, dict]:
+    """Frontier core over an arbitrary (vec_id, embedding) frame —
+    shared by the sf-table sweep above and the clustered-corpus sweep
+    (r05 judge brief #2)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast, pandas_udf
+
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
     n_corpus = emb.count()
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -114,11 +140,6 @@ def lsh_frontier_metrics(spark, sf_dir: str, k: int = 10,
     def pairs(df) -> set:
         return {(r["query_id"], r["vec_id"]) for r in
                 df.select("query_id", "vec_id").collect()}
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast, pandas_udf
 
     truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
     qv = broadcast(queries.select("query_id",
@@ -142,11 +163,6 @@ def lsh_frontier_metrics(spark, sf_dir: str, k: int = 10,
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series,
                             "return": pd.Series}
     cos_pd = pandas_udf(_cos, "double")
-    sweep = [  # (bits, tables, multiprobe) — high-recall end → cheap end
-        (2, 8, True), (4, 8, True), (4, 16, True), (6, 8, True),
-        (6, 16, True), (8, 8, True), (8, 16, True),
-        (12, 4, True), (12, 8, True), (16, 8, True),
-    ]
     out: dict[str, dict] = {}
     for bits, tables, mp in sweep:
         name = f"lsh_b{bits}_t{tables}{'_mp' if mp else ''}"
@@ -168,6 +184,71 @@ def lsh_frontier_metrics(spark, sf_dir: str, k: int = 10,
             "recall": round(len(got & truth) / len(truth), 4),
             "candidate_frac": round(n_cand / (n_queries * n_corpus), 5),
         }
+    return out
+
+
+def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
+                          k: int = 10) -> dict:
+    """ANN tier quality on CLUSTERED embeddings (r05 judge brief #2).
+
+    Every recall number the bench previously recorded rides on the
+    driver's isotropic uniform vectors — sign-LSH's worst case (the
+    r05 frontier showed ≥0.9 recall costs ~0.92 candidate fraction
+    there). Real embedding corpora are clustered; this measures the
+    same tiers on a deterministic mixture-of-Gaussians corpus
+    (tools/bench_corpus.clustered_embeddings: 32 clusters, σ=0.35 →
+    within-cluster cosine ≈ 0.89 vs ≈ 0 across), where a bucketing
+    tier can actually pay for itself. Records the LSH frontier plus
+    IVF / int8 / PQ recall@10 — the numbers a consumer should use to
+    pick a production operating point."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+    from tools.bench_corpus import clustered_embeddings
+
+    emb = clustered_embeddings(spark, n) \
+        .select("vec_id", "embedding") \
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def pairs(df) -> set:
+        return {(r["query_id"], r["vec_id"]) for r in
+                df.select("query_id", "vec_id").collect()}
+
+    truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
+    sweep = [  # clustered regime: few-bit + table/multiprobe ladder
+        (4, 1, False), (6, 1, False), (8, 1, False), (8, 2, False),
+        (8, 4, False), (10, 2, False), (8, 1, True), (10, 4, True),
+        (12, 4, True),
+    ]
+    out: dict = {"frontier": _lsh_frontier_over(
+        emb, sweep, k=k, n_queries=n_queries)}
+    configs = {
+        "ivf_first_p4of16": lambda: ann.ivf_topk(
+            emb, queries, k=k, n_cells=16, n_probe=4),
+        "ivf_kmeans_p4of16": lambda: ann.ivf_topk(
+            emb, queries, k=k, n_cells=16, n_probe=4,
+            quantizer="kmeans", train_permille=200),
+        "int8": lambda: ann.quantized_topk(emb, queries, k=k),
+        "pq_first_m8x32": lambda: ann.pq_topk(
+            emb, queries, k=k, encode_kernel="blas"),
+        "pq_kmeans_m8x32": lambda: ann.pq_topk(
+            emb, queries, k=k, quantizer="kmeans_local",
+            train_permille=200, encode_kernel="blas"),
+        # the production layout: coarse cells prune the scan to
+        # n_probe/n_cells, residual PQ shrinks each row to m bytes,
+        # exact re-rank of the ADC top-100 restores recall
+        "ivfpq_m16x64_p4of32_rr100": lambda: ann.ivf_pq_topk(
+            emb, queries, k=k, n_cells=32, n_probe=4, m=16, n_codes=64,
+            coarse_quantizer="kmeans_local",
+            pq_quantizer="kmeans_local", train_permille=200,
+            rerank=100),
+    }
+    out["recall"] = {
+        name: round(len(pairs(fn()) & truth) / len(truth), 4)
+        for name, fn in configs.items()}
     emb.unpersist()
     return out
 
@@ -218,6 +299,11 @@ def main() -> None:
     frontier = lsh_frontier_metrics(spark, sf_dir)
     for name, m in frontier.items():
         print(f"# {name}: {m}", file=sys.stderr)
+    clustered = ann_clustered_metrics(spark)
+    for name, m in clustered["frontier"].items():
+        print(f"# clustered {name}: {m}", file=sys.stderr)
+    for name, r in clustered["recall"].items():
+        print(f"# clustered recall {name}: {r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -233,6 +319,7 @@ def main() -> None:
         "warm_total_sec": round(warm_total, 3),
         "recall": recall,
         "lsh_frontier": frontier,
+        "clustered_ann": clustered,
         "sf": sf_val,
     }))
     spark.stop()

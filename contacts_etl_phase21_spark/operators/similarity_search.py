@@ -407,6 +407,562 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+# Product quantization (PQ) ---------------------------------------------------
+#
+# The next compression tier after int8 (quantize_vectors): split each
+# dim-d vector into m subspaces of d/m components, replace each
+# sub-vector with the index of its nearest codebook entry — storage is
+# m small ints per vector (m=8, 256 codes → 8 bytes vs 256 bytes of
+# float32: 32×), and query-time scoring is ADC (asymmetric distance
+# computation): per query, precompute a (sub, code) → partial-dot
+# table, then each candidate's score is m table lookups. The classic
+# IVF-PQ layout for billion-scale stores (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+#
+# Engine-portability design (what makes this DuckDB-oracle-checkable,
+# same playbook as quantize_vectors): every arithmetic step that feeds
+# a comparison or the output is either (a) an explicitly LEFT-
+# ASSOCIATIVE chain of double ops over the same values in both engines
+# (the d/m-term distance/dot chains are unrolled, never a SUM whose
+# accumulation order an engine may choose), or (b) exact int64 math
+# (the ADC tables are rounded to e6-scaled BIGINTs once, so the
+# num/denominator sums are order-independent integer sums). The final
+# pq_cosine = num_e6 / sqrt(qn2_e6 · xn2_e6) divides exact integers in
+# double — bit-identical across engines (the e6 scales cancel:
+# num·1e6 / (1e6·√(q²x²)) = num/√(q²x²)).
+
+
+# The PQ expression trees are LARGE (m × n_codes × d/m-term chains);
+# building them through the Column API costs one py4j round-trip per
+# node (~85s of driver time at m=8 × 32 codes). They are therefore
+# GENERATED AS SQL TEXT and parsed JVM-side in one F.expr call per
+# column — the same SQL the DuckDB oracle generator emits, which also
+# makes the cross-engine bit-parity contract easy to eyeball. Float
+# literals ride as CAST('<repr>' AS DOUBLE): repr round-trips exactly.
+
+
+def _dlit(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_dist2(vec: str, off: int, cv: list[float]) -> str:
+    """Σ_i (v[off+i] - cv[i])², unrolled left-assoc (0-based [])."""
+    return " + ".join(
+        f"(CAST(`{vec}`[{off + i}] AS DOUBLE) - {_dlit(c)})"
+        f" * (CAST(`{vec}`[{off + i}] AS DOUBLE) - {_dlit(c)})"
+        for i, c in enumerate(cv))
+
+
+def _sql_dot(vec: str, off: int, cv: list[float]) -> str:
+    """Σ_i v[off+i] · cv[i], unrolled left-assoc."""
+    return " + ".join(
+        f"CAST(`{vec}`[{off + i}] AS DOUBLE) * {_dlit(c)}"
+        for i, c in enumerate(cv))
+
+
+def _sql_e6(expr: str) -> str:
+    """round(x · 1e6) as BIGINT — the registry's engine-exact fixed-
+    point rendering (scale_fixed twin for operator-internal values)."""
+    return f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"
+
+
+Codebooks = list[list[tuple[int, list[float]]]]  # [sub][(code, sub_vec)]
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 32,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 quantizer: str = "first",
+                 train_permille: int | None = None,
+                 n_iter: int = 5) -> Codebooks:
+    """Per-subspace codebooks, collected to the driver (m × n_codes ×
+    d/m doubles — the whole point of PQ is that the model is tiny).
+
+    quantizer='first': entry j of every subspace is the j-th corpus
+    vector's sub-vector (deterministic AND fully relational — the
+    oracle-checkable tier, like ivf_topk's 'first'). 'kmeans': each
+    subspace's codebook is Lloyd-refined on that subspace's sub-vector
+    frame via the existing deterministic kmeans_centroids machinery
+    (train_permille sample supported) — better quantization error,
+    the recall tier the bench measures; still deterministic.
+    'kmeans_local': the deterministic hash sample is COLLECTED and all
+    m sub-codebooks Lloyd-trained driver-side in numpy — the FAISS
+    shape (PQ training always runs on an in-memory sample; even at
+    100 TB that sample is ~10⁵ vectors), one Spark job instead of
+    m × n_iter × 2, deterministic (first-n init, argmin ties to the
+    lowest code). Distributed 'kmeans' remains for when the training
+    sample must not be materialized on the driver."""
+    rows = corpus.orderBy(id_col).limit(1).select(vec_col).collect()
+    if not rows:
+        return []
+    dim = len(rows[0][vec_col])
+    d_sub = dim // m
+    if quantizer == "kmeans_local":
+        import numpy as np
+
+        from contacts_etl_phase21_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        train = corpus.select(id_col, vec_col)
+        if train_permille is not None:
+            train = deterministic_sample(train, id_col, train_permille)
+        sample = train.orderBy(id_col).collect()
+        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in sample])
+        books = []
+        for sub in range(m):
+            xs = mat[:, sub * d_sub:(sub + 1) * d_sub]
+            cents = xs[:n_codes].copy()
+            for _ in range(n_iter):
+                d2 = ((xs * xs).sum(1)[:, None]
+                      - 2.0 * (xs @ cents.T)
+                      + (cents * cents).sum(1)[None, :])
+                idx = np.argmin(d2, axis=1)
+                # empty cells keep their previous centroid (k stays
+                # fixed, unlike the distributed Lloyd's shrinking k)
+                for c in range(len(cents)):
+                    members = xs[idx == c]
+                    if len(members):
+                        cents[c] = members.mean(0)
+            books.append([(j, [float(x) for x in cents[j]])
+                          for j in range(len(cents))])
+        return books
+    if quantizer == "kmeans":
+        books: Codebooks = []
+        for sub in range(m):
+            sliced = corpus.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), sub * d_sub + 1, d_sub)
+                .alias(vec_col))
+            cents = kmeans_centroids(sliced, n_cells=n_codes,
+                                     n_iter=n_iter, id_col=id_col,
+                                     vec_col=vec_col,
+                                     train_permille=train_permille)
+            books.append([
+                (i, [float(x) for x in r["c_vec"]])
+                for i, r in enumerate(cents.orderBy("cell").collect())])
+        return books
+    first = corpus.orderBy(id_col).limit(n_codes) \
+        .select(id_col, vec_col).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in first]
+    return [[(j, v[sub * d_sub:(sub + 1) * d_sub])
+             for j, v in enumerate(vecs)]
+            for sub in range(m)]
+
+
+def pq_encode(corpus: DataFrame, codebooks: Codebooks,
+              vec_col: str = "embedding") -> DataFrame:
+    """Row-local PQ encoding: per subspace, the nearest codebook entry
+    by (L2² asc, code asc) over the INLINED codebook literal — a pure
+    scan projection like assign_cells: zero exchanges at any corpus
+    size (plan-shape-pinned). Adds `codes` (array<int>, the m-byte
+    compressed representation a production sink would store instead of
+    the vector) and `xn2_e6` (Σ_sub |codeword|² as an e6 BIGINT — the
+    reconstructed squared norm, precomputed once per vector exactly
+    like quantize_vectors' qnorm)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    out = corpus
+    for sub, cb in enumerate(codebooks):
+        off = sub * d_sub
+        # argmin key is |c|² - 2⟨v,c⟩ (≡ argmin L2² since |v|² is
+        # shared per row) — half the expression nodes of the unrolled
+        # (v-c)² chain; the DuckDB twin sorts on the SAME formula so
+        # the compared doubles stay bit-identical
+        entries = ", ".join(
+            f"named_struct("
+            f"'skey', {_dlit(sum(c * c for c in cv))}"
+            f" - 2.0D * ({_sql_dot(vec_col, off, cv)}), "
+            f"'code', CAST({int(code)} AS INT), "
+            f"'cn2_e6', {_sql_e6(' + '.join(f'{_dlit(c)} * {_dlit(c)}' for c in cv))}"
+            f")"
+            for code, cv in cb)
+        out = out.withColumn(
+            f"__pq{sub}", F.expr(f"sort_array(array({entries}))[0]"))
+    return (out
+            .withColumn("codes", F.expr(
+                "array(" + ", ".join(f"__pq{s}.code" for s in range(m))
+                + ")"))
+            .withColumn("xn2_e6", F.expr(
+                " + ".join(f"__pq{s}.cn2_e6" for s in range(m))))
+            .drop(*[f"__pq{s}" for s in range(m)]))
+
+
+def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Numpy twin of pq_encode for LARGE codebooks — the 100 TB path.
+
+    The declarative encode inlines m × n_codes × d/m doubles into the
+    plan (~9 MiB task binary at 8 × 32 codes; ~10× that at the
+    standard 256 codes), serialized into every task. This kernel
+    ships the codebooks ONCE as a broadcast variable and replaces the
+    per-entry interpreted chains with one GEMM per (subspace, Arrow
+    batch): dist² = |x|² - 2·x@Cᵀ + |c|², argmin per row (numpy's
+    first-min == lowest code, matching the declarative (dist, code)
+    tie-break). Same output columns (codes, xn2_e6). Equality with
+    pq_encode is test-pinned on the driver tables; a distance tie
+    within GEMM-accumulation ulps could in principle pick a different
+    (equally-near) code, so the declarative encode remains the
+    oracle-checked ground truth — same contract as
+    brute_force_topk_blas vs brute_force_topk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    cmats = [np.array([cv for _, cv in cb], dtype=np.float64)
+             for cb in codebooks]
+    code_ids = [np.array([c for c, _ in cb], dtype=np.int64)
+                for cb in codebooks]
+    cn2 = [(ci * ci).sum(1) for ci in cmats]
+
+    def _half_away_e6(x):
+        return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                        np.ceil(x * 1e6 - 0.5)).astype(np.int64)
+
+    cn2_e6 = [_half_away_e6(v) for v in cn2]
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cmats, code_ids, cn2, cn2_e6))
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("xn2_e6", LongType()),
+    ])
+
+    def kernel(batches):
+        cmats_, code_ids_, cn2_, cn2_e6_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            picked = []
+            xn2 = np.zeros(len(ids), dtype=np.int64)
+            for s in range(m):
+                xs = mat[:, s * d_sub:(s + 1) * d_sub]
+                d2 = ((xs * xs).sum(1)[:, None]
+                      - 2.0 * (xs @ cmats_[s].T) + cn2_[s][None, :])
+                idx = np.argmin(d2, axis=1)
+                picked.append(code_ids_[s][idx])
+                xn2 += cn2_e6_[s][idx]
+            codes = np.stack(picked, axis=1)
+            yield pd.DataFrame({
+                id_col: ids,
+                "codes": [[int(c) for c in row] for row in codes],
+                "xn2_e6": xn2,
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
+                  query_id_col: str = "query_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Query-side ADC lookup tables: per query row, a map
+    (sub · n_codes + code) → e6-scaled partial dot of the query's
+    sub-vector with that codeword, plus qn2_e6 = Σ_sub e6(|q_sub|²).
+    Built as one map_from_entries projection over the query scan —
+    m × n_codes small expressions per row, broadcast to every executor
+    (|queries| × m × n_codes longs — the table IS the query plan at
+    100 TB; the corpus is never touched here)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    n_codes = max(code for cb in codebooks for code, _ in cb) + 1
+    entries = []
+    for sub, cb in enumerate(codebooks):
+        off = sub * d_sub
+        entries.extend(
+            f"struct(CAST({sub * n_codes + code} AS INT), "
+            f"{_sql_e6(_sql_dot(vec_col, off, cv))})"
+            for code, cv in cb)
+    qn2 = " + ".join(
+        _sql_e6(" + ".join(
+            f"CAST(`{vec_col}`[{s * d_sub + i}] AS DOUBLE)"
+            f" * CAST(`{vec_col}`[{s * d_sub + i}] AS DOUBLE)"
+            for i in range(d_sub)))
+        for s in range(m))
+    return queries.select(
+        F.col(query_id_col),
+        F.expr("map_from_entries(array(" + ", ".join(entries) + "))")
+        .alias("tbl"),
+        F.expr(qn2).alias("qn2_e6"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, n_codes: int = 32,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            quantizer: str = "first",
+            train_permille: int | None = None,
+            n_iter: int = 5,
+            encode_kernel: str = "sql") -> DataFrame:
+    """PQ-compressed exhaustive ANN top-k via ADC scoring.
+
+    Plan shape: encode the corpus row-locally (codes + xn2_e6 — at
+    100 TB this is the stored representation, written once: the scan
+    reads m ints + one long per vector, ~32× less than float32),
+    broadcast the per-query ADC tables, score each (vector, query)
+    pair with m integer map lookups summed exactly (int64), and keep
+    top-k per query through the usual (score desc, id asc) window.
+    Approximation error comes ONLY from quantizing the corpus side
+    (queries stay exact — that is the 'asymmetric' in ADC); recall is
+    measured beside the int8 tier in the bench."""
+    codebooks = pq_codebooks(corpus, m, n_codes, id_col, vec_col,
+                             quantizer, train_permille, n_iter)
+    wide = widen(corpus.select(id_col, vec_col))
+    if encode_kernel == "blas":
+        enc = pq_encode_blas(wide, codebooks, id_col, vec_col)
+    else:
+        enc = pq_encode(wide, codebooks, vec_col) \
+            .select(id_col, "codes", "xn2_e6")
+    q = broadcast(pq_adc_tables(queries, codebooks, query_id_col,
+                                vec_col))
+    num = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.element_at(
+            F.col("tbl"),
+            (s * n_codes + F.element_at(F.col("codes"), s + 1))
+            .cast("int")))
+    scored = enc.crossJoin(q).select(
+        query_id_col, id_col,
+        F.round(num.cast("double")
+                / F.sqrt(F.col("qn2_e6").cast("double")
+                         * F.col("xn2_e6").cast("double")), 6)
+        .alias("pq_cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("pq_cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "pq_cosine"))
+
+
+def residual_frame(corpus: DataFrame,
+                   cent_rows: list[tuple[int, list[float]]],
+                   vec_col: str = "embedding",
+                   res_col: str = "__res") -> DataFrame:
+    """(… , cell, res) — assign each row its nearest coarse cell and
+    subtract that centroid, both ROW-LOCAL (centroids ride as a map
+    literal): the residual distribution is what IVF-PQ trains its
+    sub-codebooks on (Jégou et al. IVFADC: quantize x - c, not x —
+    on clustered data the raw-vector codebooks collapse to cluster
+    centers and lose all within-cluster ranking; the residuals keep
+    it)."""
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v])
+                  for _, v in cent_rows]))
+    return (assign_cells(corpus, cent_rows, 1, vec_col)
+            .withColumn(res_col, F.zip_with(
+                F.col(vec_col), cmap[F.col("cell")],
+                lambda a, b: a.cast("double") - b)))
+
+
+def ivf_pq_encode(corpus: DataFrame,
+                  cent_rows: list[tuple[int, list[float]]],
+                  codebooks: Codebooks, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One-pass numpy encode for IVF-PQ: per Arrow batch, (1) nearest
+    coarse cell via GEMM, (2) residual, (3) per-subspace residual PQ
+    codes via GEMM, (4) xn2 = |c + r̂|² of the RECONSTRUCTION (the
+    stored norm the cosine denominator needs). Output
+    (id, cell, codes, xn2) — m ints + a long + a double per vector,
+    the ~32×-compressed representation a 100 TB store writes
+    partitioned by cell. Zero exchanges; centroids + codebooks ship
+    once as a broadcast variable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cmats = [np.array([cv for _, cv in cb], dtype=np.float64)
+             for cb in codebooks]
+    code_ids = [np.array([c for c, _ in cb], dtype=np.int64)
+                for cb in codebooks]
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cells, cmat, cmats, code_ids))
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("cell", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("xn2", DoubleType()),
+    ])
+
+    def kernel(batches):
+        cells_, cmat_, cmats_, code_ids_ = bc.value
+        cn2 = (cmat_ * cmat_).sum(1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            # nearest coarse cell by cosine (matches assign_cells)
+            sim = (mat @ cmat_.T) / np.outer(
+                np.sqrt((mat * mat).sum(1)), np.sqrt(cn2))
+            ci = np.argmax(sim, axis=1)
+            res = mat - cmat_[ci]
+            picked = []
+            recon = cmat_[ci].copy()
+            for s in range(m):
+                rs = res[:, s * d_sub:(s + 1) * d_sub]
+                w2 = (cmats_[s] * cmats_[s]).sum(1)
+                d2 = ((rs * rs).sum(1)[:, None]
+                      - 2.0 * (rs @ cmats_[s].T) + w2[None, :])
+                idx = np.argmin(d2, axis=1)
+                picked.append(code_ids_[s][idx])
+                recon[:, s * d_sub:(s + 1) * d_sub] += cmats_[s][idx]
+            codes = np.stack(picked, axis=1)
+            yield pd.DataFrame({
+                id_col: ids,
+                "cell": cells_[ci],
+                "codes": [[int(c) for c in row] for row in codes],
+                "xn2": (recon * recon).sum(1),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_cells: int = 32, n_probe: int = 4, m: int = 8,
+                n_codes: int = 32,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                coarse_quantizer: str = "kmeans",
+                pq_quantizer: str = "kmeans",
+                train_permille: int | None = None,
+                n_iter: int = 5,
+                rerank: int | None = None) -> DataFrame:
+    """IVF-PQ (IVFADC) top-k for cosine — the billion-scale layout:
+    coarse cells prune WHAT is read (n_probe/n_cells of the corpus,
+    written partitioned by cell), residual PQ shrinks WHAT EACH ROW
+    COSTS (~32×: m int8-range codes + a stored norm instead of the
+    vector).
+
+    Scoring stays cosine (not the classic L2 ADC): with x̂ = c + r̂,
+    cos(q, x) ≈ (⟨q, c⟩ + Σ_s ⟨q_s, cw_{s,code}⟩) / (|q| · |x̂|).
+    ⟨q, c⟩ is exact per probed cell (tiny), the Σ is m ADC table
+    lookups (the table depends only on the query — residual codebooks
+    are shared across cells), and |x̂|² is precomputed at encode
+    time. The candidate join is a broadcast equi-join on cell: the
+    corpus never shuffles, scans read only probed cells. Plain PQ
+    (pq_topk) ranks at cluster resolution on clustered data —
+    residuals are what restore within-cluster ranking (measured in
+    BASELINE.md r06).
+
+    rerank=R is the production 'refine' step (FAISS IndexRefineFlat):
+    keep the top R ADC candidates per query, fetch their EXACT
+    vectors (an equi-join on id — R rows per query, tiny I/O), and
+    re-rank by exact cosine for the final top-k. ADC noise then only
+    has to keep true neighbors inside the top R, not rank them —
+    recall@k ≈ recall@R of the ADC pass. Output scores are the exact
+    rounded cosines (column still named pq_cosine so the tiers stay
+    drop-in comparable)."""
+    if coarse_quantizer == "kmeans_local":
+        # full-dim Lloyd on the driver-side hash sample — pq_codebooks
+        # with m=1 subspace IS that (cent_rows format matches)
+        cent_rows = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
+                                 "kmeans_local", train_permille,
+                                 n_iter)[0]
+    elif coarse_quantizer == "kmeans":
+        cents_df = kmeans_centroids(corpus, n_cells, n_iter=n_iter,
+                                    id_col=id_col, vec_col=vec_col,
+                                    train_permille=train_permille)
+        cent_rows = [(int(r["cell"]), [float(x) for x in r["c_vec"]])
+                     for r in cents_df.collect()]
+    else:
+        cent_rows = _collect_first_centroids(corpus, n_cells, id_col,
+                                             vec_col)
+    # residual sub-codebooks, trained on (a sample of) the residuals
+    res = residual_frame(corpus.select(id_col, vec_col), cent_rows,
+                         vec_col)
+    codebooks = pq_codebooks(
+        res.select(id_col, F.col("__res").alias(vec_col)),
+        m, n_codes, id_col, vec_col, pq_quantizer, train_permille,
+        n_iter)
+
+    enc = ivf_pq_encode(widen(corpus.select(id_col, vec_col)),
+                        cent_rows, codebooks, id_col, vec_col)
+
+    # query side: n_probe cells, exact ⟨q, c⟩ per probed cell, one ADC
+    # table + |q|² per query — all row-local on the tiny query frame
+    d_sub = len(codebooks[0][0][1])
+    n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v])
+                  for _, v in cent_rows]))
+    qprobe = assign_cells(queries.select(query_id_col, vec_col),
+                          cent_rows, n_probe, vec_col)
+    qprobe = qprobe.withColumn(
+        "qc_dot", F.aggregate(
+            F.zip_with(F.col(vec_col), cmap[F.col("cell")],
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, v: acc + v))
+    tbl_entries = []
+    for sub, cb in enumerate(codebooks):
+        off = sub * d_sub
+        tbl_entries.extend(
+            f"struct(CAST({sub * n_codes_eff + code} AS INT), "
+            f"{_sql_dot(vec_col, off, cv)})"
+            for code, cv in cb)
+    qn2 = " + ".join(
+        f"CAST(`{vec_col}`[{i}] AS DOUBLE)"
+        f" * CAST(`{vec_col}`[{i}] AS DOUBLE)"
+        for i in range(m * d_sub))
+    q = broadcast(qprobe.select(
+        query_id_col, "cell", "qc_dot",
+        F.expr("map_from_entries(array("
+               + ", ".join(tbl_entries) + "))").alias("tbl"),
+        F.expr(qn2).alias("qn2")))
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.col("tbl"),
+            (s * n_codes_eff + F.element_at(F.col("codes"), s + 1))
+            .cast("int")))
+    scored = enc.join(q, "cell").select(
+        query_id_col, id_col,
+        F.round((F.col("qc_dot") + adc)
+                / F.sqrt(F.col("qn2") * F.col("xn2")), 6)
+        .alias("pq_cosine"))
+    # a vector can appear via several probed cells only if probe sets
+    # overlap corpus cells non-uniquely — cell is unique per corpus
+    # row, so no distinct needed before the window
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("pq_cosine"), F.asc(id_col))
+    if rerank is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id_col, "rank", id_col, "pq_cosine"))
+    cand = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= rerank)
+            .select(query_id_col, id_col))
+    qv = broadcast(queries.select(query_id_col,
+                                  F.col(vec_col).alias("q_vec")))
+    exact = cand.join(corpus.select(id_col, vec_col), id_col) \
+        .join(qv, query_id_col).select(
+            query_id_col, id_col,
+            F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+            .alias("pq_cosine"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "pq_cosine"))
+
+
 def _lsh_bucketed(df: DataFrame, vec_col: str, dim: int, bits: int,
                   n_tables: int, probe: bool) -> DataFrame:
     """Tag each row with its (table, bucket) struct(s), exploded — one

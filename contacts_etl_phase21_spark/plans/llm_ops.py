@@ -1554,6 +1554,123 @@ def ann_brute_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale_e6(ann.brute_force_topk_blas(emb, queries, k=10), "cosine")
 
 
+def _pq_oracle(m: int = 8, d_sub: int = 8, n_codes: int = 32,
+               k: int = 10) -> str:
+    """DuckDB twin of similarity_search.pq_topk (quantizer='first').
+
+    The chains are generated UNROLLED and left-associative so both
+    engines accumulate the doubles in the identical order (a SQL SUM's
+    accumulation order is engine-chosen; an unrolled a+b+...+h is
+    not); everything downstream of the e6 roundings is exact int64
+    (see the PQ section header in operators/similarity_search.py)."""
+    # encode argmin key |c|² - 2⟨v,c⟩ (≡ argmin L2²; |v|² shared per
+    # row) — matches pq_encode's skey formula term for term so the
+    # compared doubles are bit-identical
+    edot = " + ".join(
+        f"e.v[b.sub*{d_sub}+{i}] * b.cv[{i}]"
+        for i in range(1, d_sub + 1))
+    bcn2 = " + ".join(
+        f"b.cv[{i}] * b.cv[{i}]" for i in range(1, d_sub + 1))
+    skey = f"({bcn2}) - 2 * ({edot})"
+    dot = " + ".join(
+        f"q.v[b.sub*{d_sub}+{i}] * b.cv[{i}]"
+        for i in range(1, d_sub + 1))
+    cn2 = " + ".join(f"cv[{i}] * cv[{i}]" for i in range(1, d_sub + 1))
+    qn2 = " + ".join(
+        "CAST(ROUND((" + " + ".join(
+            f"v[{s * d_sub + i}] * v[{s * d_sub + i}]"
+            for i in range(1, d_sub + 1)) + ") * 1000000, 0) AS BIGINT)"
+        for s in range(m))
+    score = ("s.num_e6 / SQRT(CAST(q2.qn2_e6 AS DOUBLE)"
+             " * CAST(s.xn2_e6 AS DOUBLE))")
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cbv AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+                  LIMIT {n_codes})
+        ),
+        subs AS (SELECT UNNEST(range({m})) AS sub),
+        cb AS (
+            SELECT s.sub, c.code,
+                   c.v[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}] AS cv
+            FROM cbv c CROSS JOIN subs s
+        ),
+        cbn AS (
+            SELECT sub, code,
+                   CAST(ROUND(({cn2}) * 1000000, 0) AS BIGINT) AS cn2_e6
+            FROM cb
+        ),
+        enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, b.sub, b.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, b.sub
+                           ORDER BY ({skey}) ASC, b.code ASC) AS rn
+                FROM corpus e CROSS JOIN cb b
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v FROM corpus WHERE vec_id < 10),
+        adc AS (
+            SELECT q.query_id, b.sub, b.code,
+                   CAST(ROUND(({dot}) * 1000000, 0) AS BIGINT) AS dot_e6
+            FROM q CROSS JOIN cb b
+        ),
+        qn AS (SELECT query_id, ({qn2}) AS qn2_e6 FROM q),
+        scored AS (
+            SELECT a.query_id, e.vec_id,
+                   SUM(a.dot_e6) AS num_e6,
+                   SUM(n.cn2_e6) AS xn2_e6
+            FROM enc e
+            JOIN adc a ON a.sub = e.sub AND a.code = e.code
+            JOIN cbn n ON n.sub = e.sub AND n.code = e.code
+            GROUP BY a.query_id, e.vec_id
+        )
+        SELECT query_id, rank, vec_id, pq_cosine FROM (
+            SELECT s.query_id, s.vec_id,
+                   ROUND({score}, 6) AS pq_cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY ROUND({score}, 6) DESC,
+                                s.vec_id ASC) AS INT) AS rank
+            FROM scored s JOIN qn q2 USING (query_id)
+        ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_pq_topk",
+    survey="LLM-similarity-search(pq)",
+    doc="Product-quantization ANN scan tier (r06, judge task #3): "
+        "m=8 subspaces x 16 codes over the 64-dim embeddings — the "
+        "~32x-smaller-scan tier after int8's 4x "
+        "(similarity_search.pq_topk). Corpus encoded row-locally "
+        "against inlined sub-codebooks (zero exchanges, plan-shape-"
+        "pinned); queries stay exact and broadcast e6-integer ADC "
+        "lookup tables; scoring is m integer map lookups per pair, "
+        "so the num/denominator sums are order-independent int64 and "
+        "the final double formula is bit-identical in the DuckDB "
+        "twin. quantizer='first' (codewords = first-32 corpus "
+        "sub-vectors) keeps the whole chain relational; the kmeans-"
+        "trained variant is the recall tier the bench measures. "
+        "n_codes=16 here (not the production 256): the inlined-"
+        "literal encode plan must stay small enough for a default-"
+        "1g driver session (the r06 verify run OOM'd the broadcast "
+        "build at 32 codes on a plain session) — larger codebooks "
+        "route through pq_encode_blas, whose codebooks ship as a "
+        "broadcast variable instead of plan literals.",
+    oracle=e6_oracle(_pq_oracle(n_codes=16), "pq_cosine"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return scale_e6(ann.pq_topk(emb, queries, k=10, n_codes=16),
+                    "pq_cosine")
+
+
 @query(
     "ta_encode_tokens",
     survey="LLM-text(encode)",

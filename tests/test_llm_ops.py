@@ -639,3 +639,121 @@ def test_lsh_candidate_pairs_blas_matches_sql(spark, sf_small):
                           n_tables=tables, multiprobe=mp,
                           kernel="blas").collect()}
         assert sql_pairs == blas_pairs and len(sql_pairs) > 0
+
+
+def test_ann_pq_recall_and_self_recall(spark, sf_small):
+    """r06: PQ/ADC tier — every query's own vector must rank first
+    (self-recall: the quantized self-dot dominates), and aggregate
+    recall@10 vs brute force must be non-trivial at m=8 x 32 codes."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = {(r["query_id"], r["vec_id"])
+             for r in ann.brute_force_topk(emb, queries, k=10).collect()}
+    pq = ann.pq_topk(emb, queries, k=10).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in pq}
+    recall = len(brute & got) / len(brute)
+    assert recall > 0.1, f"pq recall {recall}"
+    # deterministic across runs
+    again = {(r["query_id"], r["vec_id"])
+             for r in ann.pq_topk(emb, queries, k=10).collect()}
+    assert got == again
+
+
+def test_ann_pq_kmeans_codebooks_deterministic(spark, sf_small):
+    """Per-subspace Lloyd-trained codebooks: deterministic, and the
+    encode→ADC chain still produces k rows per query."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = ann.pq_topk(emb, queries, k=10, m=4, n_codes=16,
+                    quantizer="kmeans", train_permille=500,
+                    n_iter=2).collect()
+    b = ann.pq_topk(emb, queries, k=10, m=4, n_codes=16,
+                    quantizer="kmeans", train_permille=500,
+                    n_iter=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_pq_encode_blas_matches_declarative(spark, sf_small):
+    """r06: the GEMM encode kernel (broadcast codebooks, one matmul
+    per subspace per Arrow batch) must produce the same codes and
+    xn2_e6 as the inlined-literal declarative encode."""
+    emb = load(spark, sf_small, "embeddings")
+    books = ann.pq_codebooks(emb, m=8, n_codes=32)
+    sql_enc = {r["vec_id"]: (tuple(r["codes"]), r["xn2_e6"])
+               for r in ann.pq_encode(
+                   emb.select("vec_id", "embedding"), books)
+               .select("vec_id", "codes", "xn2_e6").collect()}
+    blas_enc = {r["vec_id"]: (tuple(r["codes"]), r["xn2_e6"])
+                for r in ann.pq_encode_blas(
+                    emb.select("vec_id", "embedding"), books).collect()}
+    assert sql_enc == blas_enc
+    # end-to-end: blas-encoded top-k equals the declarative tier
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = [tuple(r) for r in ann.pq_topk(emb, queries, k=10).collect()]
+    b = [tuple(r) for r in ann.pq_topk(emb, queries, k=10,
+                                       encode_kernel="blas").collect()]
+    assert a == b
+
+
+def test_ivf_pq_residual_beats_plain_pq_on_clustered(spark):
+    """r06: on a clustered corpus plain PQ quantizes to cluster
+    resolution (its codebooks collapse to cluster centers, so
+    within-cluster ranking is lost); residual IVF-PQ with exact
+    rerank must restore most of it. Also pins determinism of the
+    kmeans_local trainer."""
+    import pyspark.sql.functions as F
+
+    from tools.bench_corpus import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 1000) \
+        .select("vec_id", "embedding").persist()
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"])
+                for r in df.select("query_id", "vec_id").collect()}
+
+    truth = pairs(ann.brute_force_topk_blas(emb, queries, k=10))
+    plain = pairs(ann.pq_topk(emb, queries, k=10,
+                              quantizer="kmeans_local",
+                              train_permille=500,
+                              encode_kernel="blas"))
+    ivfpq = ann.ivf_pq_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4, m=16, n_codes=32,
+        coarse_quantizer="kmeans_local", pq_quantizer="kmeans_local",
+        train_permille=500, rerank=50)
+    got = pairs(ivfpq)
+    r_plain = len(plain & truth) / len(truth)
+    r_ivfpq = len(got & truth) / len(truth)
+    assert r_ivfpq > r_plain, (r_ivfpq, r_plain)
+    assert r_ivfpq >= 0.6, r_ivfpq
+    again = pairs(ann.ivf_pq_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4, m=16, n_codes=32,
+        coarse_quantizer="kmeans_local", pq_quantizer="kmeans_local",
+        train_permille=500, rerank=50))
+    assert got == again
+    emb.unpersist()
+
+
+def test_ivf_pq_encode_shape_and_compression(spark, sf_small):
+    """ivf_pq_encode emits (id, cell, m codes, xn2) — the compressed
+    row a 100 TB store writes partitioned by cell."""
+    emb = load(spark, sf_small, "embeddings")
+    cents = ann._collect_first_centroids(emb, 8, "vec_id", "embedding")
+    books = ann.pq_codebooks(emb, m=8, n_codes=16)
+    enc = ann.ivf_pq_encode(emb, cents, books).collect()
+    assert len(enc) == emb.count()
+    cells = {c for c, _ in cents}
+    for r in enc[:50]:
+        assert r["cell"] in cells
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["xn2"] > 0

@@ -541,3 +541,17 @@ def test_file_order_ids_fail_fast_unmapped_file(spark, tmp_path,
     out = io_mod._number_with_offsets(df, stale, "rid", keep_string=False)
     with pytest.raises(Exception, match="appeared after the offset pass"):
         out.collect()
+
+
+def test_pq_encode_plan_has_no_exchange(spark, sf_small):
+    """r06: PQ corpus encoding is a row-local projection over inlined
+    sub-codebook literals — zero exchanges in the encode stage (same
+    contract as IVF cell assignment)."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
+    emb = load(spark, sf_small, "embeddings")
+    books = ann.pq_codebooks(emb, m=8, n_codes=8)
+    enc = ann.pq_encode(emb.select("vec_id", "embedding"), books)
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p

@@ -90,6 +90,53 @@ def synthetic_embeddings(spark: SparkSession, n: int) -> DataFrame:
                     lambda j: comp(j).cast("float")).alias("embedding"))
 
 
+def _unit(tag: str, a, b) -> F.Column:
+    """Deterministic pseudo-uniform in (0, 1) from (tag, a, b) — the
+    same stateless xxhash64 pattern as the doc generator; +0.5 keeps
+    the value strictly inside (0,1) so log/cos below stay finite."""
+    return ((F.pmod(F.xxhash64(F.lit(tag), a, b), F.lit(104729))
+             .cast("double") + 0.5) / 104729.0)
+
+
+def _gauss(tag: str, a, b) -> F.Column:
+    """Standard normal via Box-Muller on two hash-uniforms — still
+    pure column algebra: no RNG state, reproducible at any
+    partitioning (re-runs select the SAME corpus)."""
+    u1 = _unit(tag + "1", a, b)
+    u2 = _unit(tag + "2", a, b)
+    import math
+
+    return (F.sqrt(-2.0 * F.log(u1))
+            * F.cos(F.lit(2.0 * math.pi) * u2))
+
+
+def clustered_embeddings(spark: SparkSession, n: int,
+                         n_clusters: int = 32,
+                         sigma: float = 0.35) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embeddings (r05 judge brief
+    #2): vector i belongs to cluster c = xxhash64(i) % n_clusters and
+    equals center_c + sigma · z_i, with center components and noise
+    both standard-normal via Box-Muller on integer hashes — fully
+    hash-seeded, no RNG state (same pattern as synthetic_docs).
+
+    Geometry: |center|² ≈ DIM, |noise|² ≈ DIM·σ², so expected
+    within-cluster cosine ≈ 1/(1+σ²) (~0.89 at σ=0.35) against ~0
+    across clusters — the shape real embedding corpora have and the
+    isotropic driver/bench vectors deliberately lack (sign-LSH's
+    worst case, BASELINE.md round-5). ANN recall numbers on THIS
+    corpus are the ones that transfer to production embedding
+    stores."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    c = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_clusters))
+    comp = lambda j: (  # noqa: E731
+        _gauss("ctr", c, j) + F.lit(sigma) * _gauss("nz", F.col("vec_id"), j))
+    return base.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)),
+                    lambda j: comp(j).cast("float")).alias("embedding"),
+        c.cast("int").alias("label"))
+
+
 def run_once(spark: SparkSession, n: int) -> dict:
     from contacts_etl_phase21_spark.operators import dedup as dd
     from contacts_etl_phase21_spark.operators import similarity_search as ann
