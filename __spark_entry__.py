@@ -89,8 +89,10 @@ _DRIVER_PRIORITY = [
     "ta_corpus_report",
     "ann_brute_blas_topk",
     "ta_encode_tokens",
-    # r06: product-quantization ANN scan tier (judge task #3)
+    # r06: product-quantization ANN scan tier (judge task #3) and the
+    # fully-relational residual IVF-PQ (IVFADC) tier built on it
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

@@ -963,6 +963,121 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, "rank", id_col, "pq_cosine"))
 
 
+def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
+                           k: int = 10, n_cells: int = 8,
+                           n_probe: int = 2, m: int = 8,
+                           n_codes: int = 16,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           query_id_col: str = "query_id") -> DataFrame:
+    """Fully-relational IVFADC twin (first-n quantizers everywhere) —
+    the oracle-checkable tier of ivf_pq_topk, same contract as
+    ivf_topk's quantizer='first' vs 'kmeans'.
+
+    Chain of custody for cross-engine bit parity: coarse centroids
+    are the first n_cells corpus vectors (data, not arithmetic);
+    residuals are v - c elementwise (identical doubles both engines);
+    residual codebooks are the residuals OF THE FIRST n_codes ROWS
+    sub-sliced (data again); every score component crossing the
+    engine boundary is an e6-scaled BIGINT rounded from an
+    identically-ordered double chain (qc_e6 = e6(⟨q,c⟩),
+    ADC dot_e6, per-cell |c|² and per-codeword cross/self terms), so
+    num_e6 = qc_e6 + Σ dot_e6 and
+    xn2_e6 = cn2_e6 + 2·Σ ccw_e6 + Σ w2_e6 are exact integer sums
+    and the final cosine = num/√(qn2·xn2) divides identical ints in
+    double. The per-cell/per-codeword constants embed as generated
+    SQL over double literals — Catalyst constant-folds them to an
+    integer map (the serialized plan carries n_cells × m × n_codes
+    ints, not the chains). Same physical shape as ivf_pq_topk:
+    row-local encode, broadcast query tables, equi-join on cell."""
+    cent_rows = _collect_first_centroids(corpus, n_cells, id_col,
+                                         vec_col)
+    dim = len(cent_rows[0][1])
+    d_sub = dim // m
+    res = residual_frame(widen(corpus.select(id_col, vec_col)),
+                         cent_rows, vec_col)
+    first_res = res.orderBy(id_col).limit(n_codes) \
+        .select(id_col, "__res").collect()
+    rvecs = [[float(x) for x in r["__res"]] for r in first_res]
+    codebooks: Codebooks = [
+        [(j, rv[s * d_sub:(s + 1) * d_sub])
+         for j, rv in enumerate(rvecs)]
+        for s in range(m)]
+    enc = pq_encode(res, codebooks, "__res").select(
+        id_col, "cell", "codes", F.col("xn2_e6").alias("rn2_e6"))
+
+    # per-cell |c|²_e6 and per-(cell, sub, code) ⟨c_sub, cw⟩_e6 maps:
+    # literal chains, constant-folded to int maps before serialization
+    cn2_entries = ", ".join(
+        "struct(CAST({} AS INT), {})".format(
+            int(cell),
+            _sql_e6(" + ".join(f"{_dlit(x)} * {_dlit(x)}" for x in cv)))
+        for cell, cv in cent_rows)
+    ccw_entries = []
+    for cell, cv in cent_rows:
+        for s in range(m):
+            cs = cv[s * d_sub:(s + 1) * d_sub]
+            for code, cw in codebooks[s]:
+                key = (cell * m + s) * n_codes + code
+                chain = " + ".join(
+                    f"{_dlit(a)} * {_dlit(b)}" for a, b in zip(cs, cw))
+                ccw_entries.append(
+                    f"struct(CAST({key} AS INT), {_sql_e6(chain)})")
+    enc = (enc
+           .withColumn("cn2_e6", F.expr(
+               f"map_from_entries(array({cn2_entries}))")
+               [F.col("cell").cast("int")])
+           .withColumn("cross_e6", F.aggregate(
+               F.sequence(F.lit(0), F.lit(m - 1)),
+               F.lit(0).cast("long"),
+               lambda acc, s: acc + F.element_at(
+                   F.expr("map_from_entries(array("
+                          + ", ".join(ccw_entries) + "))"),
+                   ((F.col("cell").cast("int") * m + s) * n_codes
+                    + F.element_at(F.col("codes"), s + 1))
+                   .cast("int")))))
+
+    # query side: n_probe probed cells with exact e6(⟨q,c⟩), one ADC
+    # table + qn2_e6 per query (raw query × residual codebooks)
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in v])
+                  for _, v in cent_rows]))
+    qp = assign_cells(queries.select(query_id_col, vec_col), cent_rows,
+                      n_probe, vec_col)
+    qc_e6 = F.round(F.aggregate(
+        F.zip_with(F.col(vec_col), cmap[F.col("cell")],
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, v: acc + v) * 1000000, 0).cast("long")
+    adc = pq_adc_tables(queries, codebooks, query_id_col, vec_col)
+    q = broadcast(
+        qp.select(query_id_col, "cell", qc_e6.alias("qc_e6"))
+        .join(adc, query_id_col))
+
+    n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
+    adc_sum = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.element_at(
+            F.col("tbl"),
+            (s * n_codes_eff + F.element_at(F.col("codes"), s + 1))
+            .cast("int")))
+    num = F.col("qc_e6") + adc_sum
+    xn2 = (F.col("cn2_e6") + F.lit(2) * F.col("cross_e6")
+           + F.col("rn2_e6"))
+    scored = enc.join(q, "cell").select(
+        query_id_col, id_col,
+        F.round(num.cast("double")
+                / F.sqrt(F.col("qn2_e6").cast("double")
+                         * xn2.cast("double")), 6)
+        .alias("pq_cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("pq_cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "pq_cosine"))
+
+
 def _lsh_bucketed(df: DataFrame, vec_col: str, dim: int, bits: int,
                   n_tables: int, probe: bool) -> DataFrame:
     """Tag each row with its (table, bucket) struct(s), exploded — one

@@ -1640,6 +1640,175 @@ def _pq_oracle(m: int = 8, d_sub: int = 8, n_codes: int = 32,
     """
 
 
+def _ivfpq_oracle(n_cells: int = 8, n_probe: int = 2, m: int = 8,
+                  d_sub: int = 8, n_codes: int = 16, k: int = 10) -> str:
+    """DuckDB twin of similarity_search.ivf_pq_topk_relational.
+
+    Everything derives from the parquet in SQL: coarse centroids =
+    first n_cells vectors, residuals = v - c elementwise, residual
+    codebooks = residuals of the first n_codes rows sub-sliced. All
+    double chains are unrolled left-associative to match the Spark
+    side term for term; every cross-engine value is an e6 BIGINT, so
+    the num/xn2 aggregations are exact integer sums (see the
+    operator's docstring for the full parity argument)."""
+    dim = m * d_sub
+    cw2 = " + ".join(f"b.cw[{i}] * b.cw[{i}]"
+                     for i in range(1, d_sub + 1))
+    rdot = " + ".join(f"e.r[b.sub*{d_sub}+{i}] * b.cw[{i}]"
+                      for i in range(1, d_sub + 1))
+    skey = f"({cw2}) - 2 * ({rdot})"
+    cvchain = " + ".join(f"cv[{i}] * cv[{i}]" for i in range(1, dim + 1))
+    ccw_chain = " + ".join(f"c.cv[b.sub*{d_sub}+{i}] * b.cw[{i}]"
+                           for i in range(1, d_sub + 1))
+    qc_chain = " + ".join(f"q.qv[{i}] * c.cv[{i}]"
+                          for i in range(1, dim + 1))
+    qdot = " + ".join(f"q.qv[b.sub*{d_sub}+{i}] * b.cw[{i}]"
+                      for i in range(1, d_sub + 1))
+    qn2 = " + ".join(
+        "CAST(ROUND((" + " + ".join(
+            f"qv[{s * d_sub + i}] * qv[{s * d_sub + i}]"
+            for i in range(1, d_sub + 1)) + ") * 1000000, 0) AS BIGINT)"
+        for s in range(m))
+    score = ("s.num_e6 / SQRT(CAST(n.qn2_e6 AS DOUBLE)"
+             " * CAST(s.xn2_e6 AS DOUBLE))")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id
+            LIMIT {n_cells}
+        ),
+        cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM emb e CROSS JOIN cents c
+            ) WHERE cr = 1
+        ),
+        resf AS (
+            SELECT a.vec_id, a.cell,
+                   list_transform(generate_series(1, {dim}),
+                                  i -> a.v[i] - c.cv[i]) AS r
+            FROM cassign a JOIN cents c ON c.cell = a.cell
+        ),
+        subs AS (SELECT UNNEST(range({m})) AS sub),
+        rcb AS (
+            SELECT s.sub, rr.code,
+                   rr.r[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}] AS cw
+            FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r
+                  FROM (SELECT vec_id, r FROM resf ORDER BY vec_id
+                        LIMIT {n_codes})) rr
+            CROSS JOIN subs s
+        ),
+        w2 AS (
+            SELECT sub, code,
+                   CAST(ROUND(({" + ".join(f"cw[{i}] * cw[{i}]"
+                                           for i in range(1, d_sub + 1))})
+                              * 1000000, 0) AS BIGINT) AS w2_e6
+            FROM rcb
+        ),
+        enc AS (
+            SELECT vec_id, cell, sub, code FROM (
+                SELECT e.vec_id, e.cell, b.sub, b.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, b.sub
+                           ORDER BY ({skey}) ASC, b.code ASC) AS rn
+                FROM resf e CROSS JOIN rcb b
+            ) WHERE rn = 1
+        ),
+        cn2 AS (
+            SELECT cell,
+                   CAST(ROUND(({cvchain}) * 1000000, 0) AS BIGINT)
+                       AS cn2_e6
+            FROM cents
+        ),
+        ccw AS (
+            SELECT c.cell, b.sub, b.code,
+                   CAST(ROUND(({ccw_chain}) * 1000000, 0) AS BIGINT)
+                       AS ccw_e6
+            FROM cents c CROSS JOIN rcb b
+        ),
+        qsrc AS (
+            SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
+        ),
+        qassign AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM qsrc q CROSS JOIN cents c
+            ) WHERE cr <= {n_probe}
+        ),
+        qc AS (
+            SELECT q.query_id, a.cell,
+                   CAST(ROUND(({qc_chain}) * 1000000, 0) AS BIGINT)
+                       AS qc_e6
+            FROM qsrc q
+            JOIN qassign a ON a.query_id = q.query_id
+            JOIN cents c ON c.cell = a.cell
+        ),
+        adc AS (
+            SELECT q.query_id, b.sub, b.code,
+                   CAST(ROUND(({qdot}) * 1000000, 0) AS BIGINT) AS dot_e6
+            FROM qsrc q CROSS JOIN rcb b
+        ),
+        qn AS (SELECT query_id, ({qn2}) AS qn2_e6 FROM qsrc),
+        scored AS (
+            SELECT p.query_id, e.vec_id,
+                   p.qc_e6 + SUM(a.dot_e6) AS num_e6,
+                   n2.cn2_e6 + 2 * SUM(w.ccw_e6) + SUM(v2.w2_e6)
+                       AS xn2_e6
+            FROM enc e
+            JOIN qc p ON p.cell = e.cell
+            JOIN adc a ON a.query_id = p.query_id
+                      AND a.sub = e.sub AND a.code = e.code
+            JOIN ccw w ON w.cell = e.cell AND w.sub = e.sub
+                      AND w.code = e.code
+            JOIN w2 v2 ON v2.sub = e.sub AND v2.code = e.code
+            JOIN cn2 n2 ON n2.cell = e.cell
+            GROUP BY p.query_id, e.vec_id, p.qc_e6, n2.cn2_e6
+        )
+        SELECT query_id, rank, vec_id, pq_cosine FROM (
+            SELECT s.query_id, s.vec_id,
+                   ROUND({score}, 6) AS pq_cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY ROUND({score}, 6) DESC,
+                                s.vec_id ASC) AS INT) AS rank
+            FROM scored s JOIN qn n USING (query_id)
+        ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    survey="LLM-similarity-search(ivf-pq)",
+    doc="Residual IVF-PQ (IVFADC) top-10, fully relational (r06): "
+        "coarse cells prune the scan to n_probe/n_cells, PQ codes on "
+        "the RESIDUAL x - centroid shrink each row ~32x, scoring "
+        "stays cosine via exact-per-cell qc + integer ADC tables + "
+        "the precomputed reconstruction norm "
+        "(similarity_search.ivf_pq_topk_relational; "
+        "ivf_pq_topk is the kmeans-trained production twin with "
+        "exact rerank, measured in BASELINE.md r06). First-n "
+        "quantizers keep centroid AND codebook derivable in SQL, so "
+        "the oracle reproduces assignment, residuals, encoding, ADC "
+        "and rerank end to end; all cross-engine values are e6 "
+        "BIGINTs from identically-ordered chains.",
+    oracle=e6_oracle(_ivfpq_oracle(), "pq_cosine"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return scale_e6(
+        ann.ivf_pq_topk_relational(emb, queries, k=10), "pq_cosine")
+
+
 @query(
     "ann_pq_topk",
     survey="LLM-similarity-search(pq)",

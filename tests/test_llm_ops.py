@@ -757,3 +757,30 @@ def test_ivf_pq_encode_shape_and_compression(spark, sf_small):
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
         assert r["xn2"] > 0
+
+
+def test_ivfpq_relational_contract(spark, sf_small):
+    """r06: the oracle-checkable IVFADC tier returns exactly k ranked
+    rows per query, is deterministic, and only scores vectors from
+    probed cells (candidate pruning is real, not cosmetic)."""
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ann.ivf_pq_topk_relational(emb, queries, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(5))
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    again = ann.ivf_pq_topk_relational(emb, queries, k=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    # pruning: scored ids all come from the queries' probed cells
+    cents = ann._collect_first_centroids(emb, 8, "vec_id", "embedding")
+    cells = {r["vec_id"]: r["cell"] for r in ann.assign_cells(
+        emb.select("vec_id", "embedding"), cents, 1).collect()}
+    probes = {}
+    for r in ann.assign_cells(queries, cents, 2,
+                              "embedding").collect():
+        probes.setdefault(r["query_id"], set()).add(r["cell"])
+    for r in out:
+        assert cells[r["vec_id"]] in probes[r["query_id"]]
