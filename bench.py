@@ -246,9 +246,15 @@ def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
             pq_quantizer="kmeans_local", train_permille=200,
             rerank=100),
     }
-    out["recall"] = {
-        name: round(len(pairs(fn()) & truth) / len(truth), 4)
-        for name, fn in configs.items()}
+    recall: dict[str, float] = {}
+    secs: dict[str, float] = {}
+    for name, fn in configs.items():
+        t0 = time.perf_counter()
+        got = pairs(fn())
+        secs[name] = round(time.perf_counter() - t0, 2)
+        recall[name] = round(len(got & truth) / len(truth), 4)
+    out["recall"] = recall
+    out["tier_sec"] = secs
     emb.unpersist()
     return out
 

@@ -506,27 +506,13 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 32,
         train = corpus.select(id_col, vec_col)
         if train_permille is not None:
             train = deterministic_sample(train, id_col, train_permille)
-        sample = train.orderBy(id_col).collect()
-        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                        for r in sample])
-        books = []
-        for sub in range(m):
-            xs = mat[:, sub * d_sub:(sub + 1) * d_sub]
-            cents = xs[:n_codes].copy()
-            for _ in range(n_iter):
-                d2 = ((xs * xs).sum(1)[:, None]
-                      - 2.0 * (xs @ cents.T)
-                      + (cents * cents).sum(1)[None, :])
-                idx = np.argmin(d2, axis=1)
-                # empty cells keep their previous centroid (k stays
-                # fixed, unlike the distributed Lloyd's shrinking k)
-                for c in range(len(cents)):
-                    members = xs[idx == c]
-                    if len(members):
-                        cents[c] = members.mean(0)
-            books.append([(j, [float(x) for x in cents[j]])
-                          for j in range(len(cents))])
-        return books
+        # Arrow toPandas, not collect(): the sample is 10⁴-10⁵ array
+        # rows and py4j row conversion costs ~10s where the Arrow
+        # batch transfer is sub-second; float32→float64 is exact
+        pdf = train.orderBy(id_col).toPandas()
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        return _lloyd_subspaces(mat, m, d_sub, n_codes, n_iter)
     if quantizer == "kmeans":
         books: Codebooks = []
         for sub in range(m):
@@ -548,6 +534,32 @@ def pq_codebooks(corpus: DataFrame, m: int = 8, n_codes: int = 32,
     return [[(j, v[sub * d_sub:(sub + 1) * d_sub])
              for j, v in enumerate(vecs)]
             for sub in range(m)]
+
+
+def _lloyd_subspaces(mat, m: int, d_sub: int, n_codes: int,
+                     n_iter: int) -> Codebooks:
+    """Per-subspace numpy Lloyd on an in-memory training matrix —
+    deterministic (first-n init, argmin first-min ties); empty cells
+    keep their previous centroid (k stays fixed, unlike the
+    distributed Lloyd's shrinking k)."""
+    import numpy as np
+
+    books: Codebooks = []
+    for sub in range(m):
+        xs = mat[:, sub * d_sub:(sub + 1) * d_sub]
+        cents = xs[:n_codes].copy()
+        for _ in range(n_iter):
+            d2 = ((xs * xs).sum(1)[:, None]
+                  - 2.0 * (xs @ cents.T)
+                  + (cents * cents).sum(1)[None, :])
+            idx = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = xs[idx == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books.append([(j, [float(x) for x in cents[j]])
+                      for j in range(len(cents))])
+    return books
 
 
 def pq_encode(corpus: DataFrame, codebooks: Codebooks,
@@ -660,6 +672,35 @@ def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
+def _round_half_up6_np(x):
+    """Vectorized decimal HALF_UP at 6 digits — the same scheme
+    brute_force_topk_blas uses to mirror F.round (see its docstring
+    for the BigDecimal caveat)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                    np.ceil(x * 1e6 - 0.5)) / 1e6
+
+
+def _adc_lookup_sum(m: int, n_codes: int) -> Column:
+    """Σ_s tbl[s·n_codes + codes[s] + 1] as an UNROLLED chain of
+    element_at terms: unlike an F.aggregate fold (higher-order
+    functions evaluate interpreted, row by row), plain element_at
+    stays inside whole-stage codegen — the scoring projection is the
+    per-candidate hot loop (~10⁸ lookups at 10⁶ corpus × 50
+    queries). Integer adds: order-independent, same values as the
+    fold."""
+    from functools import reduce
+
+    terms = [
+        F.element_at(
+            F.col("tbl"),
+            (F.element_at(F.col("codes"), s + 1) + (s * n_codes + 1))
+            .cast("int"))
+        for s in range(m)]
+    return reduce(lambda a, b: a + b, terms)
+
+
 def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
                   query_id_col: str = "query_id",
                   vec_col: str = "embedding") -> DataFrame:
@@ -673,13 +714,17 @@ def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
     n_codes = max(code for cb in codebooks for code, _ in cb) + 1
+    # DENSE array in key order (sub · n_codes + code): scoring reads
+    # it with element_at(tbl, key + 1) — O(1) positional access, no
+    # per-lookup map hashing (the fold does m lookups per candidate
+    # pair; at 10⁶ corpus × 50 queries that is ~10⁸ probes)
     entries = []
     for sub, cb in enumerate(codebooks):
         off = sub * d_sub
-        entries.extend(
-            f"struct(CAST({sub * n_codes + code} AS INT), "
-            f"{_sql_e6(_sql_dot(vec_col, off, cv))})"
-            for code, cv in cb)
+        assert [code for code, _ in cb] == list(range(len(cb))), \
+            "pq codebook codes must be dense 0..n-1"
+        entries.extend(_sql_e6(_sql_dot(vec_col, off, cv))
+                       for _, cv in cb)
     qn2 = " + ".join(
         _sql_e6(" + ".join(
             f"CAST(`{vec_col}`[{s * d_sub + i}] AS DOUBLE)"
@@ -688,8 +733,7 @@ def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
         for s in range(m))
     return queries.select(
         F.col(query_id_col),
-        F.expr("map_from_entries(array(" + ", ".join(entries) + "))")
-        .alias("tbl"),
+        F.expr("array(" + ", ".join(entries) + ")").alias("tbl"),
         F.expr(qn2).alias("qn2_e6"))
 
 
@@ -722,13 +766,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(id_col, "codes", "xn2_e6")
     q = broadcast(pq_adc_tables(queries, codebooks, query_id_col,
                                 vec_col))
-    num = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.element_at(
-            F.col("tbl"),
-            (s * n_codes + F.element_at(F.col("codes"), s + 1))
-            .cast("int")))
+    num = _adc_lookup_sum(m, n_codes)
     scored = enc.crossJoin(q).select(
         query_id_col, id_col,
         F.round(num.cast("double")
@@ -884,76 +922,151 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     else:
         cent_rows = _collect_first_centroids(corpus, n_cells, id_col,
                                              vec_col)
-    # residual sub-codebooks, trained on (a sample of) the residuals
-    res = residual_frame(corpus.select(id_col, vec_col), cent_rows,
-                         vec_col)
-    codebooks = pq_codebooks(
-        res.select(id_col, F.col("__res").alias(vec_col)),
-        m, n_codes, id_col, vec_col, pq_quantizer, train_permille,
-        n_iter)
+    # residual sub-codebooks, trained on a sample of the residuals —
+    # SAMPLE FIRST, then compute residuals: the interpreted per-row
+    # cosine argmax in residual_frame must run over the training
+    # sample only, never the full corpus (measured 40s → ~2s of the
+    # 10⁶ stage; the full-corpus assignment happens once, vectorized,
+    # inside ivf_pq_encode)
+    train = corpus.select(id_col, vec_col)
+    if train_permille is not None:
+        from contacts_etl_phase21_spark.operators.sampling import (
+            deterministic_sample,
+        )
+
+        train = deterministic_sample(train, id_col, train_permille)
+    if pq_quantizer == "kmeans_local":
+        # fully-local training: one Arrow transfer of the sample,
+        # then vectorized assignment + residuals + per-subspace Lloyd
+        # in numpy (the declarative residual_frame's interpreted
+        # per-row argmax costs ~16s on a 5·10⁴ sample; this is <2s)
+        import numpy as np
+
+        pdf = train.orderBy(id_col).toPandas()
+        tmat = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in pdf[vec_col]])
+        cmat = np.stack([np.asarray(v, dtype=np.float64)
+                         for _, v in cent_rows])
+        sim = ((tmat @ cmat.T)
+               / np.outer(np.sqrt((tmat * tmat).sum(1)),
+                          np.sqrt((cmat * cmat).sum(1))))
+        resid = tmat - cmat[np.argmax(sim, axis=1)]
+        dim = tmat.shape[1]
+        codebooks = _lloyd_subspaces(resid, m, dim // m, n_codes,
+                                     n_iter)
+    else:
+        res = residual_frame(train, cent_rows, vec_col)
+        codebooks = pq_codebooks(
+            res.select(id_col, F.col("__res").alias(vec_col)),
+            m, n_codes, id_col, vec_col, pq_quantizer, None, n_iter)
 
     enc = ivf_pq_encode(widen(corpus.select(id_col, vec_col)),
                         cent_rows, codebooks, id_col, vec_col)
 
-    # query side: n_probe cells, exact ⟨q, c⟩ per probed cell, one ADC
-    # table + |q|² per query — all row-local on the tiny query frame
+    # query-side prep (probes, per-cell ⟨q,c⟩, flat ADC tables, |q|²)
+    # in numpy on the collected queries — the query side is tiny by
+    # definition, and shipping the tables as ONE broadcast variable
+    # into a vectorized scoring kernel avoids the per-candidate
+    # expression-eval wall the declarative join hit (a single
+    # element_at against the per-query 8 KB table column measured
+    # ~17s at 10⁶ candidates; the gather below is < 1s)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
     d_sub = len(codebooks[0][0][1])
     n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
-        F.array(*[F.array(*[F.lit(float(x)) for x in v])
-                  for _, v in cent_rows]))
-    qprobe = assign_cells(queries.select(query_id_col, vec_col),
-                          cent_rows, n_probe, vec_col)
-    qprobe = qprobe.withColumn(
-        "qc_dot", F.aggregate(
-            F.zip_with(F.col(vec_col), cmap[F.col("cell")],
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, v: acc + v))
-    tbl_entries = []
-    for sub, cb in enumerate(codebooks):
-        off = sub * d_sub
-        tbl_entries.extend(
-            f"struct(CAST({sub * n_codes_eff + code} AS INT), "
-            f"{_sql_dot(vec_col, off, cv)})"
-            for code, cv in cb)
-    qn2 = " + ".join(
-        f"CAST(`{vec_col}`[{i}] AS DOUBLE)"
-        f" * CAST(`{vec_col}`[{i}] AS DOUBLE)"
-        for i in range(m * d_sub))
-    q = broadcast(qprobe.select(
-        query_id_col, "cell", "qc_dot",
-        F.expr("map_from_entries(array("
-               + ", ".join(tbl_entries) + "))").alias("tbl"),
-        F.expr(qn2).alias("qn2")))
+    keep = rerank if rerank is not None else k
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], StructType([
+            StructField(query_id_col, LongType()),
+            StructField("rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField("pq_cosine", DoubleType())]))
+    q_ids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in q_rows])
+    qn2 = (qmat * qmat).sum(1)
+    cells_arr = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for _, v in cent_rows])
+    sim = (qmat @ cmat.T) / np.outer(np.sqrt(qn2),
+                                     np.sqrt((cmat * cmat).sum(1)))
+    qc = qmat @ cmat.T  # (nq, n_cells) exact ⟨q, c⟩
+    # probes[cell] = [(query_idx)] — nearest n_probe cells per query,
+    # (cosine desc, cell asc) tie-break like assign_cells
+    probes: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for ci in np.lexsort((cells_arr, -sim[qi]))[:n_probe]:
+            probes.setdefault(int(cells_arr[ci]), []).append(qi)
+    cw = np.stack([np.stack([np.asarray(cv, dtype=np.float64)
+                             for _, cv in cb]) for cb in codebooks])
+    tbl = np.stack([
+        np.concatenate([qmat[qi, s * d_sub:(s + 1) * d_sub] @ cw[s].T
+                        for s in range(m)])
+        for qi in range(len(q_ids))])  # (nq, m·n_codes)
+    sub_off = (np.arange(m, dtype=np.int64) * n_codes_eff)[None, :]
+    bq = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, qn2, qc, probes, tbl, sub_off,
+         {int(c): i for i, c in enumerate(cells_arr)}))
 
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc + F.element_at(
-            F.col("tbl"),
-            (s * n_codes_eff + F.element_at(F.col("codes"), s + 1))
-            .cast("int")))
-    scored = enc.join(q, "cell").select(
-        query_id_col, id_col,
-        F.round((F.col("qc_dot") + adc)
-                / F.sqrt(F.col("qn2") * F.col("xn2")), 6)
-        .alias("pq_cosine"))
-    # a vector can appear via several probed cells only if probe sets
-    # overlap corpus cells non-uniquely — cell is unique per corpus
-    # row, so no distinct needed before the window
+    out_schema = StructType([
+        StructField(query_id_col, LongType()),
+        StructField(id_col, LongType()),
+        StructField("pq_cosine", DoubleType()),
+    ])
+
+    def score_kernel(batches):
+        q_ids_, qn2_, qc_, probes_, tbl_, sub_off_, cell_idx_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in pdf["codes"]])
+            xn2 = pdf["xn2"].to_numpy(dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = []
+            for cell_val in np.unique(cells):
+                qlist = probes_.get(int(cell_val))
+                if not qlist:
+                    continue
+                ridx = np.flatnonzero(cells == cell_val)
+                flat = codes[ridx] + sub_off_  # (nr, m)
+                denom = np.sqrt(xn2[ridx])
+                for qi in qlist:
+                    adc = tbl_[qi][flat].sum(1)
+                    sc = ((qc_[qi, cell_idx_[int(cell_val)]] + adc)
+                          / (np.sqrt(qn2_[qi]) * denom))
+                    sc = _round_half_up6_np(sc)
+                    top = min(keep, len(ridx))
+                    kth = np.partition(sc, len(sc) - top)[len(sc) - top]
+                    for ci in np.flatnonzero(sc >= kth):
+                        rows.append((int(q_ids_[qi]), int(ids[ridx[ci]]),
+                                     float(sc[ci])))
+            yield pd.DataFrame(rows, columns=[query_id_col, id_col,
+                                              "pq_cosine"])
+
+    scored = enc.mapInPandas(score_kernel, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("pq_cosine"), F.asc(id_col))
     if rerank is None:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select(query_id_col, "rank", id_col, "pq_cosine"))
-    cand = (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= rerank)
-            .select(query_id_col, id_col))
+    # broadcast the candidate list (|queries| × R rows): the corpus
+    # side of the fetch join must NOT shuffle — without the hint
+    # Spark can pick a sort-merge join and shuffle all N vectors to
+    # re-rank a few thousand candidates (measured 149s → 40s at 10⁶)
+    cand = broadcast(scored.withColumn("rank", F.row_number().over(w))
+                     .filter(F.col("rank") <= rerank)
+                     .select(query_id_col, id_col))
     qv = broadcast(queries.select(query_id_col,
                                   F.col(vec_col).alias("q_vec")))
-    exact = cand.join(corpus.select(id_col, vec_col), id_col) \
+    exact = corpus.select(id_col, vec_col).join(cand, id_col) \
         .join(qv, query_id_col).select(
             query_id_col, id_col,
             F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
@@ -1055,14 +1168,7 @@ def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
         .join(adc, query_id_col))
 
     n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
-    adc_sum = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.element_at(
-            F.col("tbl"),
-            (s * n_codes_eff + F.element_at(F.col("codes"), s + 1))
-            .cast("int")))
-    num = F.col("qc_e6") + adc_sum
+    num = F.col("qc_e6") + _adc_lookup_sum(m, n_codes_eff)
     xn2 = (F.col("cn2_e6") + F.lit(2) * F.col("cross_e6")
            + F.col("rn2_e6"))
     scored = enc.join(q, "cell").select(

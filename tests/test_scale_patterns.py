@@ -598,3 +598,26 @@ def test_sharded_write_roundtrip(spark, sf_small, tmp_path):
     # balanced within a reasonable band (md5 spread)
     avg = sum(disk_counts.values()) / n_shards
     assert all(0.5 * avg <= c <= 1.5 * avg for c in disk_counts.values())
+
+
+def test_ivfpq_relational_plan_shape(spark, sf_small):
+    """r06: the relational IVFADC plan must keep the corpus un-
+    shuffled — row-local encode feeding a BroadcastHashJoin on cell —
+    with the only hash exchange being the final per-query top-k
+    window over group-limited candidates (WindowGroupLimit prunes to
+    <= k per partition before that shuffle)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    p = ann.ivf_pq_topk_relational(emb, queries, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # one hash exchange total: the final window on query_id
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in p

@@ -197,6 +197,17 @@ def run_once(spark: SparkSession, n: int) -> dict:
     t0 = time.perf_counter()
     n_blas = ann.brute_force_topk_blas(emb, queries, k=10).count()
     stages["ann_brute_blas"] = round(time.perf_counter() - t0, 1)
+
+    # the 100 TB layout end-to-end at N vectors: local-sample PQ/coarse
+    # training, one-pass numpy encode (cell + residual codes + norm),
+    # broadcast ADC scoring over probed cells, exact rerank of top-100
+    t0 = time.perf_counter()
+    n_ivfpq = ann.ivf_pq_topk(
+        emb, queries, k=10, n_cells=32, n_probe=4, m=16, n_codes=64,
+        coarse_quantizer="kmeans_local", pq_quantizer="kmeans_local",
+        train_permille=max(1, min(1000, 50_000_000 // n)),
+        rerank=100).count()
+    stages["ann_ivfpq"] = round(time.perf_counter() - t0, 1)
     emb.unpersist()
 
     docs.unpersist()
@@ -206,6 +217,7 @@ def run_once(spark: SparkSession, n: int) -> dict:
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
                    "kept": n_kept, "contaminated": n_cont,
                    "ann_rows": n_ann, "ann_blas_rows": n_blas,
+                   "ann_ivfpq_rows": n_ivfpq,
                    "scanned": scan_row[0]},
         "value": total, "unit": "sec",
     }
