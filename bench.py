@@ -84,7 +84,8 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
         "ann_recall_at_10_pq_first": lambda: ann.pq_topk(
             emb, queries, k=k),
         "ann_recall_at_10_pq_kmeans": lambda: ann.pq_topk(
-            emb, queries, k=k, quantizer="kmeans", train_permille=500),
+            emb, queries, k=k, quantizer="kmeans_local",
+            train_permille=500),
     }
     return {name: round(len(pairs(fn()) & truth) / len(truth), 4)
             for name, fn in configs.items()}
@@ -121,10 +122,12 @@ def lsh_frontier_metrics(spark, sf_dir: str, k: int = 10,
 
 
 def _lsh_frontier_over(emb, sweep: list[tuple[int, int, bool]],
-                       k: int = 10, n_queries: int = 20) -> dict[str, dict]:
+                       k: int = 10, n_queries: int = 20,
+                       truth: set | None = None) -> dict[str, dict]:
     """Frontier core over an arbitrary (vec_id, embedding) frame —
     shared by the sf-table sweep above and the clustered-corpus sweep
-    (r05 judge brief #2)."""
+    (r05 judge brief #2). Pass `truth` when the caller already ran
+    the brute-force ground truth so it isn't recomputed."""
     import numpy as np
     import pandas as pd
     import pyspark.sql.functions as F
@@ -141,7 +144,8 @@ def _lsh_frontier_over(emb, sweep: list[tuple[int, int, bool]],
         return {(r["query_id"], r["vec_id"]) for r in
                 df.select("query_id", "vec_id").collect()}
 
-    truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
+    if truth is None:
+        truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
     qv = broadcast(queries.select("query_id",
                                   F.col("embedding").alias("qv")))
     w = Window.partitionBy("query_id").orderBy(
@@ -224,7 +228,7 @@ def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
         (12, 4, True),
     ]
     out: dict = {"frontier": _lsh_frontier_over(
-        emb, sweep, k=k, n_queries=n_queries)}
+        emb, sweep, k=k, n_queries=n_queries, truth=truth)}
     configs = {
         "ivf_first_p4of16": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4),

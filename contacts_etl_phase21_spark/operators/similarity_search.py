@@ -118,13 +118,6 @@ def brute_force_topk_blas(corpus: DataFrame, queries: DataFrame,
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
-    def _round_half_up6(x):
-        # decimal HALF_UP (away from zero) at 6 digits, matching
-        # F.round(col, 6) on the same float64 input
-        return np.where(x >= 0,
-                        np.floor(x * 1e6 + 0.5),
-                        np.ceil(x * 1e6 - 0.5)) / 1e6
-
     def kernel(batches):
         q_ids_, q_mat_, q_norm_ = bq.value
         for pdf in batches:
@@ -135,7 +128,7 @@ def brute_force_topk_blas(corpus: DataFrame, queries: DataFrame,
                             for v in pdf[vec_col]])
             sim = (mat @ q_mat_.T) / np.outer(
                 np.sqrt((mat * mat).sum(1)), q_norm_)
-            sim = _round_half_up6(sim)
+            sim = _round_half_up6_np(sim)
             top = min(k, len(ids))
             rows = []
             for qi in range(len(q_ids_)):
@@ -672,6 +665,21 @@ def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
+def _uniform_codebook_size(codebooks: Codebooks) -> int:
+    """The shared per-subspace codebook size the dense ADC layouts
+    assume. Distributed Lloyd ('kmeans') can shrink k independently
+    per subspace; that breaks every uniform-stride table, so fail
+    loudly with the fix instead of mis-scoring."""
+    sizes = {len(cb) for cb in codebooks}
+    if len(sizes) != 1:
+        raise ValueError(
+            "per-subspace codebooks have unequal sizes "
+            f"{sorted(len(cb) for cb in codebooks)} (distributed "
+            "Lloyd dropped empty cells); use pq_quantizer="
+            "'kmeans_local', which keeps k fixed")
+    return sizes.pop()
+
+
 def _round_half_up6_np(x):
     """Vectorized decimal HALF_UP at 6 digits — the same scheme
     brute_force_topk_blas uses to mirror F.round (see its docstring
@@ -713,7 +721,7 @@ def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
     100 TB; the corpus is never touched here)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
-    n_codes = max(code for cb in codebooks for code, _ in cb) + 1
+    n_codes = _uniform_codebook_size(codebooks)
     # DENSE array in key order (sub · n_codes + code): scoring reads
     # it with element_at(tbl, key + 1) — O(1) positional access, no
     # per-lookup map hashing (the fold does m lookups per candidate
@@ -758,6 +766,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     measured beside the int8 tier in the bench."""
     codebooks = pq_codebooks(corpus, m, n_codes, id_col, vec_col,
                              quantizer, train_permille, n_iter)
+    # the ADC table stride must be the ACTUAL per-subspace codebook
+    # size, which can undershoot the requested n_codes (corpus smaller
+    # than n_codes; distributed Lloyd's shrinking k) — a stride
+    # mismatch silently reads the wrong subspace's dot-products
+    n_codes_eff = _uniform_codebook_size(codebooks)
     wide = widen(corpus.select(id_col, vec_col))
     if encode_kernel == "blas":
         enc = pq_encode_blas(wide, codebooks, id_col, vec_col)
@@ -766,7 +779,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select(id_col, "codes", "xn2_e6")
     q = broadcast(pq_adc_tables(queries, codebooks, query_id_col,
                                 vec_col))
-    num = _adc_lookup_sum(m, n_codes)
+    num = _adc_lookup_sum(m, n_codes_eff)
     scored = enc.crossJoin(q).select(
         query_id_col, id_col,
         F.round(num.cast("double")
@@ -846,10 +859,15 @@ def ivf_pq_encode(corpus: DataFrame,
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
-            # nearest coarse cell by cosine (matches assign_cells)
+            # nearest coarse cell by cosine; NaN columns (zero-norm
+            # degenerate centroid) rank LAST like assign_cells and the
+            # query-probe lexsort — np.argmax alone would rank a NaN
+            # column FIRST and funnel the whole corpus into the broken
+            # cell. An all-NaN row (zero-norm input) falls back to the
+            # first cell, matching assign_cells' min-cell tie-break.
             sim = (mat @ cmat_.T) / np.outer(
                 np.sqrt((mat * mat).sum(1)), np.sqrt(cn2))
-            ci = np.argmax(sim, axis=1)
+            ci = np.argmax(np.nan_to_num(sim, nan=-np.inf), axis=1)
             res = mat - cmat_[ci]
             picked = []
             recon = cmat_[ci].copy()
@@ -878,7 +896,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id",
                 coarse_quantizer: str = "kmeans",
-                pq_quantizer: str = "kmeans",
+                pq_quantizer: str = "kmeans_local",
                 train_permille: int | None = None,
                 n_iter: int = 5,
                 rerank: int | None = None) -> DataFrame:
@@ -977,7 +995,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
     d_sub = len(codebooks[0][0][1])
-    n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
+    n_codes_eff = _uniform_codebook_size(codebooks)
     keep = rerank if rerank is not None else k
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
@@ -1167,7 +1185,7 @@ def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
         qp.select(query_id_col, "cell", qc_e6.alias("qc_e6"))
         .join(adc, query_id_col))
 
-    n_codes_eff = max(code for cb in codebooks for code, _ in cb) + 1
+    n_codes_eff = _uniform_codebook_size(codebooks)
     num = F.col("qc_e6") + _adc_lookup_sum(m, n_codes_eff)
     xn2 = (F.col("cn2_e6") + F.lit(2) * F.col("cross_e6")
            + F.col("rn2_e6"))
