@@ -93,6 +93,9 @@ _DRIVER_PRIORITY = [
     # fully-relational residual IVF-PQ (IVFADC) tier built on it
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # r06: streaming ANN serving (stream-static probe of the IVF-PQ
+    # index; batch twin checked against the full IVFADC SQL oracle)
+    "st_stream_ann_topk",
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

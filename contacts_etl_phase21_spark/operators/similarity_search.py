@@ -719,13 +719,24 @@ def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
     m × n_codes small expressions per row, broadcast to every executor
     (|queries| × m × n_codes longs — the table IS the query plan at
     100 TB; the corpus is never touched here)."""
+    tbl, qn2 = _adc_table_cols(codebooks, vec_col)
+    return queries.select(F.col(query_id_col), tbl.alias("tbl"),
+                          qn2.alias("qn2_e6"))
+
+
+def _adc_table_cols(codebooks: Codebooks,
+                    vec_col: str) -> tuple[Column, Column]:
+    """(tbl, qn2_e6) column expressions over a raw query-vector
+    column — DENSE array in key order (sub · n_codes + code), read
+    with element_at(tbl, key + 1): O(1) positional access, no
+    per-lookup map hashing (the scoring fold does m lookups per
+    candidate pair; at 10⁶ corpus × 50 queries that is ~10⁸ probes).
+    Exposed as raw columns so the streaming serving path can build
+    its whole query frame in ONE projection (a qp⋈adc self-join on a
+    stream is a stream-stream symmetricHashJoin with unbounded
+    state)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
-    n_codes = _uniform_codebook_size(codebooks)
-    # DENSE array in key order (sub · n_codes + code): scoring reads
-    # it with element_at(tbl, key + 1) — O(1) positional access, no
-    # per-lookup map hashing (the fold does m lookups per candidate
-    # pair; at 10⁶ corpus × 50 queries that is ~10⁸ probes)
     entries = []
     for sub, cb in enumerate(codebooks):
         off = sub * d_sub
@@ -739,10 +750,7 @@ def pq_adc_tables(queries: DataFrame, codebooks: Codebooks,
             f" * CAST(`{vec_col}`[{s * d_sub + i}] AS DOUBLE)"
             for i in range(d_sub)))
         for s in range(m))
-    return queries.select(
-        F.col(query_id_col),
-        F.expr("array(" + ", ".join(entries) + ")").alias("tbl"),
-        F.expr(qn2).alias("qn2_e6"))
+    return (F.expr("array(" + ", ".join(entries) + ")"), F.expr(qn2))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -1121,6 +1129,30 @@ def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
     integer map (the serialized plan carries n_cells × m × n_codes
     ints, not the chains). Same physical shape as ivf_pq_topk:
     row-local encode, broadcast query tables, equi-join on cell."""
+    cent_rows, codebooks, enc = ivfpq_relational_index(
+        corpus, n_cells, m, n_codes, id_col, vec_col)
+    q = broadcast(ivfpq_relational_query_frame(
+        queries, cent_rows, codebooks, n_probe, query_id_col, vec_col))
+    scored = ivfpq_relational_scored(enc, q, codebooks, query_id_col,
+                                     id_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("pq_cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", id_col, "pq_cosine"))
+
+
+def ivfpq_relational_index(
+        corpus: DataFrame, n_cells: int = 8, m: int = 8,
+        n_codes: int = 16, id_col: str = "vec_id",
+        vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
+    """Index half of the relational IVFADC chain: first-n coarse
+    centroids, first-n residual codebooks, and the encoded corpus
+    frame (cell, codes, rn2_e6, cn2_e6, cross_e6) — everything the
+    scoring join needs from the corpus side, all row-local. Shared by
+    the batch tier and the streaming serving path (which persists this
+    frame as the static join side)."""
     cent_rows = _collect_first_centroids(corpus, n_cells, id_col,
                                          vec_col)
     dim = len(cent_rows[0][1])
@@ -1167,9 +1199,21 @@ def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
                    ((F.col("cell").cast("int") * m + s) * n_codes
                     + F.element_at(F.col("codes"), s + 1))
                    .cast("int")))))
+    return cent_rows, codebooks, enc
 
-    # query side: n_probe probed cells with exact e6(⟨q,c⟩), one ADC
-    # table + qn2_e6 per query (raw query × residual codebooks)
+
+def ivfpq_relational_query_frame(
+        queries: DataFrame, cent_rows: list[tuple[int, list[float]]],
+        codebooks: Codebooks, n_probe: int = 2,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding") -> DataFrame:
+    """Query half of the relational IVFADC chain: n_probe probed cells
+    with exact e6(⟨q,c⟩), one dense ADC table + qn2_e6 per query — all
+    built in ONE stateless row-local projection chain (no self-join:
+    on a streaming frame a qp⋈adc join would be a stream-stream
+    symmetricHashJoin buffering both sides forever), so the same
+    expressions run unchanged on arriving query vectors (the serving
+    path joins this against the static encoded corpus)."""
     cmap = F.map_from_arrays(
         F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
         F.array(*[F.array(*[F.lit(float(x)) for x in v])
@@ -1180,26 +1224,29 @@ def ivf_pq_topk_relational(corpus: DataFrame, queries: DataFrame,
         F.zip_with(F.col(vec_col), cmap[F.col("cell")],
                    lambda a, b: a.cast("double") * b),
         F.lit(0.0), lambda acc, v: acc + v) * 1000000, 0).cast("long")
-    adc = pq_adc_tables(queries, codebooks, query_id_col, vec_col)
-    q = broadcast(
-        qp.select(query_id_col, "cell", qc_e6.alias("qc_e6"))
-        .join(adc, query_id_col))
+    tbl, qn2 = _adc_table_cols(codebooks, vec_col)
+    return qp.select(query_id_col, "cell", qc_e6.alias("qc_e6"),
+                     tbl.alias("tbl"), qn2.alias("qn2_e6"))
 
+
+def ivfpq_relational_scored(enc: DataFrame, qframe: DataFrame,
+                            codebooks: Codebooks,
+                            query_id_col: str = "query_id",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Scoring join of the relational IVFADC chain: equi-join on cell,
+    integer num/xn2 sums, rounded cosine — shared by the batch window
+    top-k and the streaming per-query stateful top-k."""
+    m = len(codebooks)
     n_codes_eff = _uniform_codebook_size(codebooks)
     num = F.col("qc_e6") + _adc_lookup_sum(m, n_codes_eff)
     xn2 = (F.col("cn2_e6") + F.lit(2) * F.col("cross_e6")
            + F.col("rn2_e6"))
-    scored = enc.join(q, "cell").select(
+    return qframe.join(enc, "cell").select(
         query_id_col, id_col,
         F.round(num.cast("double")
                 / F.sqrt(F.col("qn2_e6").cast("double")
                          * xn2.cast("double")), 6)
         .alias("pq_cosine"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("pq_cosine"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "rank", id_col, "pq_cosine"))
 
 
 def _lsh_bucketed(df: DataFrame, vec_col: str, dim: int, bits: int,

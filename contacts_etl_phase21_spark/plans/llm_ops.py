@@ -1641,7 +1641,9 @@ def _pq_oracle(m: int = 8, d_sub: int = 8, n_codes: int = 32,
 
 
 def _ivfpq_oracle(n_cells: int = 8, n_probe: int = 2, m: int = 8,
-                  d_sub: int = 8, n_codes: int = 16, k: int = 10) -> str:
+                  d_sub: int = 8, n_codes: int = 16, k: int = 10,
+                  corpus_pred: str = "TRUE",
+                  query_pred: str = "vec_id < 10") -> str:
     """DuckDB twin of similarity_search.ivf_pq_topk_relational.
 
     Everything derives from the parquet in SQL: coarse centroids =
@@ -1675,8 +1677,9 @@ def _ivfpq_oracle(n_cells: int = 8, n_probe: int = 2, m: int = 8,
         WITH emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
+        corp AS (SELECT * FROM emb WHERE {corpus_pred}),
         cents AS (
-            SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id
+            SELECT vec_id AS cell, v AS cv FROM corp ORDER BY vec_id
             LIMIT {n_cells}
         ),
         cassign AS (
@@ -1685,7 +1688,7 @@ def _ivfpq_oracle(n_cells: int = 8, n_probe: int = 2, m: int = 8,
                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
                                     c.cell ASC) AS cr
-                FROM emb e CROSS JOIN cents c
+                FROM corp e CROSS JOIN cents c
             ) WHERE cr = 1
         ),
         resf AS (
@@ -1732,7 +1735,8 @@ def _ivfpq_oracle(n_cells: int = 8, n_probe: int = 2, m: int = 8,
             FROM cents c CROSS JOIN rcb b
         ),
         qsrc AS (
-            SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10
+            SELECT vec_id AS query_id, v AS qv FROM emb
+            WHERE {query_pred}
         ),
         qassign AS (
             SELECT query_id, cell FROM (

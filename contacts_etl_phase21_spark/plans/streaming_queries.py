@@ -244,3 +244,65 @@ def st_stream_near_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return scale_e6(near_dup_flags_batch(spark, sf_dir), "jaccard")
+
+
+@query(
+    "st_stream_ann_topk",
+    survey="streaming-ext,LLM-similarity-search(serving)",
+    doc="Streaming ANN serving (streaming/ann_serving.py): arriving "
+        "query vectors (odd vec_ids < 40) probe a static IVF-PQ-"
+        "encoded corpus (even vec_ids) via a stream-static equi-join "
+        "on the coarse cell — the stream side is stateless row-local "
+        "projection (probe assignment, e6 ADC tables), per-query "
+        "top-k runs in applyInPandasWithState with immediate state "
+        "removal (one key per in-flight query). This is the batch "
+        "twin of the shared transform; tests/test_streaming.py drives "
+        "the same plan through readStream/availableNow and pins "
+        "stream-vs-batch parity. The oracle reproduces the whole "
+        "IVFADC chain in SQL on the same corpus/query split "
+        "(first-n quantizers — see ann_ivfpq_topk).",
+    oracle=None,  # replaced below — needs the generator from llm_ops
+)
+def st_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.ann_serving import (
+        stream_ann_topk,
+    )
+
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        ivfpq_relational_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter((F.col("vec_id") % 2 == 1)
+                          & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # batch twin: no persist needed (one-shot plan); the streaming
+    # path (tests/test_streaming.py) goes through ivfpq_serving_index,
+    # which persists + materializes the static side per its contract
+    cent_rows, codebooks, enc = ivfpq_relational_index(corpus)
+    out = stream_ann_topk(arriving, cent_rows, codebooks, enc,
+                          k=10, n_probe=2)
+    return scale_e6(out, "pq_cosine").orderBy("query_id", "rank")
+
+
+def _wire_stream_ann_oracle() -> None:
+    """Attach the generated IVFADC oracle for the serving split —
+    done post-registration because the generator lives in llm_ops
+    (imported lazily to avoid a plans-module import cycle)."""
+    from dataclasses import replace
+
+    from contacts_etl_phase21_spark.plans import llm_ops
+    from contacts_etl_phase21_spark.plans.registry import QUERIES
+
+    sql = e6_oracle(llm_ops._ivfpq_oracle(
+        corpus_pred="vec_id % 2 = 0",
+        query_pred="vec_id % 2 = 1 AND vec_id < 40"), "pq_cosine")
+    QUERIES["st_stream_ann_topk"] = replace(
+        QUERIES["st_stream_ann_topk"], oracle=sql)
+
+
+_wire_stream_ann_oracle()

@@ -649,3 +649,56 @@ def test_stream_near_dup_watermarked_bounded_state(spark, sf_small,
                        arriving.drop("ts").dropDuplicates(["doc_id"]),
                        idx).collect()}
     assert {(r["doc_id"], r["dup_of"]) for r in rows} == batch_pairs
+
+
+def test_stream_ann_topk_matches_batch(spark, sf_small, tmp_path):
+    """r06: streaming ANN serving — query vectors streamed in two
+    micro-batches against the static IVF-PQ index must return exactly
+    the batch twin's ranked top-k rows, with the per-query state
+    removed after serving (one key per in-flight query)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.ann_serving import (
+        ivfpq_serving_index, stream_ann_topk,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter((F.col("vec_id") % 2 == 1)
+                          & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    staged = str(tmp_path / "queries")
+    arriving.filter(F.col("query_id") < 20).coalesce(1) \
+        .write.parquet(staged)
+    arriving.filter(F.col("query_id") >= 20).coalesce(1) \
+        .write.mode("append").parquet(staged)
+
+    cent_rows, codebooks, enc = ivfpq_serving_index(corpus)
+    try:
+        schema = spark.read.parquet(staged).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(staged))
+        out = stream_ann_topk(stream, cent_rows, codebooks, enc,
+                              k=10, n_probe=2)
+        assert out.isStreaming
+
+        name = f"annserve_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        progress = q.recentProgress
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {tuple(r) for r in
+                stream_ann_topk(arriving, cent_rows, codebooks, enc,
+                                k=10, n_probe=2).collect()}
+    finally:
+        enc.unpersist()
+    assert got == want
+    assert len({r[0] for r in got}) == 20  # all 20 queries served
+    # state removed after serving: no rows linger across batches
+    ops = [op for p in progress for op in p.get("stateOperators", [])]
+    assert ops, "stateful top-k must report state operators"
+    assert ops[-1]["numRowsTotal"] == 0
