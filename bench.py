@@ -224,8 +224,8 @@ def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
     truth = pairs(ann.brute_force_topk_blas(emb, queries, k=k))
     sweep = [  # clustered regime: few-bit + table/multiprobe ladder
         (4, 1, False), (6, 1, False), (8, 1, False), (8, 2, False),
-        (8, 4, False), (10, 2, False), (8, 1, True), (10, 4, True),
-        (12, 4, True),
+        (8, 4, False), (10, 2, False), (8, 1, True), (10, 3, True),
+        (10, 4, True), (12, 4, True),
     ]
     out: dict = {"frontier": _lsh_frontier_over(
         emb, sweep, k=k, n_queries=n_queries, truth=truth)}
