@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = [
     # r06: streaming ANN serving (stream-static probe of the IVF-PQ
     # index; batch twin checked against the full IVFADC SQL oracle)
     "st_stream_ann_topk",
+    # r06: SemDeDup-style cell-pruned embedding dedup
+    "dd_semantic_near_dups",
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

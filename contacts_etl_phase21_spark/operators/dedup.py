@@ -465,3 +465,53 @@ def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,
         F.col("component").alias("keep_id"),
         F.when(F.col("id") == F.col("component"), 1).otherwise(0)
         .cast("int").alias("kept"))
+
+
+def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.45,
+                             n_cells: int = 8,
+                             quantizer: str = "first",
+                             train_permille: int | None = None
+                             ) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: coarse-cell candidate
+    generation + exact cosine verify (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    2023 — embedding-space dedup runs within k-means clusters, never
+    all-pairs).
+
+    Plan: row-local cell assignment over inlined centroids (zero
+    exchanges — similarity_search.assign_cells), candidates from a
+    self-equi-join on cell with id< ordering, exact cosine inside.
+    Σ|cell|² bounds the pair work (the all-pairs tier
+    embedding_cosine_pairs is the exact fallback); at 100 TB the
+    corpus is written partitioned by cell so the join is co-located.
+    Recall caveat, same as SemDeDup by construction: a pair straddling
+    a cell boundary is missed — recall vs the exact tier is measured
+    in tests; quantizer='kmeans_local' tightens cells on clustered
+    data (first-n stays fully relational for the oracle)."""
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        _collect_first_centroids, assign_cells, cosine_col,
+        pq_codebooks,
+    )
+
+    if quantizer == "kmeans_local":
+        cent_rows = pq_codebooks(emb, 1, n_cells, id_col, vec_col,
+                                 "kmeans_local", train_permille)[0]
+    else:
+        cent_rows = _collect_first_centroids(emb, n_cells, id_col,
+                                             vec_col)
+    assigned = assign_cells(widen(emb.select(id_col, vec_col)),
+                            cent_rows, 1, vec_col)
+    a = assigned.select(F.col("cell"),
+                        F.col(id_col).alias("vec_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cell"),
+                        F.col(id_col).alias("vec_b"),
+                        F.col(vec_col).alias("__vb"))
+    return (a.join(b, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    F.round(cosine_col(F.col("__va"), F.col("__vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

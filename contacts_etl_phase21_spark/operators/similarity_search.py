@@ -438,14 +438,6 @@ def _dlit(x: float) -> str:
     return f"CAST('{float(x)!r}' AS DOUBLE)"
 
 
-def _sql_dist2(vec: str, off: int, cv: list[float]) -> str:
-    """Σ_i (v[off+i] - cv[i])², unrolled left-assoc (0-based [])."""
-    return " + ".join(
-        f"(CAST(`{vec}`[{off + i}] AS DOUBLE) - {_dlit(c)})"
-        f" * (CAST(`{vec}`[{off + i}] AS DOUBLE) - {_dlit(c)})"
-        for i, c in enumerate(cv))
-
-
 def _sql_dot(vec: str, off: int, cv: list[float]) -> str:
     """Σ_i v[off+i] · cv[i], unrolled left-assoc."""
     return " + ".join(

@@ -190,6 +190,51 @@ def dd_embedding_cosine_near_dups(spark: SparkSession,
 
 
 @query(
+    "dd_semantic_near_dups",
+    survey="LLM-dedup(semantic)",
+    doc="SemDeDup-style semantic near-dup pairs (r06): coarse-cell "
+        "candidate generation (row-local assignment over inlined "
+        "first-8 centroids, self-equi-join on cell) + exact cosine "
+        "verify at >= 0.45 — embedding-space dedup restricted to "
+        "within-cluster pairs, the web-scale shape (Abbas et al. "
+        "2023); Σ|cell|² bounds the pair work vs the all-pairs "
+        "exact tier dd_embedding_cosine_near_dups. The first-n "
+        "quantizer keeps assignment relational, so the oracle "
+        "reproduces cells, candidates and verification in SQL; the "
+        "within-cell recall vs the exact tier is test-measured.",
+    oracle=e6_oracle("""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+        ),
+        cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM emb e CROSS JOIN cents c
+            ) WHERE cr = 1
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM cassign a JOIN cassign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        ORDER BY vec_a, vec_b
+    """, "cosine"),
+)
+def dd_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        dd.semantic_near_duplicates(emb, threshold=0.45, n_cells=8)
+        .orderBy("vec_a", "vec_b"),
+        "cosine")
+
+
+@query(
     "ta_rolling_fingerprint",
     survey="LLM-text(fingerprint)",
     doc="Order-sensitive document fingerprint: Rabin-Karp polynomial "

@@ -784,3 +784,35 @@ def test_ivfpq_relational_contract(spark, sf_small):
         probes.setdefault(r["query_id"], set()).add(r["cell"])
     for r in out:
         assert cells[r["vec_id"]] in probes[r["query_id"]]
+
+
+def test_semantic_near_dups_cell_pruned_recall(spark, sf_small):
+    """r06: SemDeDup-style pairs are a subset of the exact all-pairs
+    tier (same rounded cosines), and on a CLUSTERED corpus with
+    kmeans_local cells the within-cell restriction recovers most
+    high-cosine pairs (near-dups live inside clusters)."""
+    import pyspark.sql.functions as F
+
+    from tools.bench_corpus import clustered_embeddings
+
+    emb = load(spark, sf_small, "embeddings")
+    sem = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dd.semantic_near_duplicates(
+               emb, threshold=0.45, n_cells=8).collect()}
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in dd.embedding_cosine_pairs(
+                 emb, threshold=0.45, n_chunks=4).collect()}
+    assert set(sem) <= set(exact)
+    assert all(exact[p] == c for p, c in sem.items())
+
+    clus = clustered_embeddings(spark, 1000) \
+        .select("vec_id", "embedding").persist()
+    sem_c = {(r["vec_a"], r["vec_b"]) for r in dd.semantic_near_duplicates(
+        clus, threshold=0.9, n_cells=32, quantizer="kmeans_local",
+        train_permille=500).collect()}
+    exact_c = {(r["vec_a"], r["vec_b"]) for r in dd.embedding_cosine_pairs(
+        clus, threshold=0.9, n_chunks=4).collect()}
+    clus.unpersist()
+    assert exact_c, "clustered corpus must contain >=0.9-cosine pairs"
+    recall = len(sem_c & exact_c) / len(exact_c)
+    assert recall >= 0.8, f"semantic dedup within-cell recall {recall}"
