@@ -111,6 +111,43 @@ def epoch_mix(df: DataFrame, id_col: str, strata_col: str,
             .drop("__n"))
 
 
+def temperature_mix(df: DataFrame, id_col: str, strata_col: str,
+                    modulus: int = 1000) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the XLM-R / mT5 mix
+    step): languages are kept at a rate proportional to p_l^(alpha-1)
+    so high-resource languages are downsampled toward the temperature-
+    flattened distribution q_l ∝ p_l^alpha. The rarest stratum keeps
+    everything; a stratum x-times larger keeps sqrt(1/x) of its rows
+    (alpha fixed at 0.5 — see the determinism note).
+
+    Unlike stratified_sample the rates are DATA-DERIVED, not caller-
+    supplied: one tiny groupBy(strata) count (a few groups), the min
+    joined on as a 1-row broadcast, rate_permille =
+    floor(modulus * sqrt(n_min / n_l)), then the same Knuth id-hash
+    filter as deterministic_sample applied in the scan projection.
+    At 100 TB: the counts agg is map-side-combined to |strata| rows,
+    the rates frame broadcasts, and the corpus itself never shuffles.
+
+    Determinism across engines: alpha is fixed at 0.5 because IEEE-754
+    requires sqrt and division to be correctly rounded (pow need not
+    be), so both engines compute bit-identical rates from identical
+    counts — floor() of identical doubles cannot disagree, and the
+    whole selected row set is reproducible in the DuckDB oracle.
+    Rows with a NULL stratum are dropped by the inner rate join on
+    both engines (same semantics as SQL JOIN ... USING)."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        strata_col,
+        F.floor(F.lit(modulus)
+                * F.sqrt(F.col("__min_n").cast("double")
+                         / F.col("__n").cast("double")))
+        .cast("long").alias("rate_permille"))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(hash_bucket(F.col(id_col), modulus)
+                    < F.col("rate_permille")))
+
+
 def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                    tokens_col: Column, budget: int,
                    block_span: int = 1 << 16) -> DataFrame:

@@ -1945,3 +1945,106 @@ def ta_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("rank"), F.lit(0)).cast("int")
                     .alias("token_id"))
             .orderBy("doc_id", "pos"))
+
+
+@query(
+    "sp_temperature_mix",
+    survey="LLM-sampling(temperature)",
+    doc="Temperature-scaled multilingual sampling (r06, XLM-R/mT5 mix "
+        "step): per-language keep rates DERIVED from the corpus "
+        "(rate_permille = floor(1000*sqrt(n_min/n_lang)), i.e. "
+        "alpha=0.5), applied through the Knuth id hash. One tiny "
+        "lang-count agg + a broadcast rates join — the corpus never "
+        "shuffles. alpha is fixed at 0.5 so the rates ride only on "
+        "IEEE-correctly-rounded sqrt/division and the oracle "
+        "recomputes the exact row set.",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang,
+                   CAST(FLOOR(1000 * SQRT(
+                        (SELECT MIN(n) FROM counts) * 1.0 / n))
+                        AS BIGINT) AS rate_permille
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, r.rate_permille
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000
+              < r.rate_permille
+        ORDER BY d.doc_id
+    """,
+)
+def sp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs.select("doc_id", "lang"), "doc_id", "lang") \
+        .select("doc_id", "lang", "rate_permille").orderBy("doc_id")
+
+
+@query(
+    "ta_bpe_pair_counts",
+    survey="LLM-text(bpe-stats)",
+    doc="Iteration-0 BPE trainer statistics (r06): adjacent CHARACTER "
+        "pairs weighted by word frequency over the one corpus-scale "
+        "(word, count) aggregation — the fully-relational first pass "
+        "of tokenizer training (operators/tokenizer_train.py). "
+        "Top-20 by (count DESC, pair ASC); ties are totally ordered "
+        "so the LIMIT boundary is deterministic on both engines.",
+    oracle="""
+        WITH w AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS word
+            FROM documents
+        ),
+        wf AS (
+            SELECT word, COUNT(*) AS cnt FROM w
+            WHERE word <> '' GROUP BY word
+        ),
+        p AS (
+            SELECT substr(word, i, 1) AS lft,
+                   substr(word, i + 1, 1) AS rgt, cnt
+            FROM (SELECT word, cnt,
+                         unnest(range(1, length(word))) AS i
+                  FROM wf WHERE length(word) >= 2)
+        )
+        SELECT lft, rgt, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM p GROUP BY lft, rgt
+        ORDER BY pair_count DESC, lft, rgt LIMIT 20
+    """,
+)
+def ta_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        char_pair_counts, word_frequencies,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (char_pair_counts(word_frequencies(docs))
+            .orderBy(F.desc("pair_count"), "lft", "rgt").limit(20))
+
+
+@query(
+    "ta_bpe_train_merges",
+    survey="LLM-text(bpe-train)",
+    doc="BPE tokenizer training (r06, Sennrich et al. 2016): ONE "
+        "distributed (word, count) aggregation, then the merge loop "
+        "runs driver-side on the bounded table with incremental pair "
+        "counts — the shape real trainers (HF/SentencePiece) use; the "
+        "corpus is scanned exactly once regardless of n_merges. "
+        "Iterative (each merge rewrites the sequences the next "
+        "iteration counts) -> documented rows-only class; pinned by a "
+        "pure-python reference twin + the hash-green iteration-0 "
+        "anchor ta_bpe_pair_counts.",
+    oracle=None,
+)
+def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        train_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return train_bpe_merges(spark, docs, n_merges=30).orderBy("merge_rank")

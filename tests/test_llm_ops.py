@@ -816,3 +816,129 @@ def test_semantic_near_dups_cell_pruned_recall(spark, sf_small):
     assert exact_c, "clustered corpus must contain >=0.9-cosine pairs"
     recall = len(sem_c & exact_c) / len(exact_c)
     assert recall >= 0.8, f"semantic dedup within-cell recall {recall}"
+
+
+# --- r06 session 2: temperature mix + BPE trainer ---------------------------
+
+
+def test_temperature_mix_rates_and_rarest_kept(spark, sf_med):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load(spark, sf_med, "documents").select("doc_id", "lang")
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    n_min = min(counts.values())
+    out = temperature_mix(docs, "doc_id", "lang")
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    rates = {r["lang"]: r["rate_permille"] for r in
+             out.select("lang", "rate_permille").distinct().collect()}
+    import math
+    rare = min(counts, key=counts.get)
+    # rarest language keeps everything (rate 1000)
+    assert rates[rare] == 1000 and kept[rare] == counts[rare]
+    for lang, n in counts.items():
+        expect = math.floor(1000 * math.sqrt(n_min / n))
+        assert rates[lang] == expect
+        # Knuth-hash selection is ~uniform: kept/n within 10 points of
+        # the rate at these sizes (and exact determinism is pinned by
+        # the sp_temperature_mix oracle, not this tolerance)
+        assert abs(kept.get(lang, 0) / n * 1000 - rates[lang]) < 110
+    # deterministic: re-running selects the identical row set
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix(docs, "doc_id", "lang")
+               .select("doc_id").collect())
+    assert a == b
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Naive recount-from-scratch BPE twin (no incremental updates) —
+    the correctness mirror for bpe_merges_local's delta bookkeeping."""
+    from collections import Counter
+
+    words = {i: list(w) for i, (w, _) in enumerate(word_counts)}
+    freqs = {i: c for i, (_, c) in enumerate(word_counts)}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for i, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freqs[i]
+        if not pc:
+            break
+        best = max(pc.values())
+        left, right = min(p for p, c in pc.items() if c == best)
+        merges.append((rank, left, right, left + right, best))
+        for i, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == left
+                        and syms[j + 1] == right):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+    return merges
+
+
+def test_bpe_merges_local_matches_naive_reference():
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_merges_local,
+    )
+
+    # Sennrich et al. 2016 running example
+    sennrich = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    got = bpe_merges_local(sennrich, 4)
+    assert got == _bpe_reference(sennrich, 4)
+    assert got[0][1:4] == ("e", "s", "es")  # count 9: newest+widest
+    assert got[1][1:4] == ("es", "t", "est")
+
+    # adversarial: overlapping runs + exhaustion (merge-to-one-symbol)
+    tricky = [("aaaa", 7), ("aaab", 2), ("abab", 5), ("b", 9), ("xy", 1)]
+    assert bpe_merges_local(tricky, 50) == _bpe_reference(tricky, 50)
+
+
+def test_bpe_train_end_to_end(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        char_pair_counts, train_bpe_merges, word_frequencies,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    merges = train_bpe_merges(spark, docs, n_merges=10).collect()
+    assert [m["merge_rank"] for m in merges] == list(range(1, 11))
+    # merged symbol is the concatenation, and counts never increase
+    # (a post-merge pair's count is bounded by the merged pair's)
+    for m in merges:
+        assert m["merged"] == m["lft"] + m["rgt"]
+    cts = [m["pair_count"] for m in merges]
+    assert all(a >= b for a, b in zip(cts, cts[1:]))
+    # merge #1 == the relational iteration-0 top pair (the hash-green
+    # ta_bpe_pair_counts anchor)
+    top = (char_pair_counts(word_frequencies(docs))
+           .orderBy(F.desc("pair_count"), "lft", "rgt").first())
+    assert (merges[0]["lft"], merges[0]["rgt"],
+            merges[0]["pair_count"]) == (top["lft"], top["rgt"],
+                                         top["pair_count"])
+
+
+def test_word_frequencies_top_v_deterministic(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        word_frequencies,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    full = {r["word"]: r["cnt"]
+            for r in word_frequencies(docs).collect()}
+    top5 = word_frequencies(docs, top_v=5).collect()
+    expect = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["word"], r["cnt"]) for r in top5] == expect
