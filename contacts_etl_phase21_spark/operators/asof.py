@@ -1,0 +1,149 @@
+"""Distributed as-of (point-in-time) join — the time-series enrichment
+operator Spark's DataFrame API lacks (pandas has merge_asof; DuckDB
+has ASOF JOIN; feature stores call it the point-in-time-correct join
+because it prevents label leakage: a training row at time t may only
+see features from rows with ts <= t).
+
+Semantics (backward, inclusive): for each LEFT row, attach the RIGHT
+row of the same key with the greatest (ts, tie) such that
+right.ts <= left.ts, optionally within `tolerance` microseconds.
+Ties at equal ts break by the greatest tie column (e.g. event_id), so
+the match is a total function of the inputs — oracle-checkable.
+
+Scale shape — NOT the naive theta-join (l ⋈ r ON key AND r.ts<=l.ts
+then max: quadratic per key), and NOT one window per key (a hot key —
+a bot user with 10^9 events — would funnel through one task, the
+pack_sequences lesson). TWO-PASS union + carry-forward over bounded
+(key, time-bucket) partitions:
+
+  pass 1  union(left, right) windowed per (key, bucket): running
+          last_value(right-struct, ignorenulls) ordered by
+          (ts, side, tie) with rights-before-lefts at equal ts —
+          the within-bucket match. Partition size is bounded by the
+          bucket span x the key's event rate, never the key's full
+          history.
+  pass 2  per-(key, bucket) max(right-struct) — a MAP-SIDE-COMBINED
+          agg whose output is |keys x buckets| rows — then the
+          cross-bucket carry (last non-null over PRECEDING buckets)
+          via a window over that small frame, equi-joined back on
+          (key, bucket) (null-safe: NULL keys form their own group,
+          matching Window.partitionBy semantics).
+  match = coalesce(within-bucket, carry-in): any same-bucket right at
+          ts <= left.ts dominates every earlier-bucket right, so the
+          coalesce is exactly argmax_{r.ts <= l.ts} (r.ts, r.tie).
+
+One shuffle for the union window, one agg + join co-partitioned on the
+same key — the same partition discipline as pack_sequences' prefix
+sum. Equivalence with the naive theta-join plan is test-pinned.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, value_cols: list[str], tie_col: str,
+              bucket_span_us: int = 3_600_000_000,
+              tolerance_us: int | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward-inclusive as-of join. Returns every LEFT row with
+    `<ts_col><suffix>`, `<tie_col><suffix>` and `<v><suffix>` for each
+    value col — all NULL when no right row precedes it (or none within
+    `tolerance_us`). Timestamps are compared as epoch MICROSECONDS
+    (unix_micros), the engine-portable integer DuckDB's epoch_us
+    mirrors."""
+    lcols = left.columns
+    rstruct = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(tie_col).alias("__tie"),
+        *[F.col(v).alias(v) for v in value_cols]).alias("__r")
+
+    l = left.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.select(rstruct).schema["__r"].dataType)
+        .alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols])
+    r = right.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.lit(0).alias("__side"),
+        rstruct,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols])
+
+    u = l.unionByName(r).withColumn(
+        "__bkt", F.floor(F.col("__ts_us") / bucket_span_us))
+
+    # pass 1: within-(key, bucket) carry-forward; rights sort before
+    # lefts at equal ts (inclusive match), equal-ts rights by tie asc
+    # so last = greatest tie.
+    w1 = (Window.partitionBy("__k", "__bkt")
+          .orderBy("__ts_us", "__side", F.col("__r.__tie"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    u = u.withColumn("__in_bkt", F.last("__r", ignorenulls=True).over(w1))
+
+    # pass 2: last right per (key, bucket) — max of the struct is
+    # lexicographic, i.e. greatest (ts, tie) — then carry across
+    # PRECEDING buckets per key over the small agg frame.
+    w2 = (Window.partitionBy("__k").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (u.groupBy("__k", "__bkt").agg(F.max("__r").alias("__last_r"))
+             .withColumn("__carry_in",
+                         F.last("__last_r", ignorenulls=True).over(w2))
+             .select(F.col("__k").alias("__ck"),
+                     F.col("__bkt").alias("__cb"), "__carry_in"))
+
+    j = u.join(carry, F.col("__k").eqNullSafe(F.col("__ck"))
+               & F.col("__bkt").eqNullSafe(F.col("__cb")))
+    matched: Column = F.coalesce(F.col("__in_bkt"), F.col("__carry_in"))
+    if tolerance_us is not None:
+        matched = F.when(
+            F.col("__ts_us") - matched["__ts_us"] <= tolerance_us,
+            matched)
+    return (j.filter(F.col("__side") == 1)
+            .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
+                    F.timestamp_micros(matched["__ts_us"])
+                    .alias(f"{ts_col}{suffix}"),
+                    matched["__tie"].alias(f"{tie_col}{suffix}"),
+                    *[matched[v].alias(f"{v}{suffix}")
+                      for v in value_cols]))
+
+
+def asof_join_naive(left: DataFrame, right: DataFrame, key_col: str,
+                    ts_col: str, value_cols: list[str], tie_col: str,
+                    tolerance_us: int | None = None,
+                    suffix: str = "_r") -> DataFrame:
+    """The quadratic-per-key reference plan (theta-join + row_number)
+    — the correctness mirror for asof_join's two-pass carry, and the
+    shape the DuckDB oracle uses. Test/oracle tier only: Σ|key-group|²
+    candidate rows is exactly what the two-pass plan avoids."""
+    lcols = left.columns
+    l = left.select(
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(key_col).alias("__k"),
+        F.monotonically_increasing_id().alias("__lid"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols])
+    r = right.select(
+        F.col(key_col).alias("__rk"),
+        F.unix_micros(F.col(ts_col)).alias("__rts"),
+        F.col(tie_col).alias("__rtie"),
+        *[F.col(v).alias(f"__rv_{v}") for v in value_cols])
+    cond = F.col("__k").eqNullSafe(F.col("__rk")) \
+        & (F.col("__rts") <= F.col("__ts_us"))
+    if tolerance_us is not None:
+        cond = cond & (F.col("__ts_us") - F.col("__rts") <= tolerance_us)
+    w = Window.partitionBy("__lid").orderBy(
+        F.desc("__rts"), F.desc("__rtie"))
+    return (l.join(r, cond, "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
+                    F.timestamp_micros(F.col("__rts"))
+                    .alias(f"{ts_col}{suffix}"),
+                    F.col("__rtie").alias(f"{tie_col}{suffix}"),
+                    *[F.col(f"__rv_{v}").alias(f"{v}{suffix}")
+                      for v in value_cols]))

@@ -2048,3 +2048,64 @@ def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return train_bpe_merges(spark, docs, n_merges=30).orderBy("merge_rank")
+
+
+@query(
+    "j7_asof_point_in_time",
+    survey="J-ext(asof),LLM-events(point-in-time)",
+    doc="Distributed as-of join (r06, operators/asof.py): each "
+        "purchase event picks up the most recent view (backward-"
+        "inclusive, greatest (ts, event_id)) of the same user — the "
+        "point-in-time-correct feature join (training rows at time t "
+        "see only features with ts <= t; pandas merge_asof / DuckDB "
+        "ASOF JOIN semantics). Plan is the two-pass union+carry over "
+        "bounded (user, hour-bucket) partitions, never a theta-join "
+        "and never one window per user; the oracle is the quadratic "
+        "row_number reference with the identical total tie order.",
+    oracle=e6_oracle("""
+        WITH l AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            FROM events WHERE event_type = 'view'
+        ),
+        cand AS (
+            SELECT l.event_id, r.event_id AS view_event_id,
+                   r.ts_us AS view_ts_us, r.value AS view_value,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND r.ts_us <= l.ts_us
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               c.view_event_id, c.view_ts_us,
+               l.ts_us - c.view_ts_us AS gap_us,
+               ROUND(c.view_value, 6) AS view_value
+        FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1
+        ORDER BY l.event_id
+    """, "view_value"),
+)
+def j7_asof_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, "user_id", "ts",
+                    ["value"], "event_id")
+    return scale_e6(
+        out.select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id_r").alias("view_event_id"),
+            F.unix_micros("ts_r").alias("view_ts_us"),
+            (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+            F.round("value_r", 6).alias("view_value"))
+        .orderBy("event_id"),
+        "view_value")

@@ -942,3 +942,89 @@ def test_word_frequencies_top_v_deterministic(spark, sf_small):
     top5 = word_frequencies(docs, top_v=5).collect()
     expect = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["word"], r["cnt"]) for r in top5] == expect
+
+
+# --- r06 session 2: as-of (point-in-time) join -------------------------------
+
+
+def _asof_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t))
+
+
+def test_asof_two_pass_equals_naive_on_events(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    ev = load(spark, sf_small, "events")
+    l = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    # tiny bucket span (1 min) forces cross-bucket carries
+    fast = asof_join(l, r, "user_id", "ts", ["value"], "event_id",
+                     bucket_span_us=60_000_000)
+    ref = asof_join_naive(l, r, "user_id", "ts", ["value"], "event_id")
+    assert _asof_rows(fast) == _asof_rows(ref)
+    assert fast.count() == l.count()  # every left row survives
+
+
+def test_asof_tolerance_and_ties(spark):
+    from datetime import datetime
+
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    def t(s):
+        return datetime.fromisoformat(f"2024-01-01 00:{s}")
+
+    left = spark.createDataFrame(
+        [(1, 10, t("10:00")), (2, 10, t("20:00")), (3, 20, t("05:00")),
+         (4, 99, t("30:00"))],
+        "lid INT, k INT, ts TIMESTAMP")
+    # two right rows at the SAME (key, ts): tie breaks to greatest tie
+    right = spark.createDataFrame(
+        [(100, 10, t("10:00"), 1.0), (101, 10, t("10:00"), 2.0),
+         (102, 10, t("19:00"), 3.0), (103, 20, t("06:00"), 4.0)],
+        "rid INT, k INT, ts TIMESTAMP, v DOUBLE")
+
+    for tol in (None, 5 * 60_000_000):
+        fast = asof_join(left, right, "k", "ts", ["v"], "rid",
+                         bucket_span_us=60_000_000, tolerance_us=tol)
+        ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid",
+                              tolerance_us=tol)
+        assert _asof_rows(fast) == _asof_rows(ref)
+
+    got = {r["lid"]: (r["rid_r"], r["v_r"])
+           for r in asof_join(left, right, "k", "ts", ["v"], "rid",
+                              bucket_span_us=60_000_000).collect()}
+    assert got[1] == (101, 2.0)   # inclusive + greatest-tie at equal ts
+    assert got[2] == (102, 3.0)   # backward: most recent preceding
+    assert got[3] == (None, None)  # nothing precedes (06:00 > 05:00)
+    assert got[4] == (None, None)  # key with no right rows
+
+    # tolerance nulls out stale matches but keeps the left row
+    tol = {r["lid"]: r["rid_r"]
+           for r in asof_join(left, right, "k", "ts", ["v"], "rid",
+                              bucket_span_us=60_000_000,
+                              tolerance_us=30_000_000).collect()}
+    assert tol[1] == 101 and tol[2] is None and len(tol) == 4
+
+
+def test_asof_plan_has_no_theta_join(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_small, "events")
+    l = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    plan = asof_join(l, r, "user_id", "ts", ["value"], "event_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
