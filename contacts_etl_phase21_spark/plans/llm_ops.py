@@ -2109,3 +2109,60 @@ def j7_asof_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_r", 6).alias("view_value"))
         .orderBy("event_id"),
         "view_value")
+
+
+@query(
+    "j8_range_interval_join",
+    survey="J-ext(range),LLM-events(window-containment)",
+    doc="Distributed range join (r06, operators/range_join.py): click "
+        "events matched to the 10-minute error windows ([err.ts, "
+        "err.ts+10min], same user) containing them, aggregated to "
+        "per-click coverage (n_windows, first covering error id). A "
+        "bare BETWEEN join plans as a nested-loop cartesian; here "
+        "intervals explode into the coarse buckets they cover (span "
+        "== window length -> <=2 buckets each) and the bucket "
+        "equi-join enumerates each candidate pair exactly once. The "
+        "oracle is the quadratic BETWEEN reference.",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE event_type = 'click'
+        ),
+        i AS (
+            SELECT event_id AS err_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT p.event_id, p.user_id,
+               CAST(COUNT(i.err_id) AS BIGINT) AS n_windows,
+               MIN(i.err_id) AS first_err_id
+        FROM p LEFT JOIN i
+          ON p.user_id = i.user_id AND p.ts_us BETWEEN i.s_us AND i.e_us
+        GROUP BY p.event_id, p.user_id
+        ORDER BY p.event_id
+    """,
+)
+def j8_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.range_join import range_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000)
+        .alias("w_end"))
+    pairs = range_join(clicks, errors, "user_id", "ts",
+                       "w_start", "w_end", bucket_span_us=600_000_000)
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("i_err_id").alias("first_err_id"))
+    return (clicks.join(agg, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.coalesce(F.col("__n"), F.lit(0)).cast("bigint")
+                    .alias("n_windows"),
+                    "first_err_id")
+            .orderBy("event_id"))

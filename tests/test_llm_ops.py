@@ -1028,3 +1028,56 @@ def test_asof_plan_has_no_theta_join(spark, sf_small):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_equals_theta_reference(spark, sf_small):
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.range_join import range_join
+
+    ev = load(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000)
+        .alias("w_end"))
+    # span deliberately much smaller than the interval (explode factor
+    # ~10) to exercise multi-bucket coverage
+    got = range_join(clicks, errors, "user_id", "ts", "w_start", "w_end",
+                     bucket_span_us=60_000_000)
+    ref = clicks.join(
+        errors.withColumnRenamed("user_id", "i_user_id"),
+        (F.col("user_id") == F.col("i_user_id"))
+        & F.col("ts").between(F.col("w_start"), F.col("w_end")))
+    assert got.count() == ref.count()
+    g = sorted((r["event_id"], r["i_err_id"]) for r in got.collect())
+    e = sorted((r["event_id"], r["err_id"]) for r in ref.collect())
+    assert g == e
+    # and each candidate pair was enumerated exactly once
+    assert len(g) == len(set(g))
+
+
+def test_range_join_plan_and_degenerate_intervals(spark):
+    from datetime import datetime
+
+    from contacts_etl_phase21_spark.operators.range_join import range_join
+
+    def t(s):
+        return datetime.fromisoformat(f"2024-01-01 00:{s}")
+
+    pts = spark.createDataFrame(
+        [(1, 10, t("15:00")), (2, None, t("15:00"))],
+        "pid INT, k INT, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        [(100, 10, t("10:00"), t("20:00")),   # covers pid 1
+         (101, 10, t("20:00"), t("10:00")),   # end < start: matches nothing
+         (102, None, t("14:00"), t("16:00"))],  # NULL key matches pid 2
+        "iid INT, k INT, s TIMESTAMP, e TIMESTAMP")
+    out = range_join(pts, iv, "k", "ts", "s", "e",
+                     bucket_span_us=60_000_000)
+    assert sorted((r["pid"], r["i_iid"]) for r in out.collect()) \
+        == [(1, 100), (2, 102)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
