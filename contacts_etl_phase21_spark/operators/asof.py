@@ -147,3 +147,42 @@ def asof_join_naive(left: DataFrame, right: DataFrame, key_col: str,
                     F.col("__rtie").alias(f"{tie_col}{suffix}"),
                     *[F.col(f"__rv_{v}").alias(f"{v}{suffix}")
                       for v in value_cols]))
+
+
+def validity_intervals(right: DataFrame, key_col: str, ts_col: str,
+                       value_cols: list[str], tie_col: str,
+                       horizon_end_us: int) -> DataFrame:
+    """Convert per-key snapshots into DISJOINT validity intervals:
+    each snapshot is valid from its own ts (inclusive) until 1us
+    before the key's next snapshot, the last until `horizon_end_us`.
+    A point-in-time lookup then becomes interval CONTAINMENT — the
+    static half of streaming as-of enrichment: with intervals disjoint
+    and exhaustive past a key's first snapshot, every probe matches at
+    most ONE row, so the stream side needs no per-row aggregation (a
+    stateless stream-static range join serves it).
+
+    Equal-ts duplicates inherit asof_join's tie order for free: the
+    lead window orders by (ts, tie), so every non-greatest duplicate
+    gets valid_to = ts - 1 < valid_from — an empty interval
+    range_join's reversed-interval guard drops — and the greatest tie
+    owns the slot.
+
+    The lead window partitions by KEY alone, unlike asof_join's
+    bucketed two-pass: acceptable because the snapshot/dimension side
+    of an enrichment is orders smaller than the event stream (the fat
+    side never enters a window here); a snapshot table with hot-key
+    history deep enough to matter should go through asof_join instead.
+    """
+    w = Window.partitionBy(key_col).orderBy("__from_us",
+                                            F.col(tie_col))
+    return (right
+            .withColumn("__from_us", F.unix_micros(F.col(ts_col)))
+            .withColumn(
+                "__to_us",
+                F.coalesce(F.lead("__from_us").over(w) - 1,
+                           F.lit(horizon_end_us)))
+            .select(key_col, tie_col, *value_cols,
+                    F.timestamp_micros(F.col("__from_us"))
+                    .alias("valid_from"),
+                    F.timestamp_micros(F.col("__to_us"))
+                    .alias("valid_to")))

@@ -32,9 +32,11 @@ from pyspark.sql import DataFrame
 def range_join(points: DataFrame, intervals: DataFrame, key_col: str,
                ts_col: str, start_col: str, end_col: str,
                bucket_span_us: int = 600_000_000,
-               prefix: str = "i_") -> DataFrame:
-    """INNER interval-containment join: one output row per (point,
-    covering interval). Point columns keep their names; interval
+               prefix: str = "i_", how: str = "inner") -> DataFrame:
+    """Interval-containment join: one output row per (point, covering
+    interval); how="left" keeps uncovered points with NULL interval
+    columns (legal even with a streaming `points` side — stream-static
+    left-outer is stateless). Point columns keep their names; interval
     columns arrive `prefix`ed. Timestamps compare as epoch
     microseconds (unix_micros / DuckDB epoch_us)."""
     p = (points.withColumn("__ts_us", F.unix_micros(F.col(ts_col)))
@@ -52,6 +54,6 @@ def range_join(points: DataFrame, intervals: DataFrame, key_col: str,
             & (p["__bkt"] == i["__bkt"])
             & (p["__ts_us"] >= i["__s_us"])
             & (p["__ts_us"] <= i["__e_us"]))
-    return p.join(i, cond).select(
+    return p.join(i, cond, how).select(
         *[p[c] for c in points.columns],
         *[i[f"{prefix}{c}"] for c in icols])

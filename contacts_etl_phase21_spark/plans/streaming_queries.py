@@ -306,3 +306,76 @@ def _wire_stream_ann_oracle() -> None:
 
 
 _wire_stream_ann_oracle()
+
+
+@query(
+    "st_stream_asof_enrich",
+    survey="streaming-ext,J-ext(asof-serving)",
+    doc="Streaming point-in-time enrichment (streaming/asof_enrich.py):"
+        " arriving purchase events pick up the same user's view "
+        "snapshot valid AT THEIR TIMESTAMP via a STATELESS stream-"
+        "static range join — the snapshot side compiles once into "
+        "disjoint validity intervals (greatest-tie at equal ts, like "
+        "asof_join), so each event matches at most one row and no "
+        "state store exists at all (tests assert zero stateOperators; "
+        "contrast st_stream_ann_topk's per-query state). This is the "
+        "batch twin of the shared transform; the oracle is the as-of "
+        "reference SQL (equivalent because intervals tile the "
+        "timeline up to the events horizon).",
+    oracle=e6_oracle("""
+        WITH l AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            FROM events WHERE event_type = 'view'
+        ),
+        cand AS (
+            SELECT l.event_id, r.event_id AS view_event_id,
+                   r.ts_us AS view_ts_us, r.value AS view_value,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND r.ts_us <= l.ts_us
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               c.view_event_id, c.view_ts_us,
+               ROUND(c.view_value, 6) AS view_value
+        FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1
+        ORDER BY l.event_id
+    """, "view_value"),
+)
+def st_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.asof import (
+        validity_intervals,
+    )
+    from contacts_etl_phase21_spark.streaming.asof_enrich import (
+        stream_asof_enrich,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    horizon = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    # batch twin: no persist needed (one-shot plan); the streaming
+    # path (tests/test_streaming.py) goes through asof_enrichment_index
+    idx = validity_intervals(views, "user_id", "ts", ["value"],
+                             "event_id", horizon_end_us=horizon)
+    out = stream_asof_enrich(purchases, idx, "user_id", "ts")
+    return scale_e6(
+        out.select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("snap_event_id").alias("view_event_id"),
+            F.unix_micros("snap_valid_from").alias("view_ts_us"),
+            F.round("snap_value", 6).alias("view_value"))
+        .orderBy("event_id"),
+        "view_value")

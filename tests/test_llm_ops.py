@@ -1081,3 +1081,53 @@ def test_range_join_plan_and_degenerate_intervals(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_validity_intervals_tie_and_asof_equivalence(spark):
+    from datetime import datetime
+
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join_naive, validity_intervals,
+    )
+    from contacts_etl_phase21_spark.streaming.asof_enrich import (
+        stream_asof_enrich,
+    )
+
+    def t(s):
+        return datetime.fromisoformat(f"2024-01-01 00:{s}")
+
+    snaps = spark.createDataFrame(
+        [(100, 10, t("10:00"), 1.0), (101, 10, t("10:00"), 2.0),
+         (102, 10, t("19:00"), 3.0), (103, 20, t("06:00"), 4.0)],
+        "rid INT, k INT, ts TIMESTAMP, v DOUBLE")
+    horizon = 1_704_070_800_000_000  # 01:00:00
+    iv = validity_intervals(snaps, "k", "ts", ["v"], "rid", horizon)
+    rows = {r["rid"]: (F_us(r["valid_from"]), F_us(r["valid_to"]))
+            for r in iv.collect()}
+    s10 = 1_704_067_800_000_000  # 00:10:00
+    s19 = 1_704_068_340_000_000  # 00:19:00
+    # equal-ts duplicate 100 loses its slot (empty interval); 101 owns
+    # [10:00, 19:00) and 102 runs to the horizon
+    assert rows[100] == (s10, s10 - 1)
+    assert rows[101] == (s10, s19 - 1)
+    assert rows[102] == (s19, horizon)
+
+    events = spark.createDataFrame(
+        [(1, 10, t("10:00")), (2, 10, t("20:00")), (3, 20, t("05:00")),
+         (4, 99, t("30:00"))],
+        "lid INT, k INT, ts TIMESTAMP")
+    got = {r["lid"]: (r["snap_rid"], r["snap_v"])
+           for r in stream_asof_enrich(events, iv, "k", "ts",
+                                       bucket_span_us=60_000_000)
+           .collect()}
+    ref = {r["lid"]: (r["rid_r"], r["v_r"])
+           for r in asof_join_naive(events, snaps, "k", "ts", ["v"],
+                                    "rid").collect()}
+    assert got == ref
+    assert got[1] == (101, 2.0) and got[3] == (None, None)
+
+
+def F_us(dt):
+    import datetime as _dt
+
+    return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)

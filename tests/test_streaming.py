@@ -702,3 +702,57 @@ def test_stream_ann_topk_matches_batch(spark, sf_small, tmp_path):
     ops = [op for p in progress for op in p.get("stateOperators", [])]
     assert ops, "stateful top-k must report state operators"
     assert ops[-1]["numRowsTotal"] == 0
+
+
+def test_stream_asof_enrich_matches_batch_and_is_stateless(
+        spark, sf_small, tmp_path):
+    """r06: streaming point-in-time enrichment — purchase events
+    streamed in two micro-batches against the static validity-interval
+    index must return exactly the batch twin's rows, with NO state
+    store at all (stateless stream-static range join)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.asof_enrich import (
+        asof_enrichment_index, stream_asof_enrich,
+    )
+
+    ev = load(spark, sf_small, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    horizon = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+
+    staged = str(tmp_path / "purchases")
+    purchases.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(staged)
+    purchases.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(staged)
+
+    idx = asof_enrichment_index(views, "user_id", "ts", ["value"],
+                                "event_id", horizon_end_us=horizon)
+    try:
+        schema = spark.read.parquet(staged).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(staged))
+        out = stream_asof_enrich(stream, idx, "user_id", "ts")
+        assert out.isStreaming
+
+        name = f"asofenrich_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        progress = q.recentProgress
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {tuple(r) for r in
+                stream_asof_enrich(purchases, idx, "user_id", "ts")
+                .collect()}
+    finally:
+        idx.unpersist()
+    assert got == want
+    assert len(got) == purchases.count()  # left-outer keeps every event
+    # truly stateless: the plan registers NO state operators
+    assert progress, "stream must have made progress"
+    assert all(not p.get("stateOperators") for p in progress)
