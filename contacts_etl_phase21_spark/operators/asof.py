@@ -67,7 +67,10 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         F.lit(None).cast(right.select(rstruct).schema["__r"].dataType)
         .alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols])
-    r = right.select(
+    # a NULL-ts right can never satisfy r.ts <= l.ts (SQL: NULL, i.e.
+    # no match) — drop it BEFORE the union, or it would land in the
+    # NULL bucket and get carried onto NULL-ts lefts there
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
         F.lit(0).alias("__side"),
@@ -176,6 +179,7 @@ def validity_intervals(right: DataFrame, key_col: str, ts_col: str,
     w = Window.partitionBy(key_col).orderBy("__from_us",
                                             F.col(tie_col))
     return (right
+            .filter(F.col(ts_col).isNotNull())  # same rule as asof_join
             .withColumn("__from_us", F.unix_micros(F.col(ts_col)))
             .withColumn(
                 "__to_us",

@@ -1131,3 +1131,25 @@ def F_us(dt):
     import datetime as _dt
 
     return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6)
+
+
+def test_asof_null_timestamps_match_sql_semantics(spark):
+    from datetime import datetime
+
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    t0 = datetime.fromisoformat("2024-01-01 00:10:00")
+    left = spark.createDataFrame(
+        [(1, 10, t0), (2, 10, None)], "lid INT, k INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(100, 10, None, 1.0), (101, 10, t0, 2.0)],
+        "rid INT, k INT, ts TIMESTAMP, v DOUBLE")
+    fast = asof_join(left, right, "k", "ts", ["v"], "rid",
+                     bucket_span_us=60_000_000)
+    ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid")
+    assert _asof_rows(fast) == _asof_rows(ref)
+    got = {r["lid"]: r["rid_r"] for r in fast.collect()}
+    # NULL-ts right never matches; NULL-ts left never matches anything
+    assert got == {1: 101, 2: None}
