@@ -1153,3 +1153,41 @@ def test_asof_null_timestamps_match_sql_semantics(spark):
     got = {r["lid"]: r["rid_r"] for r in fast.collect()}
     # NULL-ts right never matches; NULL-ts left never matches anything
     assert got == {1: 101, 2: None}
+
+
+def test_asof_randomized_stress_two_pass_equals_naive(spark):
+    """Seeded randomized stress: 400 events over 5 keys in a 30-minute
+    span with a 1-minute bucket span — heavy ts collisions (second
+    granularity), equal-ts left/right stacks, empty buckets, NULL ts,
+    NULL keys — two-pass must equal the theta reference exactly."""
+    import random
+    from datetime import datetime, timedelta
+
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    rng = random.Random(0xA50F)
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+
+    def rows(n, start_id):
+        out = []
+        for i in range(n):
+            key = rng.choice([1, 2, 3, 4, None])
+            ts = (None if rng.random() < 0.03 else
+                  base + timedelta(seconds=rng.randrange(1800)))
+            out.append((start_id + i, key, ts, float(rng.randrange(100))))
+        return out
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, k, t, _ in rows(200, 0)],
+        "lid LONG, k INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        rows(200, 1000), "rid LONG, k INT, ts TIMESTAMP, v DOUBLE")
+
+    for tol in (None, 120_000_000):
+        fast = asof_join(left, right, "k", "ts", ["v"], "rid",
+                         bucket_span_us=60_000_000, tolerance_us=tol)
+        ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid",
+                              tolerance_us=tol)
+        assert _asof_rows(fast) == _asof_rows(ref)

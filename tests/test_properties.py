@@ -147,3 +147,58 @@ def test_merge_gates_never_accept_empty_pair():
     assert not __import__(
         "contacts_etl_phase21_spark.functions.merge_core",
         fromlist=["merge_ok"]).merge_ok(empty, empty, sig, DedupeConfig())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(alphabet="ab c", min_size=1, max_size=8),
+              st.integers(min_value=1, max_value=9)),
+    min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=20))
+def test_bpe_incremental_equals_recount(word_counts, n_merges):
+    # the incremental pair-count deltas (only affected words rewritten)
+    # must match a full recount-from-scratch at every merge — tiny
+    # alphabet with repeats + spaces inside "words" maximizes
+    # overlapping-run and tie pressure
+    from collections import Counter
+
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_merges_local,
+    )
+
+    # dedupe words (the trainer's input is a frequency TABLE)
+    seen = {}
+    for w, c in word_counts:
+        seen[w] = seen.get(w, 0) + c
+    wc = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def recount(word_counts, n):
+        words = [list(w) for w, _ in word_counts]
+        freqs = [c for _, c in word_counts]
+        out = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for syms, f in zip(words, freqs):
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            best = max(pc.values())
+            left, right = min(p for p, c in pc.items() if c == best)
+            out.append((rank, left, right, left + right, best))
+            nxt = []
+            for syms in words:
+                o, j = [], 0
+                while j < len(syms):
+                    if (j + 1 < len(syms) and syms[j] == left
+                            and syms[j + 1] == right):
+                        o.append(left + right)
+                        j += 2
+                    else:
+                        o.append(syms[j])
+                        j += 1
+                nxt.append(o)
+            words = nxt
+        return out
+
+    assert bpe_merges_local(wc, n_merges) == recount(wc, n_merges)
