@@ -2166,3 +2166,36 @@ def j8_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_windows"),
                     "first_err_id")
             .orderBy("event_id"))
+
+
+@query(
+    "ta_distinct_profile",
+    survey="LLM-text(cardinality)",
+    doc="Per-language corpus cardinality profile (r06): exact distinct "
+        "token count + total tokens via Spark's two-level partial "
+        "aggregate (map-side distinct within partitions, one shuffle "
+        "of surviving (lang, token) pairs). The 100 TB tier is "
+        "approx_count_distinct (native HLL++, one pass, constant "
+        "memory per group) — an ESTIMATE, so not hash-checkable; its "
+        "documented rsd error bound vs this exact tier is pinned in "
+        "tests/test_llm_ops.py instead.",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_tokens,
+               CAST(COUNT(*) AS BIGINT) AS total_tokens
+        FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+              FROM documents) t
+        WHERE word <> ''
+        GROUP BY lang ORDER BY lang
+    """,
+)
+def ta_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") != ""))
+    return (words.groupBy("lang")
+            .agg(F.countDistinct("word").alias("distinct_tokens"),
+                 F.count(F.lit(1)).alias("total_tokens"))
+            .orderBy("lang"))

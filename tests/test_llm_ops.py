@@ -1191,3 +1191,27 @@ def test_asof_randomized_stress_two_pass_equals_naive(spark):
         ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid",
                               tolerance_us=tol)
         assert _asof_rows(fast) == _asof_rows(ref)
+
+
+def test_approx_count_distinct_within_hll_error(spark, sf_med):
+    """The 100 TB cardinality tier: HLL++ approx_count_distinct must
+    land within a generous multiple of its rsd vs the exact tier (the
+    hash-checked ta_distinct_profile). rsd=0.05 -> assert 20%."""
+    from contacts_etl_phase21_spark.io import load
+
+    docs = load(spark, sf_med, "documents")
+    words = (docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") != ""))
+    exact = {r["lang"]: r["n"] for r in
+             words.groupBy("lang")
+             .agg(F.countDistinct("word").alias("n")).collect()}
+    approx = {r["lang"]: r["n"] for r in
+              words.groupBy("lang")
+              .agg(F.approx_count_distinct("word", rsd=0.05)
+                   .alias("n")).collect()}
+    assert set(exact) == set(approx)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(2, 0.2 * n), (lang, n,
+                                                          approx[lang])
