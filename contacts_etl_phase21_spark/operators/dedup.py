@@ -515,3 +515,75 @@ def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                     F.round(cosine_col(F.col("__va"), F.col("__vb")), 6)
                     .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 8, max_df: int | None = None
+                            ) -> DataFrame:
+    """Substring-level duplicate-span coverage per document (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": remove SPANS repeated across documents, not just whole
+    near-dup docs). For every token position, an overlapping k-gram is
+    emitted; a gram appearing in >= 2 DISTINCT documents marks its k
+    positions as duplicated, and the output is each document's
+    duplicated-position fraction — the per-doc signal the paper's
+    suffix-array pass produces, re-expressed relationally so it
+    distributes (the suffix array itself is single-machine).
+
+    Plan: grams are built ROW-LOCALLY (transform over the token array;
+    explicitly guarded for docs shorter than k because Spark's
+    sequence(1, 0) counts DOWN — the engine-portability trap this repo
+    keeps hitting), so the only corpus-scale shuffles are the gram
+    groupBy (map-side combined; Σ tokens rows) and the dup-gram
+    equi-join back. Coverage union is an explode of the MATCHED grams
+    only (<= k x dup grams) + distinct. `max_df` caps pathological
+    grams (boilerplate appearing in millions of docs) exactly like
+    winnow_overlap_pairs' posting cap — capped grams still count as
+    duplicated for every doc containing them; the cap only bounds the
+    inverted index, never the coverage explode, which is per-doc.
+
+    xxhash64 stands in for the gram string Spark-side (8-byte shuffle
+    keys at scale); the DuckDB oracle joins on the strings themselves
+    — identical output absent 64-bit collisions, the same accepted
+    equivalence as minhash_lsh_pairs' shingle hashing."""
+    arrs = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), " ").alias("__arr"))
+    arrs = arrs.withColumn("__n", F.size("__arr"))
+    gram_structs = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(
+                    " ", F.slice("__arr", i, k))).alias("h")))
+    ).otherwise(F.array())
+    grams = (arrs.select("doc", "__n",
+                         F.explode(gram_structs).alias("g"))
+             .select("doc", "__n", F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+
+    docs_per_gram = grams.groupBy("h").agg(
+        F.countDistinct("doc").alias("__df"))
+    dup = docs_per_gram.filter(F.col("__df") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("__df") <= max_df)
+
+    covered = (grams.join(dup.select("h"), "h")
+               .select("doc",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + (k - 1))).alias("cov"))
+               .distinct()
+               .groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("dup_positions")))
+
+    base = arrs.select("doc", F.col("__n").alias("n_tokens"))
+    return (base.join(covered, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.coalesce("dup_positions", F.lit(0)).cast("int")
+                    .alias("dup_positions"),
+                    F.round(F.coalesce("dup_positions", F.lit(0))
+                            / F.col("n_tokens"), 6).alias("dup_frac")))

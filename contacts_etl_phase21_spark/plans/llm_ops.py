@@ -2199,3 +2199,56 @@ def ta_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("word").alias("distinct_tokens"),
                  F.count(F.lit(1)).alias("total_tokens"))
             .orderBy("lang"))
+
+
+@query(
+    "dd_duplicate_span_fraction",
+    survey="LLM-dedup(substring-spans)",
+    doc="Substring-level duplicate-span coverage per document (r06, "
+        "Lee et al. 2022): overlapping 8-gram at every token "
+        "position, grams in >=2 distinct docs mark their positions "
+        "duplicated, output = per-doc duplicated-position fraction — "
+        "the span-dedup signal the paper's suffix array produces, "
+        "distributed as a gram groupBy + equi-join back (grams built "
+        "row-locally with the short-doc sequence() guard). Spark "
+        "shuffles xxhash64(gram) keys; the oracle joins gram strings "
+        "— identical absent 64-bit collisions (the minhash shingle "
+        "precedent).",
+    oracle=e6_oracle("""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i:i+7], ' ') AS g
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                  FROM toks)
+        ),
+        dup AS (
+            SELECT g FROM grams
+            GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, cp FROM (
+                SELECT gr.doc_id,
+                       unnest(range(gr.pos, gr.pos + 8)) AS cp
+                FROM grams gr JOIN dup USING (g))
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS dp FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
+               CAST(COALESCE(p.dp, 0) AS INT) AS dup_positions,
+               ROUND(COALESCE(p.dp, 0) * 1.0 / len(t.w), 6) AS dup_frac
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY t.doc_id
+    """, "dup_frac"),
+)
+def dd_duplicate_span_fraction(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return scale_e6(
+        dd.duplicate_span_fraction(docs, "doc_id", "text", k=8)
+        .orderBy("doc_id"),
+        "dup_frac")

@@ -1215,3 +1215,36 @@ def test_approx_count_distinct_within_hll_error(spark, sf_med):
     for lang, n in exact.items():
         assert abs(approx[lang] - n) <= max(2, 0.2 * n), (lang, n,
                                                           approx[lang])
+
+
+def test_duplicate_span_fraction_planted_and_short_docs(spark):
+    from contacts_etl_phase21_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    span = "a b c d e f g h"          # the shared 8-token span
+    docs = spark.createDataFrame(
+        [(1, f"{span} x1 y1 z1"),      # positions 1-8 of 11 duplicated
+         (2, f"x2 y2 {span} z2"),      # positions 3-10 of 11
+         (3, "p q r s t u v w"),       # unique 8 tokens: no dup
+         (4, "a b c d e f g")],        # 7 tokens < k: zero grams
+        "doc_id INT, text STRING")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_positions"],
+                         r["dup_frac"])
+           for r in duplicate_span_fraction(docs, "doc_id", "text",
+                                            k=8).collect()}
+    assert got[1] == (11, 8, round(8 / 11, 6))
+    assert got[2] == (11, 8, round(8 / 11, 6))
+    assert got[3] == (8, 0, 0.0)
+    assert got[4] == (7, 0, 0.0)  # short doc survives the explode guard
+
+    # max_df: a gram shared by all 3 long docs is capped out of the
+    # index at max_df=2 while a 2-doc gram still counts
+    docs2 = spark.createDataFrame(
+        [(1, f"{span} k1"), (2, f"{span} k2"), (3, f"{span} k3"),
+         (4, "m n o p q r s t u")],
+        "doc_id INT, text STRING")
+    capped = {r["doc_id"]: r["dup_positions"]
+              for r in duplicate_span_fraction(
+                  docs2, "doc_id", "text", k=8, max_df=2).collect()}
+    assert capped == {1: 0, 2: 0, 3: 0, 4: 0}
