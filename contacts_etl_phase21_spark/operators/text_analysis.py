@@ -250,3 +250,61 @@ def rolling_hash_fingerprint(text: Column) -> Column:
     fingerprint a scanner computes in one pass without tokenizing.
     Pure fold (aggregate HOF), deterministic, engine-agnostic."""
     return _roll(_char_codes(text))
+
+
+def bigram_lm_scores(df, id_col: str, text_col: str):
+    """LM-based quality scoring with a SELF-TRAINED bigram model — the
+    CCNet shape (Wenzek et al. 2020 score documents with a corpus-level
+    LM and filter on perplexity; CCNet's is a KenLM 5-gram, this is
+    the distributed n=2 twin): train transition counts over the whole
+    corpus, then score every document by its average transition
+    probability under that model.
+
+    Two corpus passes, both equi-shuffles: (1) bigram counts c(a,b)
+    grouped once (map-side combined; denominators c(a) derive from the
+    MODEL table, not a second corpus scan), (2) doc bigrams joined to
+    the model (broadcast when the model is capped/bounded — at 100 TB
+    cap to the top-M bigrams by count and treat misses as 0) and
+    summed per doc. Bigram arrays build with a codegen'd transform
+    (repetition_scores' pattern).
+
+    Engine-exact by construction: per-transition terms are
+    floor(1e6 * c_ab / c_a) — one exact-rounded multiply and divide on
+    identical inputs, floored to int64 — so the per-doc SUM is an
+    integer (order-independent, unlike a sum of raw doubles) and
+    avg = floor(sum/n) is bit-identical in DuckDB. No logs: IEEE
+    requires +-*/ and sqrt to be correctly rounded but NOT ln/exp, so
+    a log-prob sum could differ in the last ulp across engines."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    bg = base.select(
+        "doc",
+        F.explode(F.transform(
+            F.slice(F.col("toks"), 1,
+                    F.greatest(F.size("toks") - 1, F.lit(0))),
+            lambda t, i: F.struct(
+                t.alias("lft"),
+                F.concat(t, F.lit(" "), F.col("toks")[i + 1])
+                .alias("bigram")))).alias("g")) \
+        .select("doc", F.col("g.lft").alias("lft"),
+                F.col("g.bigram").alias("bigram"))
+
+    cab = bg.groupBy("lft", "bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("lft").agg(F.sum("c_ab").alias("c_l"))
+    model = (cab.join(ca, "lft")
+             .select("bigram",
+                     F.floor(F.lit(1_000_000.0) * F.col("c_ab")
+                             / F.col("c_l")).cast("long")
+                     .alias("term_e6")))
+
+    scored = (bg.join(F.broadcast(model), "bigram")
+              .groupBy("doc")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("term_e6").alias("sum_e6")))
+    return (base.select("doc").join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("int")
+                    .alias("n_bigrams"),
+                    F.floor(F.col("sum_e6") * 1.0
+                            / F.col("n_bigrams")).cast("long")
+                    .alias("avg_p_e6")))

@@ -2252,3 +2252,53 @@ def dd_duplicate_span_fraction(spark: SparkSession,
         dd.duplicate_span_fraction(docs, "doc_id", "text", k=8)
         .orderBy("doc_id"),
         "dup_frac")
+
+
+@query(
+    "ta_bigram_lm_scores",
+    survey="LLM-text(lm-quality)",
+    doc="LM-based quality scoring (r06, the CCNet shape with a "
+        "distributed self-trained bigram model instead of KenLM): "
+        "corpus-level transition counts -> per-doc average transition "
+        "probability. Engine-exact without logs: per-transition terms "
+        "are floor(1e6*c_ab/c_a) int64, so the per-doc sum is an "
+        "order-independent integer and avg = floor(sum/n) is "
+        "bit-identical in DuckDB (IEEE exact-rounds div/mul, NOT ln).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[i] AS lft, w[i] || ' ' || w[i+1] AS bigram
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM toks)
+        ),
+        cab AS (
+            SELECT lft, bigram, COUNT(*) AS c_ab
+            FROM bg GROUP BY lft, bigram
+        ),
+        ca AS (SELECT lft, SUM(c_ab) AS c_l FROM cab GROUP BY lft),
+        model AS (
+            SELECT bigram,
+                   CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
+                   AS term_e6
+            FROM cab JOIN ca USING (lft)
+        ),
+        scored AS (
+            SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   SUM(m.term_e6) AS sum_e6
+            FROM bg JOIN model m USING (bigram)
+            GROUP BY bg.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS INT) AS n_bigrams,
+               CAST(FLOOR(s.sum_e6 * 1.0 / s.n_bigrams) AS BIGINT)
+               AS avg_p_e6
+        FROM toks t LEFT JOIN scored s USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+)
+def ta_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ta.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

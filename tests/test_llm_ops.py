@@ -1248,3 +1248,38 @@ def test_duplicate_span_fraction_planted_and_short_docs(spark):
               for r in duplicate_span_fraction(
                   docs2, "doc_id", "text", k=8, max_df=2).collect()}
     assert capped == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    # corpus bigrams: "a b" x2 (docs 1,2), "b a" x1, "a a" x1
+    # c(a)=3 -> P(b|a)=2/3, P(a|a)=1/3; c(b)=1 -> P(a|b)=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "a a"), (4, "solo")],
+        "doc_id INT, text STRING")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_p_e6"])
+           for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    t_ab = 1_000_000 * 2 // 3          # 666666
+    t_ba = 1_000_000                    # P(a|b) = 1
+    t_aa = 1_000_000 * 1 // 3          # 333333
+    assert got[1] == (2 - 1, t_ab)
+    assert got[2] == (2, (t_ab + t_ba) // 2)
+    assert got[3] == (1, t_aa)
+    assert got[4] == (0, None)          # no bigrams -> unscored
+
+    # a repetitive doc scores higher than one taking rare continuations
+    # of the SAME contexts (disjoint-vocab docs all score 1.0 — a
+    # self-trained LM only discriminates where contexts are shared):
+    # doc1 x->y 4x + y->x 4x; doc2 x->{a,b,c,d} once each, so
+    # P(y|x)=4/8 but P(a|x)=1/8.
+    docs2 = spark.createDataFrame(
+        [(1, "x y x y x y x y x"), (2, "x a x b x c x d")],
+        "doc_id INT, text STRING")
+    s = {r["doc_id"]: r["avg_p_e6"]
+         for r in bigram_lm_scores(docs2, "doc_id", "text").collect()}
+    assert s[1] == (4 * 500_000 + 4 * 1_000_000) // 8  # 750000
+    assert s[2] == (4 * 125_000 + 3 * 1_000_000) // 7  # 500000
+    assert s[1] > s[2]
