@@ -77,3 +77,43 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame,
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1)
                     .otherwise(0).cast("int").alias("contaminated")))
+
+
+def broadcast_eval_ngrams(eval_df: DataFrame, id_col: str,
+                          text_col: str, n: int = 8):
+    """The eval n-gram hash set as a Spark BROADCAST VARIABLE — the
+    stream-safe form of eval_ngram_set: a streaming decontamination
+    stage must be row-local (the batch operator's explode → join →
+    groupBy(doc) is a stateful aggregation under streaming semantics),
+    so the bounded set ships once per executor and membership checks
+    run inside mapInPandas. Arrow-collected (toPandas, not py4j —
+    the r06 collect-cost lesson)."""
+    ev = eval_ngram_set(eval_df, id_col, text_col, n)
+    vals = frozenset(int(v) for v in ev.toPandas()["g"])
+    return eval_df.sparkSession.sparkContext.broadcast(vals)
+
+
+def with_rowlocal_contamination(docs_with_sh: DataFrame, eval_bc
+                                ) -> DataFrame:
+    """Append (n_hits, contaminated) to a frame carrying `sh_h`
+    (hashed shingles, dedup.with_hashed_shingles) ROW-LOCALLY via
+    mapInPandas + the broadcast gram set — stateless, so it is legal
+    mid-stream. Value-identical to contamination_flags: n_hits counts
+    the doc's DISTINCT n-grams present in the eval set (sh_h already
+    holds distinct hashes)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(docs_with_sh.schema.fields)
+                        + [StructField("n_hits", IntegerType()),
+                           StructField("contaminated", IntegerType())])
+
+    def fn(batches):
+        ev = eval_bc.value
+        for pdf in batches:
+            hits = pdf["sh_h"].map(
+                lambda arr: sum(1 for g in arr if g in ev))
+            pdf["n_hits"] = hits.astype("int32")
+            pdf["contaminated"] = (hits > 0).astype("int32")
+            yield pdf
+
+    return docs_with_sh.mapInPandas(fn, schema)

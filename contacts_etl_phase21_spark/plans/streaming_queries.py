@@ -379,3 +379,103 @@ def st_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("snap_value", 6).alias("view_value"))
         .orderBy("event_id"),
         "view_value")
+
+
+@query(
+    "st_curate_ingest",
+    survey="streaming-ext,LLM-curation(ingest)",
+    doc="Streaming ingest curation (streaming/curate_ingest.py): "
+        "every arriving doc passes quality filter -> raw-content "
+        "fingerprint -> ROW-LOCAL 8-gram decontamination (eval set as "
+        "a broadcast variable in mapInPandas — the batch operator's "
+        "explode+join+groupBy is stateful mid-stream) -> exact-"
+        "fingerprint dedup (the one stateful op; state = distinct "
+        "fingerprints) -> PII scrub -> md5 shard. Near-dup dedup "
+        "stays in the batch compactor (curate_corpus), the production "
+        "split. Batch twin of the shared transform; the oracle "
+        "recomputes quality, clamped string n-gram overlap, keep-min-"
+        "id fingerprint dedup and md5 shards in SQL. Scrubbed text is "
+        "test-verified, not hash-carried.",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang, text,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents WHERE doc_id % 10 <> 0
+        ),
+        qual AS (
+            SELECT doc_id, lang, text FROM s WHERE
+              (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
+            + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
+                         BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+            + (CASE WHEN ROUND(n_stop * 1.0 / n_tokens, 4) > 0
+                    THEN 20 ELSE 0 END)
+            + (CASE WHEN ROUND(n_punct * 1.0 / n_chars, 4) <= 0.2
+                    THEN 10 ELSE 0 END) >= 90
+        ),
+        wq AS (
+            SELECT doc_id, lang, text,
+                   string_split(trim(text), ' ') AS w
+            FROM qual
+        ),
+        gq AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 7, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 7, 1) + 1)])
+                       AS grams
+            FROM wq
+        ),
+        ev AS (
+            SELECT DISTINCT unnest(
+                list_distinct([array_to_string(
+                    w[i:least(i + 7, len(w))], ' ')
+                    for i in range(1, greatest(len(w) - 7, 1) + 1)])) AS gg
+            FROM (SELECT string_split(trim(text), ' ') AS w
+                  FROM documents WHERE doc_id % 10 = 0)
+        ),
+        contaminated AS (
+            SELECT DISTINCT g.doc_id
+            FROM (SELECT doc_id, unnest(grams) AS gg FROM gq) g
+            JOIN ev USING (gg)
+        ),
+        clean AS (
+            SELECT doc_id, lang, text FROM wq
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        fp AS (
+            SELECT doc_id, lang,
+                   md5(array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'))),
+                       ' ')) AS f
+            FROM clean
+        ),
+        kept AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+        SELECT k.doc_id, p.lang,
+               CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 8 AS INT) AS shard
+        FROM kept k JOIN fp p USING (doc_id)
+        ORDER BY k.doc_id
+    """,
+)
+def st_curate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        broadcast_eval_ngrams,
+    )
+    from contacts_etl_phase21_spark.streaming.curate_ingest import (
+        stream_curate_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    arriving = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    eval_bc = broadcast_eval_ngrams(eval_docs, "doc_id", "text", n=8)
+    out = stream_curate_ingest(arriving, eval_bc)
+    return out.select("doc_id", "lang", "shard").orderBy("doc_id")

@@ -756,3 +756,86 @@ def test_stream_asof_enrich_matches_batch_and_is_stateless(
     # truly stateless: the plan registers NO state operators
     assert progress, "stream must have made progress"
     assert all(not p.get("stateOperators") for p in progress)
+
+
+def test_stream_curate_ingest_matches_batch(spark, sf_small, tmp_path):
+    """r06: streaming ingest curation — docs streamed in two
+    micro-batches must yield exactly the batch twin's survivors
+    (quality -> row-local decontamination -> fingerprint dedup ->
+    shard), with dedup the only stateful operator."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        broadcast_eval_ngrams,
+    )
+    from contacts_etl_phase21_spark.streaming.curate_ingest import (
+        stream_curate_ingest,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    arriving = docs.filter(F.col("doc_id") % 10 != 0) \
+        .select("doc_id", "text", "lang")
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    eval_bc = broadcast_eval_ngrams(eval_docs, "doc_id", "text", n=8)
+
+    staged = str(tmp_path / "arrivals")
+    half = arriving.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    arriving.filter(F.col("doc_id") <= half).coalesce(1) \
+        .write.parquet(staged)
+    arriving.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    out = stream_curate_ingest(stream, eval_bc)
+    assert out.isStreaming
+
+    name = f"curateingest_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in
+           spark.sql(f"SELECT doc_id, lang, shard FROM {name}")
+           .collect()}
+    want = {tuple(r) for r in
+            stream_curate_ingest(arriving, eval_bc)
+            .select("doc_id", "lang", "shard").collect()}
+    assert got == want and got
+    # the fingerprint dedup is the one stateful operator
+    ops = [op for p in q.recentProgress
+           for op in p.get("stateOperators", [])]
+    assert any(op.get("operatorName") == "dedupe" for op in ops)
+
+
+def test_stream_curate_ingest_dedups_and_scrubs(spark):
+    """Cross-batch exact duplicate kept once (arrival-order first) and
+    surviving text leaves PII-scrubbed."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        broadcast_eval_ngrams,
+    )
+    from contacts_etl_phase21_spark.streaming.curate_ingest import (
+        stream_curate_ingest,
+    )
+
+    body = ("the quick brown fox jumps over a lazy dog and then "
+            "writes to bob@example.com about the plan of the day")
+    shuffled = ("dog lazy a over jumps fox brown quick the and then "
+                "writes to bob@example.com about the plan of the day")
+    docs = spark.createDataFrame(
+        [(1, body, "en"), (2, shuffled, "en"),  # order-insensitive dup
+         (3, "short", "en")],                    # fails quality
+        "doc_id LONG, text STRING, lang STRING")
+    eval_bc = broadcast_eval_ngrams(
+        spark.createDataFrame([(99, "completely unrelated eval words "
+                               "nothing shared here at all ok")],
+                              "doc_id LONG, text STRING"),
+        "doc_id", "text", n=8)
+    out = stream_curate_ingest(docs, eval_bc).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1]  # 2 is a fingerprint dup of 1; 3 failed quality
+    assert "bob@example.com" not in out[0]["text"]
+    assert "[EMAIL]" in out[0]["text"] or "@" not in out[0]["text"]
