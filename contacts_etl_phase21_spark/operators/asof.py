@@ -47,13 +47,21 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               ts_col: str, value_cols: list[str], tie_col: str,
               bucket_span_us: int = 3_600_000_000,
               tolerance_us: int | None = None,
-              suffix: str = "_r") -> DataFrame:
-    """Backward-inclusive as-of join. Returns every LEFT row with
-    `<ts_col><suffix>`, `<tie_col><suffix>` and `<v><suffix>` for each
-    value col — all NULL when no right row precedes it (or none within
-    `tolerance_us`). Timestamps are compared as epoch MICROSECONDS
-    (unix_micros), the engine-portable integer DuckDB's epoch_us
-    mirrors."""
+              suffix: str = "_r",
+              direction: str = "backward") -> DataFrame:
+    """As-of join, inclusive, pandas merge_asof directions: "backward"
+    (default) matches the GREATEST (ts, tie) right with r.ts <= l.ts;
+    "forward" the SMALLEST (ts, tie) right with r.ts >= l.ts. Returns
+    every LEFT row with `<ts_col><suffix>`, `<tie_col><suffix>` and
+    `<v><suffix>` per value col — all NULL when nothing matches (or
+    nothing within `tolerance_us`). Timestamps are compared as epoch
+    MICROSECONDS (unix_micros), the engine-portable integer DuckDB's
+    epoch_us mirrors. Forward is the same two-pass plan mirrored:
+    first-over-following windows, min-struct per bucket, carry from
+    FOLLOWING buckets."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    fwd = direction == "forward"
     lcols = left.columns
     rstruct = F.struct(
         F.unix_micros(F.col(ts_col)).alias("__ts_us"),
@@ -81,32 +89,52 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
     u = l.unionByName(r).withColumn(
         "__bkt", F.floor(F.col("__ts_us") / bucket_span_us))
 
-    # pass 1: within-(key, bucket) carry-forward; rights sort before
-    # lefts at equal ts (inclusive match), equal-ts rights by tie asc
-    # so last = greatest tie.
+    # pass 1: within-(key, bucket) carry; at equal ts the RIGHT rows
+    # sit on the match side of the frame (before lefts for backward —
+    # side 0 < 1 — after lefts for forward via desc(side)), equal-ts
+    # rights ordered by tie so the frame edge is the extreme tie.
+    side_ord = F.desc("__side") if fwd else F.col("__side")
     w1 = (Window.partitionBy("__k", "__bkt")
-          .orderBy("__ts_us", "__side", F.col("__r.__tie"))
-          .rowsBetween(Window.unboundedPreceding, 0))
-    u = u.withColumn("__in_bkt", F.last("__r", ignorenulls=True).over(w1))
+          .orderBy("__ts_us", side_ord, F.col("__r.__tie")))
+    if fwd:
+        w1 = w1.rowsBetween(0, Window.unboundedFollowing)
+        u = u.withColumn("__in_bkt",
+                         F.first("__r", ignorenulls=True).over(w1))
+    else:
+        w1 = w1.rowsBetween(Window.unboundedPreceding, 0)
+        u = u.withColumn("__in_bkt",
+                         F.last("__r", ignorenulls=True).over(w1))
 
-    # pass 2: last right per (key, bucket) — max of the struct is
-    # lexicographic, i.e. greatest (ts, tie) — then carry across
-    # PRECEDING buckets per key over the small agg frame.
-    w2 = (Window.partitionBy("__k").orderBy("__bkt")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    carry = (u.groupBy("__k", "__bkt").agg(F.max("__r").alias("__last_r"))
-             .withColumn("__carry_in",
-                         F.last("__last_r", ignorenulls=True).over(w2))
+    # pass 2: extreme right per (key, bucket) — struct max/min is
+    # lexicographic, i.e. greatest/smallest (ts, tie) — then carry
+    # across PRECEDING (backward) / FOLLOWING (forward) buckets per
+    # key over the small agg frame.
+    extreme = F.min("__r") if fwd else F.max("__r")
+    w2 = Window.partitionBy("__k").orderBy("__bkt")
+    if fwd:
+        w2 = w2.rowsBetween(1, Window.unboundedFollowing)
+        carry_expr = F.first("__last_r", ignorenulls=True).over(w2)
+    else:
+        w2 = w2.rowsBetween(Window.unboundedPreceding, -1)
+        carry_expr = F.last("__last_r", ignorenulls=True).over(w2)
+    carry = (u.groupBy("__k", "__bkt").agg(extreme.alias("__last_r"))
+             .withColumn("__carry_in", carry_expr)
              .select(F.col("__k").alias("__ck"),
                      F.col("__bkt").alias("__cb"), "__carry_in"))
 
     j = u.join(carry, F.col("__k").eqNullSafe(F.col("__ck"))
                & F.col("__bkt").eqNullSafe(F.col("__cb")))
-    matched: Column = F.coalesce(F.col("__in_bkt"), F.col("__carry_in"))
+    # NULL-ts lefts never match (SQL NULL comparison); without this
+    # guard the forward carry would hand them the first REAL bucket's
+    # rights (the NULL bucket sorts first, so every real bucket is in
+    # its FOLLOWING frame).
+    matched: Column = F.when(
+        F.col("__ts_us").isNotNull(),
+        F.coalesce(F.col("__in_bkt"), F.col("__carry_in")))
     if tolerance_us is not None:
-        matched = F.when(
-            F.col("__ts_us") - matched["__ts_us"] <= tolerance_us,
-            matched)
+        gap = (matched["__ts_us"] - F.col("__ts_us") if fwd
+               else F.col("__ts_us") - matched["__ts_us"])
+        matched = F.when(gap <= tolerance_us, matched)
     return (j.filter(F.col("__side") == 1)
             .select(*[F.col(f"__l_{c}").alias(c) for c in lcols],
                     F.timestamp_micros(matched["__ts_us"])
@@ -119,7 +147,8 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
 def asof_join_naive(left: DataFrame, right: DataFrame, key_col: str,
                     ts_col: str, value_cols: list[str], tie_col: str,
                     tolerance_us: int | None = None,
-                    suffix: str = "_r") -> DataFrame:
+                    suffix: str = "_r",
+                    direction: str = "backward") -> DataFrame:
     """The quadratic-per-key reference plan (theta-join + row_number)
     — the correctness mirror for asof_join's two-pass carry, and the
     shape the DuckDB oracle uses. Test/oracle tier only: Σ|key-group|²
@@ -135,12 +164,17 @@ def asof_join_naive(left: DataFrame, right: DataFrame, key_col: str,
         F.unix_micros(F.col(ts_col)).alias("__rts"),
         F.col(tie_col).alias("__rtie"),
         *[F.col(v).alias(f"__rv_{v}") for v in value_cols])
+    fwd = direction == "forward"
     cond = F.col("__k").eqNullSafe(F.col("__rk")) \
-        & (F.col("__rts") <= F.col("__ts_us"))
+        & ((F.col("__rts") >= F.col("__ts_us")) if fwd
+           else (F.col("__rts") <= F.col("__ts_us")))
     if tolerance_us is not None:
-        cond = cond & (F.col("__ts_us") - F.col("__rts") <= tolerance_us)
-    w = Window.partitionBy("__lid").orderBy(
-        F.desc("__rts"), F.desc("__rtie"))
+        gap = (F.col("__rts") - F.col("__ts_us") if fwd
+               else F.col("__ts_us") - F.col("__rts"))
+        cond = cond & (gap <= tolerance_us)
+    w = (Window.partitionBy("__lid").orderBy("__rts", "__rtie") if fwd
+         else Window.partitionBy("__lid").orderBy(
+             F.desc("__rts"), F.desc("__rtie")))
     return (l.join(r, cond, "left")
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -1283,3 +1283,78 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert s[1] == (4 * 500_000 + 4 * 1_000_000) // 8  # 750000
     assert s[2] == (4 * 125_000 + 3 * 1_000_000) // 7  # 500000
     assert s[1] > s[2]
+
+
+def test_asof_forward_direction_matches_naive(spark, sf_small):
+    from datetime import datetime
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    ev = load(spark, sf_small, "events")
+    l = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    for tol in (None, 300_000_000):
+        fast = asof_join(l, r, "user_id", "ts", ["value"], "event_id",
+                         bucket_span_us=60_000_000, tolerance_us=tol,
+                         direction="forward")
+        ref = asof_join_naive(l, r, "user_id", "ts", ["value"],
+                              "event_id", tolerance_us=tol,
+                              direction="forward")
+        assert _asof_rows(fast) == _asof_rows(ref)
+
+    # semantics fixture: inclusive-at-equal-ts picks SMALLEST tie;
+    # NULL-ts lefts never match (the forward NULL-bucket guard)
+    def t(s):
+        return datetime.fromisoformat(f"2024-01-01 00:{s}")
+
+    left = spark.createDataFrame(
+        [(1, 10, t("10:00")), (2, 10, t("21:00")), (3, 10, None)],
+        "lid INT, k INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(100, 10, t("10:00"), 1.0), (101, 10, t("10:00"), 2.0),
+         (102, 10, t("20:00"), 3.0)],
+        "rid INT, k INT, ts TIMESTAMP, v DOUBLE")
+    got = {r0["lid"]: r0["rid_r"]
+           for r0 in asof_join(left, right, "k", "ts", ["v"], "rid",
+                               bucket_span_us=60_000_000,
+                               direction="forward").collect()}
+    assert got == {1: 100, 2: None, 3: None}
+
+
+def test_asof_randomized_stress_forward(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from contacts_etl_phase21_spark.operators.asof import (
+        asof_join, asof_join_naive,
+    )
+
+    rng = random.Random(0xF0D)
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+
+    def rows(n, start_id):
+        out = []
+        for i in range(n):
+            key = rng.choice([1, 2, 3, None])
+            ts = (None if rng.random() < 0.03 else
+                  base + timedelta(seconds=rng.randrange(1800)))
+            out.append((start_id + i, key, ts, float(rng.randrange(100))))
+        return out
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, k, t, _ in rows(150, 0)],
+        "lid LONG, k INT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        rows(150, 1000), "rid LONG, k INT, ts TIMESTAMP, v DOUBLE")
+    for tol in (None, 120_000_000):
+        fast = asof_join(left, right, "k", "ts", ["v"], "rid",
+                         bucket_span_us=60_000_000, tolerance_us=tol,
+                         direction="forward")
+        ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid",
+                              tolerance_us=tol, direction="forward")
+        assert _asof_rows(fast) == _asof_rows(ref)
