@@ -1,0 +1,123 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023, public
+arXiv 2302.03169): score every raw document by how target-like its
+hashed n-gram distribution is — the ratio of a target-domain bag-of-
+hashed-ngrams model to a raw-corpus model — then keep the top-weighted
+slice. The production shape for "select the 5% of the crawl that looks
+like Wikipedia/books" before expensive training.
+
+Engine-exact redesign (the ta_bigram_lm_scores design language —
+every cross-engine number rides only on operations IEEE-754 pins
+down, and integer sums are order-independent):
+
+- Features are unigrams + bigrams of whitespace tokens, hashed to
+  `n_buckets` buckets via the md5-prefix trick (shard_id precedent:
+  DuckDB computes the identical bucket with
+  ('0x' || substr(md5(g),1,8))::BIGINT % B). xxhash64 is NOT used
+  here because bucket identity changes the counts, and the oracle
+  must land in the same buckets.
+- Per-bucket likelihood ratio is Laplace-smoothed and computed with
+  INTEGER division only:
+      ratio_e6[b] = (1e6 * (c_t[b]+1) * (N_r+B)) div ((c_r[b]+1) * (N_t+B))
+  — exact in int64 on both engines (no float rounding anywhere). At
+  true 100 TB token counts the numerator needs decimal(38,0); the
+  int64 form holds to N ~ 3e6 tokens per side at the 1e6 scale.
+- The paper's log-importance-weight is a SUM of log ratios; ln/exp
+  are not exactly-rounded, so (as with the bigram LM's perplexity)
+  the score is the ARITHMETIC mean of the per-gram ratios instead of
+  the geometric one: score_e6 = floor(Σ ratio_e6 / n_grams). Same
+  discriminative ordering on real corpora, bit-identical across
+  engines.
+- The paper resamples with Gumbel noise; the engine-portable
+  substitute is deterministic top-k by (score desc, id asc) —
+  reproducible across runs/engines/partitionings.
+
+Scale shape: one corpus-wide groupBy(bucket) with map-side partials
+collapsing to exactly `n_buckets` rows regardless of corpus size; the
+ratio table broadcasts back into the gram stream; the only corpus-
+scale shuffle is the per-doc score groupBy (partials collapse grams
+to one row per doc per partition first). Selection is TakeOrdered
+(distributed partial top-k), never a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable hash bucket for a string: first 8 hex digits of
+    md5, mod n_buckets (sampling.shard_id's trick, applied to grams)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets))
+
+
+def _gram_buckets(df: DataFrame, id_col: str, text_col: str,
+                  extra_cols: list[str], n_buckets: int) -> DataFrame:
+    """One row per gram OCCURRENCE (unigrams + bigrams), reduced to its
+    hash bucket. Grams build row-locally with a codegen'd transform
+    (bigram_lm_scores' pattern) and explode once."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), toks[i + 1]))
+    return (df.select(F.col(id_col), *extra_cols,
+                      F.explode(F.concat(toks, bigrams)).alias("__gram"))
+            .select(id_col, *extra_cols,
+                    md5_bucket(F.col("__gram"), n_buckets)
+                    .alias("bucket")))
+
+
+def bucket_ratios(grams: DataFrame, target_col: str,
+                  n_buckets: int) -> DataFrame:
+    """(bucket, ratio_e6) — the Laplace-smoothed target/raw likelihood
+    ratio per hash bucket, integer-exact. `grams` must carry a boolean
+    `target_col`; raw = ALL grams, target = the flagged subset. Output
+    is at most n_buckets rows (broadcastable at any corpus size)."""
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("c_t"))
+    totals = counts.agg(F.sum("c_r").alias("n_r"),
+                        F.sum("c_t").alias("n_t"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("bucket", F.expr(
+                f"(1000000L * (c_t + 1) * (n_r + {n_buckets})) div "
+                f"((c_r + 1) * (n_t + {n_buckets}))").alias("ratio_e6")))
+
+
+def importance_weights(df: DataFrame, id_col: str, text_col: str,
+                       target_col: str,
+                       n_buckets: int = 4096) -> DataFrame:
+    """Per-document DSIR importance score: id, n_grams, score_e6 =
+    floor(mean per-gram target/raw ratio * 1e6). Every input row comes
+    back (a doc with no grams scores 0 with n_grams 0)."""
+    grams = _gram_buckets(df, id_col, text_col, [target_col], n_buckets)
+    ratios = bucket_ratios(grams, target_col, n_buckets)
+    scored = (grams.join(F.broadcast(ratios), "bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("ratio_e6").alias("__sum_e6")))
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("int")
+                    .alias("n_grams"),
+                    F.coalesce(F.expr("__sum_e6 div n_grams"), F.lit(0))
+                    .cast("long").alias("score_e6")))
+
+
+def dsir_select(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic top-k selection by (score_e6 desc, id asc) with a
+    1-based sel_rank. orderBy().limit(k) plans as TakeOrdered — each
+    partition keeps a local top-k heap, the driver merges k·|parts|
+    rows — so the corpus is never globally sorted; the rank window
+    runs over the k surviving rows only."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score_e6"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score_e6"), id_col)
+    return top.select(
+        F.row_number().over(w).cast("int").alias("sel_rank"),
+        id_col, "n_grams", "score_e6")

@@ -207,3 +207,39 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                     F.floor((F.col("__offset") + F.col("__local_before"))
                             / budget)
                     .cast("int").alias("pack_id")))
+
+
+def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
+                  size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window chunking of documents into overlapping token
+    windows — the context-window prep step for embedding models and
+    long-doc training (chunk i covers tokens [i*stride, i*stride+size),
+    starts enumerated while start < n_tokens, so the final chunk may be
+    short but every token is covered and consecutive chunks share
+    size-stride tokens).
+
+    Pure scan-side generator — tokens split row-locally, starts via
+    sequence(), one explode; no shuffle, no Python, output rows carry
+    (chunk_id, start_tok, n_chunk_toks, chunk_text). Empty documents
+    yield no chunks (same as the SQL range() mirror).
+
+    sequence(0, n-1, stride) ascends because n >= 1 is guaranteed by
+    the emptiness filter (Spark's sequence DESCENDS when stop < start
+    — the cross-engine trap recorded for epoch_mix)."""
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda start, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            start.cast("int").alias("start_tok"),
+            F.least(F.lit(size), n - start).cast("int")
+            .alias("n_chunk_toks"),
+            F.array_join(F.slice(toks, start + 1, size), " ")
+            .alias("chunk_text")))
+    return (df.filter(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col), F.explode(chunks).alias("__c"))
+            .select(id_col, "__c.chunk_id", "__c.start_tok",
+                    "__c.n_chunk_toks", "__c.chunk_text"))

@@ -308,3 +308,52 @@ def bigram_lm_scores(df, id_col: str, text_col: str):
                     F.floor(F.col("sum_e6") * 1.0
                             / F.col("n_bigrams")).cast("long")
                     .alias("avg_p_e6")))
+
+
+def token_length_quantiles(df, text_col: str, strata_col: str,
+                           qs: tuple[int, ...] = (25, 50, 75, 95)):
+    """Per-stratum EXACT discrete quantiles of whitespace token counts
+    — the corpus length profile a curation run reads before choosing
+    context budgets and truncation thresholds.
+
+    Quantile convention (engine-portable, integer-only): p_q = the
+    smallest length v whose cumulative doc count reaches rank
+    (n-1)*q div 100 + 1 — i.e. the value at zero-based index
+    floor((n-1)*q/100) of the sorted lengths. No interpolation (the
+    interpolated form multiplies doubles whose rounding DuckDB and
+    Spark may disagree on); ties need no tiebreak because only the
+    VALUE at the rank is asked for.
+
+    Scale shape: the corpus collapses map-side to a (stratum, length)
+    HISTOGRAM — at most |strata| x |distinct lengths| rows, bounded by
+    the max document length, independent of corpus size — and the
+    cumulative window + rank probes run on that tiny frame. Never a
+    per-stratum window over documents (the one-task-per-language
+    anti-pattern pack_sequences' docstring records).
+
+    The 100 TB single-pass alternative is percentile_approx (GK
+    sketch, mergeable partials); it is an estimate, so it stays out of
+    the oracle gate — its rank-error bound vs this exact tier is
+    pinned in tests/test_llm_ops.py (the approx_count_distinct
+    precedent)."""
+    from pyspark.sql import Window
+
+    lens = df.select(F.col(strata_col).alias("stratum"),
+                     whitespace_token_count(F.col(text_col))
+                     .alias("n_tok"))
+    hist = lens.groupBy("stratum", "n_tok") \
+        .agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.partitionBy("stratum").orderBy("n_tok")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("stratum").agg(F.sum("c").alias("n_docs"))
+    j = cum.join(tot, "stratum")
+    probes = [
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"((n_docs - 1) * {q}) div 100 + 1"),
+            F.col("n_tok"))).cast("long").alias(f"p{q}")
+        for q in qs]
+    return (j.groupBy("stratum", "n_docs")
+            .agg(F.min("n_tok").cast("long").alias("min_tok"),
+                 *probes,
+                 F.max("n_tok").cast("long").alias("max_tok")))

@@ -2302,3 +2302,278 @@ def dd_duplicate_span_fraction(spark: SparkSession,
 def ta_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ta.bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "sp_chunk_overlap",
+    survey="LLM-sample(chunking)",
+    doc="Sliding-window document chunking (r06, operators/sampling."
+        "chunk_overlap): overlapping 64-token windows at stride 48 — "
+        "the context-window prep for embedding models / long-doc "
+        "training; consecutive chunks share 16 tokens, every token "
+        "covered, final chunk may be short. Pure scan-side generator "
+        "(row-local tokenize, sequence() of starts, one explode) — no "
+        "shuffle, no Python, the epoch_mix plan family.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        starts AS (
+            SELECT doc_id, w,
+                   unnest(range(0, (len(w) + 47) // 48)) AS i
+            FROM toks
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(i * 48 AS INT) AS start_tok,
+               CAST(LEAST(64, len(w) - i * 48) AS INT) AS n_chunk_toks,
+               array_to_string(w[i*48 + 1 : LEAST(i*48 + 64, len(w))],
+                               ' ') AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_id
+    """,
+)
+def sp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import chunk_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_overlap(docs, "doc_id", "text", size=64, stride=48) \
+        .orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "ta_length_quantiles",
+    survey="LLM-text(length-profile)",
+    doc="Per-language EXACT token-length quantile profile (r06, "
+        "operators/text_analysis.token_length_quantiles): p25/p50/"
+        "p75/p95 whitespace-token counts plus min/max — the length "
+        "distribution a curation run reads before choosing context "
+        "budgets. Quantile = value at zero-based index "
+        "(n-1)*q div 100 (discrete, integer-only; interpolation would "
+        "ride on engine-divergent double rounding). Scale: corpus "
+        "collapses map-side to a (lang, length) histogram bounded by "
+        "max doc length; the cumulative window and rank probes run on "
+        "that tiny frame, never a per-language window over documents. "
+        "The one-pass 100 TB tier is percentile_approx (mergeable GK "
+        "sketch) — an estimate, so it is rank-error-bound-tested vs "
+        "this exact tier instead of oracle-gated.",
+    oracle="""
+        WITH lens AS (
+            SELECT lang AS stratum,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                                                       '\\s+')) END
+                       AS n_tok
+            FROM documents
+        ),
+        hist AS (
+            SELECT stratum, n_tok, COUNT(*) AS c
+            FROM lens GROUP BY stratum, n_tok
+        ),
+        cum AS (
+            SELECT stratum, n_tok, c,
+                   SUM(c) OVER (PARTITION BY stratum ORDER BY n_tok
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY stratum) AS n_docs
+            FROM hist
+        )
+        SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+               CAST(MIN(CASE WHEN cum >= ((n_docs - 1) * 25) // 100 + 1
+                        THEN n_tok END) AS BIGINT) AS p25,
+               CAST(MIN(CASE WHEN cum >= ((n_docs - 1) * 50) // 100 + 1
+                        THEN n_tok END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN cum >= ((n_docs - 1) * 75) // 100 + 1
+                        THEN n_tok END) AS BIGINT) AS p75,
+               CAST(MIN(CASE WHEN cum >= ((n_docs - 1) * 95) // 100 + 1
+                        THEN n_tok END) AS BIGINT) AS p95,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tok
+        FROM cum GROUP BY stratum, n_docs
+        ORDER BY stratum
+    """,
+)
+def ta_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = ta.token_length_quantiles(docs, "text", "lang")
+    return (out.select("stratum", F.col("n_docs").cast("long"),
+                       "min_tok", "p25", "p50", "p75", "p95", "max_tok")
+            .orderBy("stratum"))
+
+
+_DUCK_DSIR = """
+        toks AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, w[i] AS g
+            FROM (SELECT doc_id, lang, w,
+                         unnest(range(1, len(w) + 1)) AS i FROM toks)
+            UNION ALL
+            SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+            FROM (SELECT doc_id, lang, w,
+                         unnest(range(1, len(w))) AS i FROM toks)
+        ),
+        gb AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+            FROM grams
+        ),
+        cnt AS (
+            SELECT bucket, COUNT(*) AS c_r,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+            FROM gb GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM cnt),
+        ratio AS (
+            SELECT bucket,
+                   (1000000 * (c_t + 1) * (n_r + 4096))
+                   // ((c_r + 1) * (n_t + 4096)) AS ratio_e6
+            FROM cnt, tot
+        ),
+        scored AS (
+            SELECT gb.doc_id, COUNT(*) AS n_grams,
+                   SUM(r.ratio_e6) AS sum_e6
+            FROM gb JOIN ratio r USING (bucket)
+            GROUP BY gb.doc_id
+        )
+"""
+
+
+@query(
+    "sp_dsir_weights",
+    survey="LLM-sample(dsir-importance)",
+    doc="DSIR importance weights (r06, operators/importance.py; Xie "
+        "et al. 2023 arXiv 2302.03169): every document scored by the "
+        "mean target/raw likelihood ratio of its hashed unigram+bigram "
+        "buckets — target domain here = lang='en', raw = the whole "
+        "corpus. Engine-exact by construction: md5-prefix buckets "
+        "(shard_id's portable hash — bucket identity changes counts, "
+        "so xxhash64 would break the oracle), Laplace-smoothed ratios "
+        "via INTEGER division only, arithmetic-mean score (no logs — "
+        "ln is not IEEE-exactly-rounded; the bigram-LM precedent). "
+        "Scale: gram counts collapse map-side to <=4096 bucket rows, "
+        "the ratio table broadcasts back, one per-doc shuffle.",
+    oracle="""
+        WITH """ + _DUCK_DSIR + """
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(s.n_grams, 0) AS INT) AS n_grams,
+               CAST(COALESCE(s.sum_e6 // s.n_grams, 0) AS BIGINT)
+                   AS score_e6
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+)
+def sp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.importance import (
+        importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents") \
+        .withColumn("__is_target", F.col("lang") == "en")
+    w = importance_weights(docs, "doc_id", "text", "__is_target",
+                           n_buckets=4096)
+    return (docs.select("doc_id", "lang").join(w, "doc_id")
+            .select("doc_id", "lang", "n_grams", "score_e6")
+            .orderBy("doc_id"))
+
+
+@query(
+    "sp_dsir_topk",
+    survey="LLM-sample(dsir-select)",
+    doc="DSIR top-k selection (operators/importance.dsir_select): keep "
+        "the 100 most target-like documents by (score_e6 desc, doc_id "
+        "asc) — the deterministic substitute for the paper's Gumbel "
+        "resampling. Plans as TakeOrdered (per-partition top-k heaps, "
+        "driver merges k*|parts| rows) — the corpus is never globally "
+        "sorted; the rank window runs over the 100 survivors only.",
+    oracle="""
+        WITH """ + _DUCK_DSIR + """,
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY s.sum_e6 // s.n_grams
+                       DESC, s.doc_id ASC) AS sel_rank,
+                   s.doc_id, s.n_grams, s.sum_e6 // s.n_grams AS sc
+            FROM scored s
+        )
+        SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id,
+               CAST(n_grams AS INT) AS n_grams,
+               CAST(sc AS BIGINT) AS score_e6
+        FROM ranked WHERE sel_rank <= 100
+        ORDER BY sel_rank
+    """,
+)
+def sp_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.importance import (
+        dsir_select, importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents") \
+        .withColumn("__is_target", F.col("lang") == "en")
+    w = importance_weights(docs, "doc_id", "text", "__is_target",
+                           n_buckets=4096)
+    return dsir_select(w, "doc_id", 100)
+
+
+@query(
+    "j9_asof_forward_within",
+    survey="J-ext(asof-forward),LLM-events(attribution)",
+    doc="Forward as-of join with tolerance (r06, operators/asof.py "
+        "direction='forward'): each purchase picks up the NEXT view "
+        "of the same user within 1 hour (smallest (ts, event_id) with "
+        "view.ts >= purchase.ts) — the conversion-lag / attribution "
+        "shape, pandas merge_asof direction='forward'. Same two-pass "
+        "bounded-bucket plan as j7 mirrored (first-over-following "
+        "windows, min-struct per bucket, carry from FOLLOWING "
+        "buckets); NULL-ts lefts are guarded from inheriting the "
+        "first real bucket's carry. Oracle is the quadratic "
+        "row_number reference with the identical total tie order.",
+    oracle=e6_oracle("""
+        WITH l AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+            FROM events WHERE event_type = 'view'
+        ),
+        cand AS (
+            SELECT l.event_id, r.event_id AS next_view_id,
+                   r.ts_us AS next_view_ts_us, r.value AS next_value,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts_us ASC, r.event_id ASC) AS rn
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND r.ts_us >= l.ts_us
+                         AND r.ts_us - l.ts_us <= 3600000000
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               c.next_view_id, c.next_view_ts_us,
+               c.next_view_ts_us - l.ts_us AS lag_us,
+               ROUND(c.next_value, 6) AS next_value
+        FROM l LEFT JOIN cand c ON c.event_id = l.event_id AND c.rn = 1
+        ORDER BY l.event_id
+    """, "next_value"),
+)
+def j9_asof_forward_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, "user_id", "ts",
+                    ["value"], "event_id",
+                    tolerance_us=3_600_000_000, direction="forward")
+    return scale_e6(
+        out.select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id_r").alias("next_view_id"),
+            F.unix_micros("ts_r").alias("next_view_ts_us"),
+            (F.unix_micros("ts_r") - F.unix_micros("ts"))
+            .alias("lag_us"),
+            F.round("value_r", 6).alias("next_value"))
+        .orderBy("event_id"),
+        "next_value")

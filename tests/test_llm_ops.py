@@ -1358,3 +1358,206 @@ def test_asof_randomized_stress_forward(spark):
         ref = asof_join_naive(left, right, "k", "ts", ["v"], "rid",
                               tolerance_us=tol, direction="forward")
         assert _asof_rows(fast) == _asof_rows(ref)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """importance_weights on a tiny fixture vs a pure-Python mirror of
+    the md5-bucket + integer-ratio arithmetic (engine-exact contract:
+    same buckets, same Laplace-smoothed integer division)."""
+    import hashlib
+
+    from contacts_etl_phase21_spark.operators.importance import (
+        importance_weights,
+    )
+
+    B = 64
+    rows = [(1, "a b", True), (2, "a b", False), (3, "x y", False)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, t BOOLEAN")
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def grams(text):
+        w = text.split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    c_r, c_t = {}, {}
+    for _, text, tgt in rows:
+        for g in grams(text):
+            b = bucket(g)
+            c_r[b] = c_r.get(b, 0) + 1
+            if tgt:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    ratio = {b: (1_000_000 * (c_t.get(b, 0) + 1) * (n_r + B))
+             // ((c_r[b] + 1) * (n_t + B)) for b in c_r}
+    expect = {}
+    for doc_id, text, _ in rows:
+        gs = grams(text)
+        expect[doc_id] = (len(gs),
+                          sum(ratio[bucket(g)] for g in gs) // len(gs))
+
+    got = {r["doc_id"]: (r["n_grams"], r["score_e6"])
+           for r in importance_weights(df, "doc_id", "text", "t",
+                                       n_buckets=B).collect()}
+    assert got == expect
+    # the target-identical doc outscores the disjoint one
+    assert got[2][1] > got[3][1]
+
+
+def test_dsir_discriminates_target_language(spark, sf_small):
+    """With target = lang='en', en documents must outscore non-en on
+    average (the DSIR selection signal actually discriminates)."""
+    from contacts_etl_phase21_spark.operators.importance import (
+        importance_weights,
+    )
+
+    docs = load(spark, sf_small, "documents") \
+        .withColumn("t", F.col("lang") == "en")
+    w = importance_weights(docs, "doc_id", "text", "t")
+    m = (docs.select("doc_id", "t").join(w, "doc_id")
+         .groupBy("t").agg(F.avg("score_e6").alias("m"))
+         .collect())
+    means = {r["t"]: r["m"] for r in m}
+    assert means[True] > means[False]
+
+
+def test_dsir_select_plan_is_takeordered(spark, sf_small):
+    """Top-k selection must plan as TakeOrdered (partition-local heaps)
+    — never a global range-partitioned sort of the scored corpus; the
+    rank window runs over the k survivors only."""
+    from contacts_etl_phase21_spark.operators.importance import (
+        dsir_select, importance_weights,
+    )
+
+    docs = load(spark, sf_small, "documents") \
+        .withColumn("t", F.col("lang") == "en")
+    sel = dsir_select(importance_weights(docs, "doc_id", "text", "t"),
+                      "doc_id", 10)
+    p = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in p
+    assert "rangepartitioning" not in p.lower()
+    rows = sel.collect()
+    assert [r["sel_rank"] for r in rows] == list(range(1, 11))
+    scores = [r["score_e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_length_quantiles_hand_computed(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        token_length_quantiles,
+    )
+
+    def doc(i, stratum, n):
+        return (i, stratum, " ".join(["w"] * n) if n else "")
+
+    rows = [doc(1, "a", 1), doc(2, "a", 2), doc(3, "a", 2),
+            doc(4, "a", 3), doc(5, "a", 100),
+            doc(6, "b", 7), doc(7, "b", 9)]
+    df = spark.createDataFrame(rows, "id INT, lang STRING, text STRING")
+    got = {r["stratum"]: r.asDict() for r in
+           token_length_quantiles(df, "text", "lang").collect()}
+    # sorted a: [1,2,2,3,100], zero-based idx (n-1)*q//100 -> 1,2,3,3
+    assert (got["a"]["p25"], got["a"]["p50"], got["a"]["p75"],
+            got["a"]["p95"]) == (2, 2, 3, 3)
+    assert (got["a"]["min_tok"], got["a"]["max_tok"]) == (1, 100)
+    assert got["a"]["n_docs"] == 5
+    # b: [7,9] -> idx 0,0,0,0 for q<=95? (1*95)//100 = 0 -> all 7
+    assert (got["b"]["p25"], got["b"]["p95"]) == (7, 7)
+    assert got["b"]["max_tok"] == 9
+
+
+def test_length_quantiles_approx_rank_bound(spark, sf_small):
+    """percentile_approx (the one-pass 100 TB tier) must land within
+    the GK sketch's rank-error guarantee n/accuracy of the exact
+    tier's target rank — the approx_count_distinct precedent: sketch
+    tiers carry measured error bounds, the exact tier carries the
+    oracle."""
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        token_length_quantiles, whitespace_token_count,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    lens = docs.select(F.col("lang").alias("stratum"),
+                       whitespace_token_count(F.col("text"))
+                       .alias("n_tok"))
+    acc = 100
+    approx = {r["stratum"]: r["ap"] for r in
+              lens.groupBy("stratum")
+              .agg(F.percentile_approx("n_tok", 0.5, acc).alias("ap"))
+              .collect()}
+    # rank window of the approx median within each stratum
+    by_stratum = {}
+    for r in lens.groupBy("stratum", "n_tok").count().collect():
+        by_stratum.setdefault(r["stratum"], []).append(
+            (r["n_tok"], r["count"]))
+    exact = {r["stratum"]: r["p50"] for r in
+             token_length_quantiles(docs, "text", "lang").collect()}
+    for stratum, hist in by_stratum.items():
+        hist.sort()
+        n = sum(c for _, c in hist)
+        err = n / acc + 1
+        target = (n - 1) * 50 // 100 + 1
+        # rank interval covered by the approx value
+        cum = 0
+        for v, c in hist:
+            lo, hi = cum + 1, cum + c
+            cum += c
+            if v == approx[stratum]:
+                assert lo - err <= target <= hi + err, (
+                    stratum, v, lo, hi, target)
+                break
+        else:
+            raise AssertionError(
+                f"approx median {approx[stratum]} not a data value")
+        assert abs(exact[stratum] - approx[stratum]) <= max(
+            v for v, _ in hist) - min(v for v, _ in hist)
+
+
+def test_chunk_overlap_hand_computed(spark):
+    import pytest as _pytest
+
+    from contacts_etl_phase21_spark.operators.sampling import chunk_overlap
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a"), (3, "   ")],
+        "doc_id INT, text STRING")
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_chunk_toks"],
+         r["chunk_text"])
+        for r in chunk_overlap(df, "doc_id", "text",
+                               size=4, stride=3).collect())
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 1, "a"),
+    ]  # doc 3 (blank) yields no chunks
+    with _pytest.raises(ValueError):
+        chunk_overlap(df, "doc_id", "text", size=2, stride=3)
+
+
+def test_chunk_overlap_plan_is_scan_side_generator(spark, sf_small):
+    from contacts_etl_phase21_spark.operators.sampling import chunk_overlap
+
+    docs = load(spark, sf_small, "documents")
+    out = chunk_overlap(docs, "doc_id", "text")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Generate" in p
+    # coverage: per doc, chunk token counts minus overlaps == n_tokens
+    agg = (out.groupBy("doc_id")
+           .agg(F.sum("n_chunk_toks").alias("s"),
+                F.count(F.lit(1)).alias("k"),
+                F.max(F.col("start_tok") + F.col("n_chunk_toks"))
+                .alias("end")))
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+    n = docs.select("doc_id",
+                    whitespace_token_count(F.col("text")).alias("n"))
+    bad = (agg.join(n, "doc_id")
+           .filter((F.col("end") != F.col("n"))
+                   | (F.col("s") < F.col("n"))).count())
+    assert bad == 0
