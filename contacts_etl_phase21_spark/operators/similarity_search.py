@@ -617,11 +617,7 @@ def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
                 for cb in codebooks]
     cn2 = [(ci * ci).sum(1) for ci in cmats]
 
-    def _half_away_e6(x):
-        return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
-                        np.ceil(x * 1e6 - 0.5)).astype(np.int64)
-
-    cn2_e6 = [_half_away_e6(v) for v in cn2]
+    cn2_e6 = [_half_away_e6_np(v) for v in cn2]
     bc = corpus.sparkSession.sparkContext.broadcast(
         (cmats, code_ids, cn2, cn2_e6))
     out_schema = StructType([
@@ -655,6 +651,90 @@ def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
             })
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def pq_adc_tables_blas(queries: DataFrame, codebooks: Codebooks,
+                       query_id_col: str = "query_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Numpy twin of pq_adc_tables — same (query_id, tbl, qn2_e6)
+    output, built in a mapInPandas kernel with the codebooks shipped
+    once as a broadcast variable.
+
+    Why it exists: the declarative table is ONE CreateArray of
+    m × n_codes dot-product chains (~4k expression nodes at 8 × 16).
+    Whole-stage codegen cannot split a single expression into helper
+    methods (expression inputs are Java locals, not row fields), so
+    janino hard-fails at the 64 KB method limit and the stage silently
+    de-fuses (the r06 codegen audit caught exactly this on
+    ann_pq_topk). The kernel keeps bit parity with the declarative
+    form: per-entry dots accumulate LEFT-ASSOCIATIVELY in float64
+    (acc = x0·c0; acc += xi·ci — numpy elementwise ops are per-lane
+    IEEE exact-rounded, so each lane reproduces the SQL chain
+    bit-for-bit), and e6 scaling uses the same half-away-from-zero
+    rule as pq_encode_blas (matches DuckDB ROUND on the identical
+    doubles; equality with the declarative table is test-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    n_codes = _uniform_codebook_size(codebooks)
+    for cb in codebooks:
+        assert [code for code, _ in cb] == list(range(len(cb))), \
+            "pq codebook codes must be dense 0..n-1"
+    cmats = [np.array([cv for _, cv in cb], dtype=np.float64)
+             for cb in codebooks]
+    bc = queries.sparkSession.sparkContext.broadcast(cmats)
+    out_schema = StructType([
+        StructField(query_id_col, LongType()),
+        StructField("tbl", ArrayType(LongType())),
+        StructField("qn2_e6", LongType()),
+    ])
+
+    def kernel(batches):
+        cmats_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[query_id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            n = len(ids)
+            tbl = np.empty((n, m * n_codes), dtype=np.int64)
+            qn2 = np.zeros(n, dtype=np.int64)
+            for s in range(m):
+                xs = mat[:, s * d_sub:(s + 1) * d_sub]  # (n, d_sub)
+                cm = cmats_[s]                           # (k, d_sub)
+                acc = xs[:, 0:1] * cm[None, :, 0]        # x0·c0
+                q2 = xs[:, 0] * xs[:, 0]
+                for i in range(1, d_sub):
+                    acc = acc + xs[:, i:i + 1] * cm[None, :, i]
+                    q2 = q2 + xs[:, i] * xs[:, i]
+                tbl[:, s * n_codes:(s + 1) * n_codes] = \
+                    _half_away_e6_np(acc)
+                qn2 += _half_away_e6_np(q2)
+            yield pd.DataFrame({
+                query_id_col: ids,
+                "tbl": [row.tolist() for row in tbl],
+                "qn2_e6": qn2,
+            })
+
+    return queries.select(query_id_col, vec_col) \
+        .mapInPandas(kernel, out_schema)
+
+
+def _half_away_e6_np(x):
+    """e6 fixed-point with HALF-AWAY-FROM-ZERO on the binary double —
+    DuckDB's ROUND semantics, shared by pq_encode_blas and
+    pq_adc_tables_blas (see brute_force_topk_blas for the BigDecimal
+    shortest-representation caveat vs Spark's F.round)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                    np.ceil(x * 1e6 - 0.5)).astype(np.int64)
 
 
 def _uniform_codebook_size(codebooks: Codebooks) -> int:
@@ -752,7 +832,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             quantizer: str = "first",
             train_permille: int | None = None,
             n_iter: int = 5,
-            encode_kernel: str = "sql") -> DataFrame:
+            encode_kernel: str = "sql",
+            table_kernel: str = "sql") -> DataFrame:
     """PQ-compressed exhaustive ANN top-k via ADC scoring.
 
     Plan shape: encode the corpus row-locally (codes + xn2_e6 — at
@@ -777,8 +858,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     else:
         enc = pq_encode(wide, codebooks, vec_col) \
             .select(id_col, "codes", "xn2_e6")
-    q = broadcast(pq_adc_tables(queries, codebooks, query_id_col,
-                                vec_col))
+    if table_kernel == "blas":
+        q = broadcast(pq_adc_tables_blas(queries, codebooks,
+                                         query_id_col, vec_col))
+    else:
+        q = broadcast(pq_adc_tables(queries, codebooks, query_id_col,
+                                    vec_col))
     num = _adc_lookup_sum(m, n_codes_eff)
     scored = enc.crossJoin(q).select(
         query_id_col, id_col,

@@ -1865,27 +1865,32 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m=8 subspaces x 16 codes over the 64-dim embeddings — the "
         "~32x-smaller-scan tier after int8's 4x "
         "(similarity_search.pq_topk). Corpus encoded row-locally "
-        "against inlined sub-codebooks (zero exchanges, plan-shape-"
-        "pinned); queries stay exact and broadcast e6-integer ADC "
-        "lookup tables; scoring is m integer map lookups per pair, "
-        "so the num/denominator sums are order-independent int64 and "
-        "the final double formula is bit-identical in the DuckDB "
-        "twin. quantizer='first' (codewords = first-32 corpus "
-        "sub-vectors) keeps the whole chain relational; the kmeans-"
-        "trained variant is the recall tier the bench measures. "
-        "n_codes=16 here (not the production 256): the inlined-"
-        "literal encode plan must stay small enough for a default-"
-        "1g driver session (the r06 verify run OOM'd the broadcast "
-        "build at 32 codes on a plain session) — larger codebooks "
-        "route through pq_encode_blas, whose codebooks ship as a "
-        "broadcast variable instead of plan literals.",
+        "(zero exchanges); queries stay exact and broadcast "
+        "e6-integer ADC lookup tables; scoring is m integer map "
+        "lookups per pair, so the num/denominator sums are order-"
+        "independent int64 and the final double formula is bit-"
+        "identical in the DuckDB twin. quantizer='first' (codewords "
+        "= first-16 corpus sub-vectors) keeps the whole chain "
+        "SQL-derivable; the kmeans-trained variant is the recall "
+        "tier the bench measures. Both hot sides run the broadcast-"
+        "variable kernels (encode_kernel/table_kernel='blas'): the "
+        "declarative inlined-literal twins are the oracle spec and "
+        "stay equality-pinned in tests, but as the EXECUTED plan "
+        "they exceed janino's 64 KB method limit (whole-stage "
+        "codegen cannot split one giant expression) and silently "
+        "de-fuse — the r06 codegen audit; plus the r06 plan-size "
+        "lesson (32-code literals OOM'd a default-1g driver "
+        "session). Kernels ship codebooks once per executor and "
+        "reproduce the left-associative chains bit-for-bit.",
     oracle=e6_oracle(_pq_oracle(n_codes=16), "pq_cosine"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return scale_e6(ann.pq_topk(emb, queries, k=10, n_codes=16),
+    return scale_e6(ann.pq_topk(emb, queries, k=10, n_codes=16,
+                                encode_kernel="blas",
+                                table_kernel="blas"),
                     "pq_cosine")
 
 

@@ -702,6 +702,32 @@ def test_pq_encode_blas_matches_declarative(spark, sf_small):
     assert a == b
 
 
+def test_pq_adc_tables_blas_matches_declarative(spark, sf_small):
+    """r06 codegen audit: the kernel ADC-table builder (broadcast
+    codebooks, left-associative float64 accumulation per lane) must be
+    bit-identical to the declarative CreateArray-of-chains form it
+    replaces on the executed ann_pq_topk plan (whole-stage codegen
+    cannot split the ~4k-node declarative expression and janino fails
+    at the 64 KB method limit — the kernel is the compile-clean hot
+    path, the declarative table stays the oracle spec)."""
+    emb = load(spark, sf_small, "embeddings")
+    books = ann.pq_codebooks(emb, m=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    sql_t = {r["query_id"]: (tuple(r["tbl"]), r["qn2_e6"])
+             for r in ann.pq_adc_tables(queries, books).collect()}
+    blas_t = {r["query_id"]: (tuple(r["tbl"]), r["qn2_e6"])
+              for r in ann.pq_adc_tables_blas(queries, books).collect()}
+    assert sql_t == blas_t
+    # end-to-end: the fully-kernel plan equals the declarative tier
+    a = [tuple(r) for r in ann.pq_topk(emb, queries, k=10,
+                                       n_codes=16).collect()]
+    b = [tuple(r) for r in ann.pq_topk(emb, queries, k=10, n_codes=16,
+                                       encode_kernel="blas",
+                                       table_kernel="blas").collect()]
+    assert a == b
+
+
 def test_ivf_pq_residual_beats_plain_pq_on_clustered(spark):
     """r06: on a clustered corpus plain PQ quantizes to cluster
     resolution (its codebooks collapse to cluster centers, so
