@@ -61,6 +61,8 @@ _DRIVER_PRIORITY = [
     "sp_dsir_topk",
     "st_stream_asof_enrich",
     "st_curate_ingest",
+    "sp_source_cap",
+    "dd_snapshot_delta",
     # -- previously driver-green rows kept in the window: the ER core,
     #    the streaming family, and the main LLM-pipeline operators, so
     #    CORRECTNESS_r06 still re-certifies the engine's spine. Window
@@ -93,8 +95,10 @@ _DRIVER_PRIORITY = [
     "ta_repetition_scores",
     "mm_ppm_resize_real",
     "f16_seq_ratio_pairs",
-    "p1_legacy_channel_render",
-    "o2_topk_per_group",
+    # p1_legacy_channel_render and o2_topk_per_group rotated out in
+    # r06 s4 to make room for the two new operators — both have been
+    # driver-green since r05 and stay covered by the full-registry
+    # artifact.
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

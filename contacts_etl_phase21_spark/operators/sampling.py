@@ -78,6 +78,88 @@ def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn("shard", shard_id(F.col(id_col), n_shards))
 
 
+def _md5_order(id_col: Column) -> Column:
+    """Engine-portable uniform order key for per-source selection:
+    hex digits 9-16 of md5(id) — a DIFFERENT md5 window than shard_id
+    (digits 1-8) and independent of the Knuth sampling hash, so cap
+    selection never correlates with shard or sample membership.
+    DuckDB twin: ('0x' || substr(md5(id), 9, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 9, 8), 16,
+                  10).cast("long")
+
+
+def cap_per_source(df: DataFrame, id_col: str, source_col: str,
+                   cap: int, over_permille: int = 1500) -> DataFrame:
+    """Per-source quota enforcement — the crawl-curation step that caps
+    any one domain/source at `cap` documents (hot domains otherwise
+    dominate the mix). Keeps, for each source, the `cap` rows with the
+    smallest (md5-order-key, id) — deterministic, reproducible at any
+    partitioning, and SQL-expressible (the oracle is one QUALIFY
+    row_number() over the same key).
+
+    Scale shape (the hot-block-keys pattern applied to quotas): a
+    single window partitioned by source would funnel the hottest
+    domain's ENTIRE row set through one task — the pack_sequences
+    anti-lesson. Instead:
+
+    1. One tiny aggregation counts rows per source (map-side combined,
+       |sources| rows; persisted — it is read by two consumers).
+    2. Sources at-or-under cap BYPASS everything: their rows never
+       shuffle, never rank (at real crawl scale that is the long tail
+       — most of the corpus).
+    3. Over-cap sources are PREFILTERED by the uniform hash before the
+       exact window: keep h <= thr(n_s) with thr sized for
+       cap · over_permille/1000 expected survivors, so the per-source
+       window task holds ~1.5·cap rows no matter how hot the source —
+       bounded like the pack blocks. The kept set is provably a
+       superset of the true top-cap whenever >= cap rows survive (if
+       >= cap values are <= thr, the cap smallest are all <= thr).
+    4. EXACTNESS GUARD: any over-cap source with fewer than cap
+       survivors (the hash landed unluckily — probability vanishes at
+       over_permille=1500 but is not zero) is re-ranked over its FULL
+       row set in a fallback branch that is empty in the normal case.
+       The result is therefore exact-by-construction, never
+       approximate, while the expected work stays bounded.
+
+    Cost: scan-bound (the corpus is read by the bypass, prefilter and
+    fallback branches; no corpus-scale shuffle anywhere — the only
+    exchanges move ~|over-sources|·1.5·cap survivor rows into bounded
+    windows). The counts frame is persisted inside the call; it is
+    |sources| rows and the caller owns the returned frame's lifecycle
+    (lsh_corpus_index contract)."""
+    h = _md5_order(F.col(id_col))
+    counts = (df.groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") > cap)
+              .persist())
+    under = df.join(F.broadcast(counts.select(source_col)), source_col,
+                    "left_anti")
+    rows_over = (df.join(F.broadcast(counts), source_col)
+                 .withColumn("__h", h))
+    # thr ≈ 2^32 · cap · over_permille / (1000 · n_s), factored to stay
+    # in int64 for any cap (2^32 div n_s first; the precision loss only
+    # perturbs the safety margin, and the guard restores exactness)
+    thr = (F.lit(cap) * (F.lit(4294967296) / F.col("__n")).cast("long")
+           * F.lit(over_permille) / F.lit(1000)).cast("long")
+    pre = rows_over.filter(F.col("__h") <= thr)
+    surv = pre.groupBy(source_col).agg(F.count(F.lit(1)).alias("__m"))
+    # short = over-cap sources whose prefilter kept < cap rows
+    # (including those it emptied entirely — the left join's NULL __m)
+    short = (counts.select(source_col)
+             .join(surv, source_col, "left")
+             .filter(F.coalesce(F.col("__m"), F.lit(0)) < cap)
+             .select(source_col))
+    ok_pre = pre.join(F.broadcast(short), source_col, "left_anti")
+    redo = rows_over.join(F.broadcast(short), source_col, "left_semi")
+    w = Window.partitionBy(source_col).orderBy("__h", id_col)
+    capped = (ok_pre.select(*rows_over.columns)
+              .unionByName(redo.select(*rows_over.columns))
+              .withColumn("__r", F.row_number().over(w))
+              .filter(F.col("__r") <= cap))
+    return under.select(*df.columns).unionByName(
+        capped.select(*df.columns))
+
+
 def epoch_mix(df: DataFrame, id_col: str, strata_col: str,
               weights_permille: dict[str, int],
               default_permille: int = 1000,

@@ -2582,3 +2582,89 @@ def j9_asof_forward_within(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value_r", 6).alias("next_value"))
         .orderBy("event_id"),
         "next_value")
+
+
+@query(
+    "sp_source_cap",
+    survey="LLM-sample(source-cap)",
+    doc="Per-source document quota (r06 s4, operators/sampling."
+        "cap_per_source): keep at most 10 docs per source, chosen "
+        "deterministically by a dedicated md5 window (digits 9-16 — "
+        "independent of shard and sample hashes). Scale design is the "
+        "hot-block-keys pattern applied to quotas: under-cap sources "
+        "bypass every shuffle; over-cap sources are prefiltered by "
+        "the uniform hash to ~1.5*cap expected survivors so the "
+        "exact rank window holds a BOUNDED task per source no matter "
+        "how hot the domain (the pack_sequences anti-lesson); a "
+        "relational fallback re-ranks any source the prefilter left "
+        "short, so the result is exact-by-construction. The oracle "
+        "is the naive single QUALIFY over the same (hash, id) order.",
+    oracle="""
+        SELECT doc_id, source, lang FROM (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS
+                           VARCHAR)), 9, 8))::BIGINT, doc_id) AS r
+            FROM documents)
+        WHERE r <= 10
+        ORDER BY source, doc_id
+    """,
+)
+def sp_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        cap_per_source,
+    )
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "lang")
+    return cap_per_source(docs, "doc_id", "source", cap=10) \
+        .orderBy("source", "doc_id")
+
+
+@query(
+    "dd_snapshot_delta",
+    survey="LLM-dedup(snapshot-delta)",
+    doc="Incremental-crawl snapshot diff (r06 s4, operators/dedup."
+        "snapshot_delta): every doc id classified added / removed / "
+        "changed / unchanged between two synthetic snapshots (old = "
+        "ids with id%10<8; new = ids with id%10>=2, text uppercased "
+        "when id%7=0 — so all four classes appear). Content collapses "
+        "to an md5 fingerprint in the scan; the only exchange is ONE "
+        "full-outer equi-join on id between two (id, fp) projections "
+        "— text never ships. This is the work-list an incremental "
+        "100 TB pipeline feeds to tokenize/dedup/index so only "
+        "added+changed docs re-process.",
+    oracle="""
+        WITH o AS (
+            SELECT doc_id, md5(text) AS old_fp FROM documents
+            WHERE doc_id % 10 < 8
+        ),
+        n AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                            ELSE text END) AS new_fp
+            FROM documents WHERE doc_id % 10 >= 2
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_fp, n.new_fp
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+    """,
+)
+def dd_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8) \
+        .select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    return snapshot_delta(old, new, "doc_id", "text") \
+        .orderBy("doc_id")

@@ -1587,3 +1587,55 @@ def test_chunk_overlap_plan_is_scan_side_generator(spark, sf_small):
            .filter((F.col("end") != F.col("n"))
                    | (F.col("s") < F.col("n"))).count())
     assert bad == 0
+
+
+def test_cap_per_source_equals_naive_window(spark):
+    """r06 s4: the bounded-window quota plan (bypass + hash prefilter
+    + exactness fallback) must equal the naive single QUALIFY on an
+    adversarial corpus where one source holds >90% of the rows — and
+    must stay exact when over_permille is squeezed so the prefilter
+    provably leaves sources short (forcing the fallback branch)."""
+    from pyspark.sql import Window
+
+    from contacts_etl_phase21_spark.operators.sampling import (
+        _md5_order, cap_per_source,
+    )
+
+    rows = ([(i, "hot") for i in range(950)]
+            + [(1000 + i, f"cold{i % 7}") for i in range(50)])
+    df = spark.createDataFrame(rows, "id long, src string")
+    w = Window.partitionBy("src").orderBy(_md5_order(F.col("id")), "id")
+    naive = {(r["id"], r["src"])
+             for r in df.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= 10).select("id", "src").collect()}
+    got = {(r["id"], r["src"])
+           for r in cap_per_source(df, "id", "src", cap=10).collect()}
+    assert got == naive
+    # squeeze the safety margin to push sources into the fallback
+    # (expected survivors < cap) — exactness must survive
+    tight = {(r["id"], r["src"])
+             for r in cap_per_source(df, "id", "src", cap=10,
+                                     over_permille=500).collect()}
+    assert tight == naive
+    # under-cap sources bypass untouched: 7 cold sources × ~7 rows
+    cold = {t for t in got if t[1].startswith("cold")}
+    assert len(cold) == 50
+    hot = {t for t in got if t[1] == "hot"}
+    assert len(hot) == 10
+
+
+def test_snapshot_delta_statuses(spark):
+    """r06 s4: all four diff classes on a hand fixture; text never
+    needs to match — only the md5 fingerprints do."""
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "fresh")],
+        "id long, text string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_delta(old, new, "id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}

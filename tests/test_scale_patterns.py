@@ -621,3 +621,53 @@ def test_ivfpq_relational_plan_shape(spark, sf_small):
     # one hash exchange total: the final window on query_id
     assert p.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in p
+
+
+def test_ivfpq_index_written_by_cell_prunes_scan(spark, sf_small,
+                                                 tmp_path):
+    """r06 s4: demonstrate (not just claim) the PLANS.md promise that
+    at scale the IVF-PQ index is WRITTEN partitioned by cell so a
+    query's probe scans n_probe/n_cells of the store via partition
+    pruning: write the encoded corpus partitionBy('cell'), re-read
+    with a probed-cell filter, and assert the executed scan carries
+    the cell PartitionFilter, touches only the probed directories,
+    and serves the same rows as the in-memory frame."""
+    import os
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    n_cells, probe = 8, [1, 5]
+    _, _, enc = ann.ivfpq_relational_index(emb, n_cells=n_cells, m=8,
+                                           n_codes=8)
+    out = str(tmp_path / "ivfpq_index")
+    enc.repartition(n_cells, "cell").write.partitionBy("cell") \
+        .parquet(out)
+    dirs = {d for d in os.listdir(out) if d.startswith("cell=")}
+    assert dirs == {f"cell={c}" for c in range(n_cells)}
+
+    idx = spark.read.parquet(out)
+    probed = idx.filter(F.col("cell").isin(probe))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the scan must select ONLY the probed cell directories: the
+    # executed FileSourceScan's pruned listing vs the full index
+    # (inputFiles() is pre-pruning, so ask the scan node itself)
+    pruned = (probed._jdf.queryExecution().executedPlan()
+              .collectLeaves().apply(0).selectedPartitions()
+              .partitionCount())
+    full = (idx._jdf.queryExecution().executedPlan()
+            .collectLeaves().apply(0).selectedPartitions()
+            .partitionCount())
+    assert (pruned, full) == (len(probe), n_cells)
+    # served rows equal the in-memory index for the probed cells
+    mem = {(r["vec_id"], r["cell"], tuple(r["codes"]), r["rn2_e6"])
+           for r in enc.filter(F.col("cell").isin(probe))
+           .select("vec_id", "cell", "codes", "rn2_e6").collect()}
+    disk = {(r["vec_id"], r["cell"], tuple(r["codes"]), r["rn2_e6"])
+            for r in probed
+            .select("vec_id", "cell", "codes", "rn2_e6").collect()}
+    assert disk == mem
