@@ -126,7 +126,19 @@ def cap_per_source(df: DataFrame, id_col: str, source_col: str,
     exchanges move ~|over-sources|·1.5·cap survivor rows into bounded
     windows). The counts frame is persisted inside the call; it is
     |sources| rows and the caller owns the returned frame's lifecycle
-    (lsh_corpus_index contract)."""
+    (lsh_corpus_index contract).
+
+    WHEN TO USE WHICH (measured, tools/bench_source_cap.py): Spark's
+    WindowGroupLimit already rewrites a naive
+    `filter(row_number() <= cap)` into a map-side partial top-k, so
+    the naive window's hot-source reducer holds cap × n_map_tasks
+    rows, not the domain — on local[32] at 10⁷ rows the two plans are
+    within noise of each other (11.6s vs 10.5s), so the naive window
+    is the right DEFAULT. This operator is the tier for when
+    cap × n_map_tasks × row_width no longer fits a reducer task
+    (wide clusters: 10⁵ map tasks × cap 10³ = 10⁸ rows through one
+    task) — its hot-source window holds ~1.5·cap rows at ANY map-task
+    count, and the exactness-vs-naive equality is test-pinned."""
     h = _md5_order(F.col(id_col))
     counts = (df.groupBy(source_col)
               .agg(F.count(F.lit(1)).alias("__n"))

@@ -2594,11 +2594,15 @@ def j9_asof_forward_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hot-block-keys pattern applied to quotas: under-cap sources "
         "bypass every shuffle; over-cap sources are prefiltered by "
         "the uniform hash to ~1.5*cap expected survivors so the "
-        "exact rank window holds a BOUNDED task per source no matter "
-        "how hot the domain (the pack_sequences anti-lesson); a "
-        "relational fallback re-ranks any source the prefilter left "
-        "short, so the result is exact-by-construction. The oracle "
-        "is the naive single QUALIFY over the same (hash, id) order.",
+        "exact rank window holds ~1.5*cap rows per source at ANY "
+        "map-task count; a relational fallback re-ranks any source "
+        "the prefilter left short, so the result is exact-by-"
+        "construction. Measured caveat (BASELINE.md r06 s4): "
+        "WindowGroupLimit already map-side-limits a naive rank "
+        "window to cap*n_map_tasks rows per source, so the naive "
+        "plan is the right default below reducer-memory limits — "
+        "this operator is the wide-cluster tier. The oracle is the "
+        "naive single QUALIFY over the same (hash, id) order.",
     oracle="""
         SELECT doc_id, source, lang FROM (
             SELECT doc_id, source, lang,
