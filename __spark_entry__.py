@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     "st_curate_ingest",
     "sp_source_cap",
     "dd_snapshot_delta",
+    "st_source_cap_ingest",
+    "sp_training_export",
     # -- previously driver-green rows kept in the window: the ER core,
     #    the streaming family, and the main LLM-pipeline operators, so
     #    CORRECTNESS_r06 still re-certifies the engine's spine. Window
@@ -93,12 +95,10 @@ _DRIVER_PRIORITY = [
     "ta_encode_tokens",
     "ta_pii_scrub",
     "ta_repetition_scores",
-    "mm_ppm_resize_real",
-    "f16_seq_ratio_pairs",
-    # p1_legacy_channel_render and o2_topk_per_group rotated out in
-    # r06 s4 to make room for the two new operators — both have been
-    # driver-green since r05 and stay covered by the full-registry
-    # artifact.
+    # p1_legacy_channel_render, o2_topk_per_group, f16_seq_ratio_pairs
+    # and mm_ppm_resize_real rotated out in r06 s4 to make room for
+    # the four new operators — all driver-green since r05 and still
+    # covered by the full-registry artifact.
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

@@ -97,6 +97,11 @@ def cap_per_source(df: DataFrame, id_col: str, source_col: str,
     partitioning, and SQL-expressible (the oracle is one QUALIFY
     row_number() over the same key).
 
+    Because the order key is a uniform hash, this operator is ALSO
+    exact per-stratum uniform sampling ("exactly k docs per language,
+    chosen uniformly, reproducibly") — the fixed-size counterpart of
+    stratified_sample's fixed-RATE selection.
+
     Scale shape (the hot-block-keys pattern applied to quotas): a
     single window partitioned by source would funnel the hottest
     domain's ENTIRE row set through one task — the pack_sequences
@@ -304,7 +309,8 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
 
 
 def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
-                  size: int = 64, stride: int = 48) -> DataFrame:
+                  size: int = 64, stride: int = 48,
+                  keep_cols: list[str] | None = None) -> DataFrame:
     """Sliding-window chunking of documents into overlapping token
     windows — the context-window prep step for embedding models and
     long-doc training (chunk i covers tokens [i*stride, i*stride+size),
@@ -333,7 +339,9 @@ def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
             .alias("n_chunk_toks"),
             F.array_join(F.slice(toks, start + 1, size), " ")
             .alias("chunk_text")))
+    extra = list(keep_cols or [])
     return (df.filter(F.trim(F.col(text_col)) != "")
-            .select(F.col(id_col), F.explode(chunks).alias("__c"))
-            .select(id_col, "__c.chunk_id", "__c.start_tok",
+            .select(F.col(id_col), *extra,
+                    F.explode(chunks).alias("__c"))
+            .select(id_col, *extra, "__c.chunk_id", "__c.start_tok",
                     "__c.n_chunk_toks", "__c.chunk_text"))

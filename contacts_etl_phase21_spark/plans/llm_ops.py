@@ -2672,3 +2672,70 @@ def dd_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
     return snapshot_delta(old, new, "doc_id", "text") \
         .orderBy("doc_id")
+
+
+@query(
+    "sp_training_export",
+    survey="LLM-sample(export-pipeline)",
+    doc="Composed training-data EXPORT pipeline (r06 s4): chunk -> "
+        "pack -> shard as ONE declarative program, the last mile "
+        "after curate_corpus — overlapping 16-token windows at "
+        "stride 12 (chunk_overlap, scan-side generator carrying lang "
+        "via keep_cols), a composite chunk uid = doc_id*1024 + "
+        "chunk_id (chunks/doc bounded by the stride), two-pass "
+        "prefix-sum packing into 256-token context budgets per "
+        "language (pack_sequences — bounded (lang, id-block) "
+        "windows, never one task per language), and md5 shard "
+        "assignment. Stage ORDER is part of the contract and the "
+        "oracle recomputes the whole composition (range() chunks, "
+        "naive global-window prefix sum, md5 shards) — equality "
+        "proves the scale-safe plans match the naive SQL semantics "
+        "end to end, the curate_corpus evidence pattern. At 100 TB "
+        "the writer follows with repartition(n,'shard')."
+        "write.partitionBy('shard') (the pinned sharded-write path).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        chunks AS (
+            SELECT doc_id, lang,
+                   doc_id * 1024 + i AS uid,
+                   LEAST(16, len(w) - i * 12) AS n_tokens
+            FROM (SELECT doc_id, lang, w,
+                         unnest(range(0, (len(w) + 11) // 12)) AS i
+                  FROM toks)
+        ),
+        packed AS (
+            SELECT lang, uid, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS tokens_before
+            FROM chunks
+        )
+        SELECT lang, uid, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(tokens_before // 256 AS INT) AS pack_id,
+               CAST(('0x' || substr(md5(CAST(uid AS VARCHAR)), 1, 8))
+                    ::BIGINT % 8 AS INT) AS shard
+        FROM packed
+        ORDER BY lang, uid
+    """,
+)
+def sp_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        chunk_overlap, pack_sequences, shard_id,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_overlap(docs, "doc_id", "text", size=16, stride=12,
+                           keep_cols=["lang"]) \
+        .withColumn("uid", F.col("doc_id") * 1024 + F.col("chunk_id"))
+    packed = pack_sequences(chunks, "lang", "uid",
+                            F.col("n_chunk_toks"), budget=256)
+    return (packed
+            .withColumn("shard",
+                        shard_id(F.col("uid"), 8).cast("int"))
+            .select("lang", "uid", "n_tokens", "pack_id", "shard")
+            .orderBy("lang", "uid"))

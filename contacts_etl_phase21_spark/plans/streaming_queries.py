@@ -479,3 +479,62 @@ def st_curate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_bc = broadcast_eval_ngrams(eval_docs, "doc_id", "text", n=8)
     out = stream_curate_ingest(arriving, eval_bc)
     return out.select("doc_id", "lang", "shard").orderBy("doc_id")
+
+
+@query(
+    "st_source_cap_ingest",
+    survey="streaming-ext,LLM-sample(source-cap-online)",
+    doc="Streaming per-source quota admission (r06 s4, streaming/"
+        "quota_ingest.py): arriving docs are admitted until their "
+        "source's quota (10) is spent — first-cap-BY-ARRIVAL, the "
+        "only meaningful online quota. State is ONE LONG per source "
+        "(admitted count), independent of corpus size and stream "
+        "lifetime — the fourth state regime (no eviction needed: a "
+        "quota is a property of the ingest, not a window). The "
+        "registered run stages the documents in id order across two "
+        "micro-batch files and drains the REAL stream; arrival order "
+        "= id order makes the admission equal the batch twin, so the "
+        "oracle is the plain first-cap-by-id QUALIFY. Stream-vs-batch "
+        "parity and cross-batch enforcement are additionally pinned "
+        "in tests/test_streaming.py.",
+    oracle="""
+        SELECT source, doc_id, CAST(r AS INT) AS adm_rank FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS r
+            FROM documents)
+        WHERE r <= 10
+        ORDER BY source, doc_id
+    """,
+)
+def st_source_cap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, stream_records_from_dir,
+    )
+    from contacts_etl_phase21_spark.streaming.quota_ingest import (
+        stream_source_cap,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    staged = tempfile.mkdtemp(prefix="source_cap_q_")
+    try:
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        docs.filter(F.col("doc_id") <= half).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/a_first")
+        docs.filter(F.col("doc_id") > half).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/b_second")
+        stream = stream_records_from_dir(spark, docs.schema, staged,
+                                         files_per_trigger=1)
+        admitted = drain_to_table(
+            stream_source_cap(stream, cap=10),
+            f"source_cap_{_uuid.uuid4().hex[:8]}")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return admitted.orderBy("source", "doc_id")

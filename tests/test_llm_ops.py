@@ -1639,3 +1639,21 @@ def test_snapshot_delta_statuses(spark):
            for r in snapshot_delta(old, new, "id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added"}
+
+
+def test_chunk_overlap_keep_cols(spark):
+    """keep_cols carries stratum columns through the chunk generator
+    scan-side (no re-join) — the training-export composition rides on
+    this."""
+    from contacts_etl_phase21_spark.operators.sampling import (
+        chunk_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "x y", "de")],
+        "id long, text string, lang string")
+    got = chunk_overlap(df, "id", "text", size=3, stride=2,
+                        keep_cols=["lang"]).collect()
+    assert {r["lang"] for r in got} == {"en", "de"}
+    assert all(r["lang"] == ("en" if r["id"] == 1 else "de")
+               for r in got)

@@ -839,3 +839,53 @@ def test_stream_curate_ingest_dedups_and_scrubs(spark):
     assert ids == [1]  # 2 is a fingerprint dup of 1; 3 failed quality
     assert "bob@example.com" not in out[0]["text"]
     assert "[EMAIL]" in out[0]["text"] or "@" not in out[0]["text"]
+
+
+def test_stream_source_cap_matches_batch_and_bounds_state(
+        spark, sf_small, tmp_path):
+    """r06 s4: streaming per-source quota — docs arriving in id order
+    across two micro-batches admit exactly the batch twin's first-cap
+    rows (same ranks), cross-batch quotas are enforced (a source
+    filled in batch 1 admits nothing in batch 2), and state is one row
+    per source."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.quota_ingest import (
+        source_cap_batch, stream_source_cap,
+    )
+
+    cap = 10
+    docs = load(spark, sf_small, "documents").select("doc_id", "source")
+    staged = str(tmp_path / "arrivals")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(staged)
+    docs.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    out = stream_source_cap(stream, cap)
+    assert out.isStreaming
+
+    name = f"sourcecap_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in
+           spark.sql(f"SELECT source, doc_id, adm_rank FROM {name}")
+           .collect()}
+    want = {tuple(r) for r in source_cap_batch(docs, cap).collect()}
+    assert got == want and got
+    # cross-batch enforcement actually exercised: some source must
+    # have filled its quota in batch 1 (otherwise the test is vacuous)
+    b1_counts = (docs.filter(F.col("doc_id") <= half)
+                 .groupBy("source").count().collect())
+    assert any(r["count"] >= cap for r in b1_counts), \
+        "fixture too small to exercise cross-batch quota"
+    # state: one row per distinct source, no eviction needed
+    n_sources = docs.select("source").distinct().count()
+    ops = [op for p in q.recentProgress
+           for op in p.get("stateOperators", [])]
+    assert ops and max(op["numRowsTotal"] for op in ops) == n_sources
