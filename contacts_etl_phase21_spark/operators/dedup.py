@@ -605,8 +605,13 @@ def snapshot_delta(old: DataFrame, new: DataFrame, id_col: str,
     through the shuffle (text stays in the scan, never shipped).
     Output: (id, status, old fingerprint, new fingerprint) — the
     downstream work-list."""
+    # NULL text coalesces to '' BEFORE hashing: md5(NULL) is NULL and
+    # a NULL fingerprint would misclassify an EXISTING row as
+    # added/removed (NULL-vs-'' changes count as 'unchanged' — the
+    # documented trade)
     fp = lambda d: d.select(  # noqa: E731 — tiny local projection
-        F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"))
     o = fp(old).withColumnRenamed("__fp", "old_fp")
     n = fp(new).withColumnRenamed("__fp", "new_fp")
     joined = o.join(n, id_col, "full_outer")

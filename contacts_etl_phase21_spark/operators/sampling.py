@@ -145,29 +145,42 @@ def cap_per_source(df: DataFrame, id_col: str, source_col: str,
     task) — its hot-source window holds ~1.5·cap rows at ANY map-task
     count, and the exactness-vs-naive equality is test-pinned."""
     h = _md5_order(F.col(id_col))
+    # Every routing join below is NULL-SAFE on the source key: a NULL
+    # source (undetected domain) is a real stratum the naive window
+    # caps as its own partition, and a plain equi-join would silently
+    # exempt it from the quota (the pack_sequences r05 finding, same
+    # trap). The right-side key is renamed so eqNullSafe conditions
+    # stay unambiguous.
     counts = (df.groupBy(source_col)
               .agg(F.count(F.lit(1)).alias("__n"))
               .filter(F.col("__n") > cap)
+              .withColumnRenamed(source_col, "__osrc")
               .persist())
-    under = df.join(F.broadcast(counts.select(source_col)), source_col,
+    over_keys = counts.select("__osrc")
+    ns = lambda r: F.col(source_col).eqNullSafe(r)  # noqa: E731
+    under = df.join(F.broadcast(over_keys), ns(F.col("__osrc")),
                     "left_anti")
-    rows_over = (df.join(F.broadcast(counts), source_col)
-                 .withColumn("__h", h))
+    rows_over = (df.join(F.broadcast(counts), ns(F.col("__osrc")))
+                 .drop("__osrc").withColumn("__h", h))
     # thr ≈ 2^32 · cap · over_permille / (1000 · n_s), factored to stay
     # in int64 for any cap (2^32 div n_s first; the precision loss only
     # perturbs the safety margin, and the guard restores exactness)
     thr = (F.lit(cap) * (F.lit(4294967296) / F.col("__n")).cast("long")
            * F.lit(over_permille) / F.lit(1000)).cast("long")
     pre = rows_over.filter(F.col("__h") <= thr)
-    surv = pre.groupBy(source_col).agg(F.count(F.lit(1)).alias("__m"))
+    surv = (pre.groupBy(source_col).agg(F.count(F.lit(1)).alias("__m"))
+            .withColumnRenamed(source_col, "__ssrc"))
     # short = over-cap sources whose prefilter kept < cap rows
     # (including those it emptied entirely — the left join's NULL __m)
-    short = (counts.select(source_col)
-             .join(surv, source_col, "left")
+    short = (over_keys
+             .join(surv, F.col("__osrc").eqNullSafe(F.col("__ssrc")),
+                   "left")
              .filter(F.coalesce(F.col("__m"), F.lit(0)) < cap)
-             .select(source_col))
-    ok_pre = pre.join(F.broadcast(short), source_col, "left_anti")
-    redo = rows_over.join(F.broadcast(short), source_col, "left_semi")
+             .select("__osrc"))
+    ok_pre = pre.join(F.broadcast(short), ns(F.col("__osrc")),
+                      "left_anti")
+    redo = rows_over.join(F.broadcast(short), ns(F.col("__osrc")),
+                          "left_semi")
     w = Window.partitionBy(source_col).orderBy("__h", id_col)
     capped = (ok_pre.select(*rows_over.columns)
               .unionByName(redo.select(*rows_over.columns))

@@ -2641,13 +2641,14 @@ def sp_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "added+changed docs re-process.",
     oracle="""
         WITH o AS (
-            SELECT doc_id, md5(text) AS old_fp FROM documents
+            SELECT doc_id, md5(COALESCE(text, '')) AS old_fp FROM documents
             WHERE doc_id % 10 < 8
         ),
         n AS (
             SELECT doc_id,
-                   md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
-                            ELSE text END) AS new_fp
+                   md5(COALESCE(CASE WHEN doc_id % 7 = 0
+                                     THEN upper(text)
+                                     ELSE text END, '')) AS new_fp
             FROM documents WHERE doc_id % 10 >= 2
         )
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,

@@ -1602,7 +1602,12 @@ def test_cap_per_source_equals_naive_window(spark):
     )
 
     rows = ([(i, "hot") for i in range(950)]
-            + [(1000 + i, f"cold{i % 7}") for i in range(50)])
+            + [(1000 + i, f"cold{i % 7}") for i in range(50)]
+            # NULL source is a real over-cap stratum: undetected
+            # domains must be capped like any other (the naive window
+            # ranks NULLs as one partition; a plain equi-join in the
+            # routing would silently exempt them — r06 s4 fix)
+            + [(2000 + i, None) for i in range(40)])
     df = spark.createDataFrame(rows, "id long, src string")
     w = Window.partitionBy("src").orderBy(_md5_order(F.col("id")), "id")
     naive = {(r["id"], r["src"])
@@ -1618,10 +1623,13 @@ def test_cap_per_source_equals_naive_window(spark):
                                      over_permille=500).collect()}
     assert tight == naive
     # under-cap sources bypass untouched: 7 cold sources × ~7 rows
-    cold = {t for t in got if t[1].startswith("cold")}
+    cold = {t for t in got if t[1] and t[1].startswith("cold")}
     assert len(cold) == 50
     hot = {t for t in got if t[1] == "hot"}
     assert len(hot) == 10
+    # the NULL stratum is capped, not exempted
+    null_src = {t for t in got if t[1] is None}
+    assert len(null_src) == 10
 
 
 def test_snapshot_delta_statuses(spark):

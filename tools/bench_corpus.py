@@ -200,6 +200,24 @@ def run_once(spark: SparkSession, n: int) -> dict:
                              size=32, stride=24).count()
     stages["sp_chunk"] = round(time.perf_counter() - t0, 1)
 
+    # composed export: chunk (lang carried scan-side) -> two-pass
+    # prefix-sum pack into 1024-token per-language budgets -> md5
+    # shard — the sp_training_export shape at N docs
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.sampling import (
+        pack_sequences, shard_id,
+    )
+    ch = chunk_overlap(docs, "doc_id", "text", size=32, stride=24,
+                       keep_cols=["lang"]) \
+        .withColumn("uid", F.col("doc_id") * 1024 + F.col("chunk_id"))
+    exported = pack_sequences(ch, "lang", "uid",
+                              F.col("n_chunk_toks"), budget=1024) \
+        .withColumn("shard", shard_id(F.col("uid"), 64))
+    exp_row = exported.agg(
+        F.count(F.lit(1)), F.max("pack_id"),
+        F.countDistinct("shard")).collect()[0]
+    stages["sp_export"] = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     ev = docs.filter(F.col("doc_id") % 100 == 0)
     train = docs.filter(F.col("doc_id") % 100 != 0)
@@ -237,7 +255,11 @@ def run_once(spark: SparkSession, n: int) -> dict:
         "metric": "corpus_ops_sec", "docs": n, "stages": stages,
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
                    "kept": n_kept, "dsir_selected": n_sel,
-                   "chunks": n_chunks, "contaminated": n_cont,
+                   "chunks": n_chunks,
+                   "exported_chunks": exp_row[0],
+                   "max_pack_id": exp_row[1],
+                   "export_shards": exp_row[2],
+                   "contaminated": n_cont,
                    "ann_rows": n_ann, "ann_blas_rows": n_blas,
                    "ann_ivfpq_rows": n_ivfpq,
                    "scanned": scan_row[0]},
