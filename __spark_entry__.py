@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "dd_snapshot_delta",
     "st_source_cap_ingest",
     "sp_training_export",
+    "sp_pack_rows",
     # -- previously driver-green rows kept in the window: the ER core,
     #    the streaming family, and the main LLM-pipeline operators, so
     #    CORRECTNESS_r06 still re-certifies the engine's spine. Window
@@ -97,8 +98,10 @@ _DRIVER_PRIORITY = [
     "ta_repetition_scores",
     # p1_legacy_channel_render, o2_topk_per_group, f16_seq_ratio_pairs
     # and mm_ppm_resize_real rotated out in r06 s4 to make room for
-    # the four new operators — all driver-green since r05 and still
-    # covered by the full-registry artifact.
+    # the five new operators (sp_source_cap, dd_snapshot_delta,
+    # st_source_cap_ingest, sp_training_export, sp_pack_rows) — all
+    # rotated-out rows driver-green since r05 and still covered by
+    # the full-registry artifact.
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

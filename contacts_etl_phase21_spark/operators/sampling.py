@@ -262,7 +262,8 @@ def temperature_mix(df: DataFrame, id_col: str, strata_col: str,
 
 def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                    tokens_col: Column, budget: int,
-                   block_span: int = 1 << 16) -> DataFrame:
+                   block_span: int = 1 << 16,
+                   carry_cols: list[str] | None = None) -> DataFrame:
     """Assign each document to a context-window pack by prefix-sum
     binning: within a partition key (language), documents in id order
     fill pack k = floor(tokens_before / budget).
@@ -288,10 +289,16 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
     semantics: the offset join is NULL-SAFE on part_col (a plain
     equi-join would silently drop NULL-key rows — r05 advisor
     finding), and groupBy already keeps the NULL group.
+
+    carry_cols ride the pass-1 block window unchanged (payloads like
+    chunk text for downstream pack assembly) — cheaper than a
+    corpus-scale re-join on id afterwards; the pass-2 totals stay
+    payload-free.
     """
     from pyspark.sql.functions import broadcast
 
-    base = df.select(part_col, F.col(id_col),
+    carry = list(carry_cols or [])
+    base = df.select(part_col, F.col(id_col), *carry,
                      tokens_col.alias("n_tokens")) \
         .withColumn("__blk", F.floor(F.col(id_col) / block_span))
     # Pass 1: running sum inside (part, block) — bounded partitions.
@@ -304,7 +311,8 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
     # a window over the TOTALS, broadcast back.
     w_blocks = Window.partitionBy(part_col).orderBy("__blk") \
         .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (base.groupBy(part_col, "__blk")
+    offsets = (base.select(part_col, "__blk", "n_tokens")
+               .groupBy(part_col, "__blk")
                .agg(F.sum("n_tokens").alias("__blk_total"))
                .withColumn("__offset",
                            F.coalesce(F.sum("__blk_total").over(w_blocks),
@@ -315,7 +323,7 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
     cond = (local[part_col].eqNullSafe(offsets["__opart"])
             & (local["__blk"] == offsets["__oblk"]))
     return (local.join(broadcast(offsets), cond)
-            .select(part_col, id_col, "n_tokens",
+            .select(part_col, id_col, *carry, "n_tokens",
                     F.floor((F.col("__offset") + F.col("__local_before"))
                             / budget)
                     .cast("int").alias("pack_id")))
@@ -358,3 +366,39 @@ def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
                     F.explode(chunks).alias("__c"))
             .select(id_col, *extra, "__c.chunk_id", "__c.start_tok",
                     "__c.n_chunk_toks", "__c.chunk_text"))
+
+
+
+def materialize_packs(chunks: DataFrame, part_col: str, id_col: str,
+                      tokens_col: str, text_col: str,
+                      budget: int) -> DataFrame:
+    """Assemble packed chunks into the actual TRAINING SEQUENCES — the
+    last step of the export pipeline: pack_sequences assigns each
+    chunk a (part, pack_id); this groups every pack's chunks in id
+    order into one row (seq_text, n_chunks, sum_tokens). Output cells
+    are scalars (the registry hashing rule); a production sink emits
+    token-id arrays instead — same plan shape.
+
+    Scale: the chunk text rides pack_sequences' pass-1 block window
+    via carry_cols (no corpus-scale re-join on id), then ONE shuffle
+    keyed on (part, pack_id) assembles the sequences — and pack
+    groups are BOUNDED BY CONSTRUCTION (a pack holds at most budget
+    plus one overflow chunk's tokens), so unlike grouping by language
+    or source there is no hot-group risk at any corpus size.
+    Within-group order is sort_array over (id, text) structs — ids
+    are unique, so the order is total; no window, no per-group
+    Python."""
+    packed = pack_sequences(chunks, part_col, id_col,
+                            F.col(tokens_col), budget,
+                            carry_cols=[text_col])
+    return (packed
+            .groupBy(part_col, "pack_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct(F.col(id_col).alias("i"),
+                                      F.col(text_col).alias("t")))),
+                         lambda s: s["t"]),
+                     " ").alias("seq_text")))

@@ -2740,3 +2740,65 @@ def sp_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                         shard_id(F.col("uid"), 8).cast("int"))
             .select("lang", "uid", "n_tokens", "pack_id", "shard")
             .orderBy("lang", "uid"))
+
+
+@query(
+    "sp_pack_rows",
+    survey="LLM-sample(pack-materialize)",
+    doc="Materialized training sequences (r06 s4, operators/sampling."
+        "materialize_packs): the export pipeline's LAST step — every "
+        "(lang, pack_id) bin's chunks concatenated in uid order into "
+        "one sequence row (seq_text, n_chunks, sum_tokens). Chunk "
+        "text rides pack_sequences' pass-1 block window via "
+        "carry_cols (no corpus-scale re-join), then ONE shuffle on "
+        "(lang, pack_id) assembles sequences — pack groups are "
+        "bounded by construction (<= budget + one overflow chunk), "
+        "so there is no hot-group risk at any corpus size. In-group "
+        "order is sort_array over (uid, text) structs; the oracle's "
+        "string_agg(... ORDER BY uid) is the same total order.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        chunks AS (
+            SELECT doc_id, lang,
+                   doc_id * 1024 + i AS uid,
+                   LEAST(16, len(w) - i * 12) AS n_tokens,
+                   array_to_string(
+                       w[i*12 + 1 : LEAST(i*12 + 16, len(w))], ' ')
+                       AS chunk_text
+            FROM (SELECT doc_id, lang, w,
+                         unnest(range(0, (len(w) + 11) // 12)) AS i
+                  FROM toks)
+        ),
+        packed AS (
+            SELECT lang, uid, n_tokens, chunk_text,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY uid
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) // 256 AS INT) AS pack_id
+            FROM chunks
+        )
+        SELECT lang, pack_id,
+               CAST(COUNT(*) AS INT) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               string_agg(chunk_text, ' ' ORDER BY uid) AS seq_text
+        FROM packed
+        GROUP BY lang, pack_id
+        ORDER BY lang, pack_id
+    """,
+)
+def sp_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        chunk_overlap, materialize_packs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_overlap(docs, "doc_id", "text", size=16, stride=12,
+                           keep_cols=["lang"]) \
+        .withColumn("uid", F.col("doc_id") * 1024 + F.col("chunk_id"))
+    return materialize_packs(chunks, "lang", "uid", "n_chunk_toks",
+                             "chunk_text", budget=256) \
+        .orderBy("lang", "pack_id")

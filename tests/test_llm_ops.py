@@ -1665,3 +1665,37 @@ def test_chunk_overlap_keep_cols(spark):
     assert {r["lang"] for r in got} == {"en", "de"}
     assert all(r["lang"] == ("en" if r["id"] == 1 else "de")
                for r in got)
+
+
+def test_materialize_packs_assembles_in_uid_order(spark):
+    """r06 s4: packed chunks reassemble into sequences in uid order,
+    sum_tokens per pack never exceeds budget + one overflow chunk,
+    and carry_cols leaves pack_sequences' assignment unchanged."""
+    from contacts_etl_phase21_spark.operators.sampling import (
+        materialize_packs, pack_sequences,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else None, 10, f"t{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "uid long, lang string, n_toks int, text string")
+    out = materialize_packs(df, "lang", "uid", "n_toks", "text",
+                            budget=25).collect()
+    by_key = {(r["lang"], r["pack_id"]): r for r in out}
+    # 20 rows/stratum × 10 tokens at budget 25 → packs of 3 chunks
+    # (30 tokens, one overflow) then the remainder
+    for r in out:
+        assert r["sum_tokens"] <= 25 + 10
+        texts = r["seq_text"].split(" ")
+        uids = sorted(int(t[1:]) for t in texts)
+        assert [f"t{u}" for u in uids] == texts  # uid order
+        assert r["n_chunks"] == len(texts)
+    # NULL stratum packs independently of 'en'
+    assert ("en", 0) in by_key and (None, 0) in by_key
+    # carry_cols must not change assignment
+    plain = pack_sequences(df, "lang", "uid", F.col("n_toks"), 25)
+    carried = pack_sequences(df, "lang", "uid", F.col("n_toks"), 25,
+                             carry_cols=["text"])
+    a = {(r["lang"], r["uid"]): r["pack_id"] for r in plain.collect()}
+    b = {(r["lang"], r["uid"]): r["pack_id"] for r in carried.collect()}
+    assert a == b
