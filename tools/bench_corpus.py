@@ -218,6 +218,18 @@ def run_once(spark: SparkSession, n: int) -> dict:
         F.countDistinct("shard")).collect()[0]
     stages["sp_export"] = round(time.perf_counter() - t0, 1)
 
+    # sequence assembly: text rides the pack block-window via
+    # carry_cols, one bounded (lang, pack) groupBy builds seq rows
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.sampling import (
+        materialize_packs,
+    )
+    seqs = materialize_packs(ch, "lang", "uid", "n_chunk_toks",
+                             "chunk_text", budget=1024)
+    seq_row = seqs.agg(F.count(F.lit(1)),
+                       F.max("sum_tokens")).collect()[0]
+    stages["sp_pack_rows"] = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     ev = docs.filter(F.col("doc_id") % 100 == 0)
     train = docs.filter(F.col("doc_id") % 100 != 0)
@@ -259,6 +271,8 @@ def run_once(spark: SparkSession, n: int) -> dict:
                    "exported_chunks": exp_row[0],
                    "max_pack_id": exp_row[1],
                    "export_shards": exp_row[2],
+                   "seq_rows": seq_row[0],
+                   "max_seq_tokens": seq_row[1],
                    "contaminated": n_cont,
                    "ann_rows": n_ann, "ann_blas_rows": n_blas,
                    "ann_ivfpq_rows": n_ivfpq,
