@@ -538,3 +538,79 @@ def st_source_cap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return admitted.orderBy("source", "doc_id")
+
+
+@query(
+    "st_snapshot_delta_ingest",
+    survey="streaming-ext,LLM-dedup(snapshot-delta-online)",
+    doc="Streaming snapshot-delta classification (r06 s4, streaming/"
+        "delta_ingest.py): every ARRIVING doc is classified against "
+        "the previous snapshot's static fingerprint index (added / "
+        "changed / unchanged) via a stream-static LEFT equi-join on "
+        "id — STATELESS (zero state stores, the asof_enrich regime; "
+        "pinned in tests). 'removed' is unobservable online by "
+        "design — a doc that stops arriving never produces an "
+        "arrival — so the batch snapshot_delta full-outer join stays "
+        "the periodic compactor that finds removals (the cheap-"
+        "online / complete-offline split, third instance). The "
+        "registered run drains a real two-micro-batch stream; the "
+        "oracle is the batch diff minus its removed rows.",
+    oracle="""
+        WITH o AS (
+            SELECT doc_id, md5(COALESCE(text, '')) AS old_fp
+            FROM documents WHERE doc_id % 10 < 8
+        ),
+        n AS (
+            SELECT doc_id,
+                   md5(COALESCE(CASE WHEN doc_id % 7 = 0
+                                     THEN upper(text)
+                                     ELSE text END, '')) AS new_fp
+            FROM documents WHERE doc_id % 10 >= 2
+        )
+        SELECT n.doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_fp, n.new_fp
+        FROM n LEFT JOIN o ON o.doc_id = n.doc_id
+        ORDER BY n.doc_id
+    """,
+)
+def st_snapshot_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.delta_ingest import (
+        old_fingerprint_index, stream_snapshot_delta,
+    )
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        drain_to_table, stream_records_from_dir,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    idx = old_fingerprint_index(old, "doc_id", "text")
+    staged = tempfile.mkdtemp(prefix="snap_delta_q_")
+    try:
+        half = new.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        new.filter(F.col("doc_id") <= half).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/a_first")
+        new.filter(F.col("doc_id") > half).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{staged}/b_second")
+        stream = stream_records_from_dir(spark, new.schema, staged,
+                                         files_per_trigger=1)
+        classified = drain_to_table(
+            stream_snapshot_delta(stream, idx, "doc_id", "text"),
+            f"snap_delta_{_uuid.uuid4().hex[:8]}")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        idx.unpersist()
+    return classified.orderBy("doc_id")

@@ -889,3 +889,51 @@ def test_stream_source_cap_matches_batch_and_bounds_state(
     ops = [op for p in q.recentProgress
            for op in p.get("stateOperators", [])]
     assert ops and max(op["numRowsTotal"] for op in ops) == n_sources
+
+
+def test_stream_snapshot_delta_matches_batch(spark, sf_small, tmp_path):
+    """r06 s4: arriving docs classified against the static old-snapshot
+    fingerprint index across two micro-batches equal the batch
+    snapshot_delta restricted to arrivals (i.e. minus its 'removed'
+    rows — unobservable online by design), with ZERO state stores
+    (stream-static join)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+    from contacts_etl_phase21_spark.streaming.delta_ingest import (
+        old_fingerprint_index, stream_snapshot_delta,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    idx = old_fingerprint_index(old, "doc_id", "text")
+
+    staged = str(tmp_path / "arrivals")
+    half = new.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    new.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(staged)
+    new.filter(F.col("doc_id") > half).coalesce(1) \
+        .write.mode("append").parquet(staged)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    out = stream_snapshot_delta(stream, idx, "doc_id", "text")
+    assert out.isStreaming
+
+    name = f"snapdelta_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {tuple(r) for r in
+            snapshot_delta(old, new, "doc_id", "text")
+            .filter(F.col("status") != "removed").collect()}
+    assert got == want and got
+    assert {r[1] for r in got} == {"added", "changed", "unchanged"}
+    # stream-static join keeps NO state store
+    assert all(not p.get("stateOperators")
+               for p in q.recentProgress)
+    idx.unpersist()
