@@ -671,3 +671,25 @@ def test_ivfpq_index_written_by_cell_prunes_scan(spark, sf_small,
             for r in probed
             .select("vec_id", "cell", "codes", "rn2_e6").collect()}
     assert disk == mem
+
+
+def test_export_composition_keeps_two_pass_packing(spark, sf_small):
+    """r06 s4: the composed export (chunk -> pack with carry_cols ->
+    assemble) must preserve pack_sequences' two-pass property end to
+    end: the ROW-LEVEL running-sum window (orders by uid) is keyed on
+    (lang, __blk) — never lang alone — and the lang-only cumulative
+    window exists only at the per-block TOTALS level (orders by
+    __blk); offsets come back via a broadcast join, not a shuffle."""
+    from contacts_etl_phase21_spark.plans import QUERIES
+
+    plan = (QUERIES["sp_pack_rows"].fn(spark, sf_small)
+            ._jdf.queryExecution().executedPlan().toString())
+    windows = [ln for ln in plan.splitlines()
+               if "windowspecdefinition" in ln]
+    row_windows = [ln for ln in windows if "uid" in ln]
+    tot_windows = [ln for ln in windows
+                   if "uid" not in ln and "__blk" in ln]
+    assert row_windows and all("__blk" in ln for ln in row_windows), \
+        "row-level pack window lost its block key"
+    assert tot_windows, "per-block totals window missing"
+    assert "BroadcastHashJoin" in plan  # offsets come back broadcast
