@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "sp_training_export",
     "sp_pack_rows",
     "st_snapshot_delta_ingest",
+    "ta_ccnet_buckets",
     # -- previously driver-green rows kept in the window: the ER core,
     #    the streaming family, and the main LLM-pipeline operators, so
     #    CORRECTNESS_r06 still re-certifies the engine's spine. Window
@@ -93,15 +94,14 @@ _DRIVER_PRIORITY = [
     "sp_shard_assign",
     "ann_quantized_topk",
     "ann_brute_blas_topk",
-    "ta_vocab_topk",
     "ta_encode_tokens",
-    "ta_pii_scrub",
-    # p1_legacy_channel_render, o2_topk_per_group, f16_seq_ratio_pairs
-    # mm_ppm_resize_real and ta_repetition_scores rotated out in r06 s4
-    # to make room for the six new operators (sp_source_cap,
-    # dd_snapshot_delta, st_source_cap_ingest, sp_training_export,
-    # sp_pack_rows, st_snapshot_delta_ingest) — all rotated-out rows
-    # driver-green since r05, still covered by the full artifact.
+    # Rotated out in r06 s4 to make room for the seven new operators
+    # (sp_source_cap, dd_snapshot_delta, st_source_cap_ingest,
+    # sp_training_export, sp_pack_rows, st_snapshot_delta_ingest,
+    # ta_ccnet_buckets): p1_legacy_channel_render, o2_topk_per_group,
+    # f16_seq_ratio_pairs, mm_ppm_resize_real, ta_repetition_scores,
+    # ta_pii_scrub, ta_vocab_topk — all driver-green since r05, still covered by the
+    # full-registry artifact.
 ]
 
 # Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):

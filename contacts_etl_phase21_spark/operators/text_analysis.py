@@ -357,3 +357,57 @@ def token_length_quantiles(df, text_col: str, strata_col: str,
             .agg(F.min("n_tok").cast("long").alias("min_tok"),
                  *probes,
                  F.max("n_tok").cast("long").alias("max_tok")))
+
+
+def ccnet_buckets(df, id_col: str, text_col: str, strata_col: str,
+                  bin_e6: int = 100, qs: tuple[int, int] = (33, 66)):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (bigram_lm_scores — the
+    engine-exact KenLM stand-in) and bucket it by its per-language
+    score terciles: the best-scoring third is 'head', then 'middle',
+    then 'tail' — the knob CCNet exposes for choosing how much of the
+    crawl to keep per language.
+
+    Exact-on-binned-values contract (the length_quantiles convention
+    applied to a fine-grained metric): raw avg_p_e6 has ~|docs|
+    distinct values, so percentiles on it would cumulate a per-language
+    window over the CORPUS — the hot-partition trap. Scores are
+    therefore binned (floor(avg_p_e6 / bin_e6)) and terciles are
+    value-at-rank over the (lang, bin) HISTOGRAM — bounded by
+    1e6/bin_e6 rows per language regardless of corpus size, so the
+    cumulative window runs on a tiny frame (CCNet itself computes
+    percentiles on a histogram). Threshold t_q = the bin holding
+    zero-based index floor((n-1)*q/100) of the DESC-sorted scores =
+    MAX bin whose desc-cumulative count reaches that index + 1. All
+    integer arithmetic; docs with no scoreable bigram (NULL score)
+    land in 'tail' on both engines by explicit rule, and every bin's
+    docs share one bucket (ties never split)."""
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(df, id_col, text_col)
+    scored = (df.select(id_col, strata_col).join(scores, id_col)
+              .withColumn("__bin",
+                          F.floor(F.col("avg_p_e6") / bin_e6)))
+    hist = (scored.filter(F.col("__bin").isNotNull())
+            .groupBy(strata_col, "__bin")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy(strata_col).orderBy(F.desc("__bin")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.groupBy(strata_col).agg(F.sum("__c").alias("__n"))
+    ranked = cum.join(tot, strata_col)
+    lo, hi = qs
+    thr = ranked.groupBy(strata_col).agg(
+        F.max(F.when(F.col("__cum")
+                     >= F.floor((F.col("__n") - 1) * lo / 100) + 1,
+                     F.col("__bin"))).alias("__t_head"),
+        F.max(F.when(F.col("__cum")
+                     >= F.floor((F.col("__n") - 1) * hi / 100) + 1,
+                     F.col("__bin"))).alias("__t_mid"))
+    bucket = (F.when(F.col("__bin").isNull(), F.lit("tail"))
+              .when(F.col("__bin") >= F.col("__t_head"), F.lit("head"))
+              .when(F.col("__bin") >= F.col("__t_mid"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scored.join(F.broadcast(thr), strata_col, "left")
+            .select(F.col(id_col), F.col(strata_col),
+                    F.col("avg_p_e6"), bucket.alias("bucket")))

@@ -2802,3 +2802,90 @@ def sp_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_packs(chunks, "lang", "uid", "n_chunk_toks",
                              "chunk_text", budget=256) \
         .orderBy("lang", "pack_id")
+
+
+@query(
+    "ta_ccnet_buckets",
+    survey="LLM-text(ccnet-buckets)",
+    doc="CCNet head/middle/tail corpus split (r06 s4, operators/"
+        "text_analysis.ccnet_buckets; Wenzek et al. 2020): every doc "
+        "scored by the corpus bigram LM (the engine-exact KenLM "
+        "stand-in, no logs anywhere) and bucketed by its per-language "
+        "score terciles — the knob CCNet exposes for how much of the "
+        "crawl to keep per language. Terciles are value-at-rank over "
+        "the BINNED (lang, score-bin) histogram (bounded by "
+        "1e6/bin_e6 rows per language, so the cumulative window "
+        "never sees the corpus — CCNet itself uses histogram "
+        "percentiles), threshold = MAX bin whose desc-cumulative "
+        "count reaches floor((n-1)*q/100)+1; all integer, ties share "
+        "a bucket, NULL scores land in 'tail' by rule on both "
+        "engines.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[i] AS lft, w[i] || ' ' || w[i+1] AS bigram
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM toks)
+        ),
+        cab AS (
+            SELECT lft, bigram, COUNT(*) AS c_ab
+            FROM bg GROUP BY lft, bigram
+        ),
+        ca AS (SELECT lft, SUM(c_ab) AS c_l FROM cab GROUP BY lft),
+        model AS (
+            SELECT bigram,
+                   CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
+                   AS term_e6
+            FROM cab JOIN ca USING (lft)
+        ),
+        scored AS (
+            SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   SUM(m.term_e6) AS sum_e6
+            FROM bg JOIN model m USING (bigram)
+            GROUP BY bg.doc_id
+        ),
+        sc AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(FLOOR(s.sum_e6 * 1.0 / s.n_bigrams) AS BIGINT)
+                       AS avg_p_e6
+            FROM toks t LEFT JOIN scored s USING (doc_id)
+        ),
+        binned AS (
+            SELECT doc_id, lang, avg_p_e6,
+                   avg_p_e6 // 100 AS bin FROM sc
+        ),
+        hist AS (
+            SELECT lang, bin, COUNT(*) AS c FROM binned
+            WHERE bin IS NOT NULL GROUP BY lang, bin
+        ),
+        cum AS (
+            SELECT lang, bin,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY bin DESC
+                                ROWS UNBOUNDED PRECEDING) AS cm
+            FROM hist
+        ),
+        tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang),
+        thr AS (
+            SELECT c.lang,
+                   MAX(CASE WHEN cm >= FLOOR((n-1)*33/100)+1
+                            THEN bin END) AS t_head,
+                   MAX(CASE WHEN cm >= FLOOR((n-1)*66/100)+1
+                            THEN bin END) AS t_mid
+            FROM cum c JOIN tot USING (lang) GROUP BY c.lang
+        )
+        SELECT b.doc_id, b.lang, b.avg_p_e6,
+               CASE WHEN b.bin IS NULL THEN 'tail'
+                    WHEN b.bin >= t.t_head THEN 'head'
+                    WHEN b.bin >= t.t_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM binned b LEFT JOIN thr t USING (lang)
+        ORDER BY b.doc_id
+    """,
+)
+def ta_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ta.ccnet_buckets(docs, "doc_id", "text", "lang",
+                            bin_e6=100).orderBy("doc_id")

@@ -1699,3 +1699,39 @@ def test_materialize_packs_assembles_in_uid_order(spark):
     a = {(r["lang"], r["uid"]): r["pack_id"] for r in plain.collect()}
     b = {(r["lang"], r["uid"]): r["pack_id"] for r in carried.collect()}
     assert a == b
+
+
+def test_ccnet_buckets_terciles_and_null_rule(spark):
+    """r06 s4: per-language tercile split on a hand corpus with known
+    score ordering — repeated docs score high (their bigrams dominate
+    the model), unique-vocab docs low; single-token docs (no bigram)
+    land in 'tail' by the NULL rule; every bin's docs share a
+    bucket."""
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    rows = []
+    # Self-trained-LM ordering (the documented caveat: disjoint-vocab
+    # docs score a perfect 1e6 — every transition is deterministic
+    # under their own model): 3 unique-vocab docs score 1e6 (head);
+    # 3 identical docs share 'b' with the half-shared docs so 'b c'
+    # scores 1/2 (avg 833333, middle); the half-shared docs' 'b xN'
+    # scores 1/6 (avg 722222, tail); 1 single-token doc -> NULL score.
+    for i in range(3):
+        rows.append((i, "a b c d", "en"))
+    for i in range(3, 6):
+        rows.append((i, f"a b x{i} y{i}", "en"))
+    for i in range(6, 9):
+        rows.append((i, f"p{i} q{i} r{i} s{i}", "en"))
+    rows.append((9, "lonely", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["bucket"]
+           for r in ccnet_buckets(df, "doc_id", "text", "lang").collect()}
+    assert got[9] == "tail"  # no bigram -> NULL score -> tail
+    assert all(got[i] == "head" for i in range(6, 9))      # 1e6
+    assert all(got[i] == "middle" for i in range(0, 3))    # 833333
+    assert all(got[i] == "tail" for i in range(3, 6))      # 722222
+    # one bin can never split across buckets
+    for grp in (range(0, 3), range(3, 6), range(6, 9)):
+        assert len({got[i] for i in grp}) == 1
