@@ -34,21 +34,31 @@ from contacts_etl_phase21_spark.plans import QUERIES  # noqa: E402
 # longer hide a result.
 _DRIVER_PRIORITY = [
     "flagship_shipping_priority",
-    # -- never driver-checked (r06 additions, all hash-green in the
-    #    committed full-registry artifact): every name the driver has
-    #    not yet hashed goes inside the window first. ta_corpus_report
-    #    is the fresh-name twin of ta_corpus_stats (judge task #1: the
-    #    old name hashed red two rounds running while its values are
-    #    proven bitwise-identical at every SF — suspected stale
-    #    per-NAME driver state; the old name sits in _DRIVER_DEFER). --
+    # -- r07: the corpus-report diagnostic block. ROOT CAUSE of the
+    #    3-round hash-red found: these two oracles were the registry's
+    #    ONLY HUGEINT emitters (bare SUM(BIGINT)); DuckDB's pandas
+    #    conversion renders HUGEINT as float64 ("123.0") while
+    #    fetchall() gives int ("123") — the driver hashes through
+    #    pandas, every value-level re-check used fetchall. Fixed with
+    #    CAST(SUM(..) AS BIGINT); BOTH names stay in the window so the
+    #    r07 driver run confirms the fix on the red set itself, and
+    #    the two judge-prescribed bisection diagnostics (component
+    #    sums; regex-free/double-free reformulation) sit beside them
+    #    to localize any residual divergence. Guard:
+    #    tests/test_oracle_types.py pins the registry HUGEINT-free. --
     "ta_corpus_report",
+    "ta_corpus_stats",
+    "ta_corpus_parts",
+    "ta_corpus_report_nore",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "st_stream_ann_topk",
     "dd_semantic_near_dups",
     "sp_temperature_mix",
     "ta_bpe_pair_counts",
-    "ta_bpe_train_merges",
+    # ta_bpe_train_merges: rows-only by design (iterative merge loop,
+    # oracle=None) — moved to _DRIVER_DEFER in r07 (judge task #4) so
+    # every window slot carries an oracle-bearing row.
     "j7_asof_point_in_time",
     "j8_range_interval_join",
     "j9_asof_forward_within",
@@ -93,27 +103,27 @@ _DRIVER_PRIORITY = [
     "sp_epoch_mix",
     "sp_shard_assign",
     "ann_quantized_topk",
-    "ann_brute_blas_topk",
-    "ta_encode_tokens",
     # Rotated out in r06 s4 to make room for the seven new operators
     # (sp_source_cap, dd_snapshot_delta, st_source_cap_ingest,
     # sp_training_export, sp_pack_rows, st_snapshot_delta_ingest,
     # ta_ccnet_buckets): p1_legacy_channel_render, o2_topk_per_group,
     # f16_seq_ratio_pairs, mm_ppm_resize_real, ta_repetition_scores,
     # ta_pii_scrub, ta_vocab_topk — all driver-green since r05, still covered by the
-    # full-registry artifact.
+    # full-registry artifact. Rotated out in r07 to admit the corpus
+    # diagnostic block (ta_corpus_stats back in, ta_corpus_parts,
+    # ta_corpus_report_nore): ann_brute_blas_topk, ta_encode_tokens —
+    # both long-green, still in the full-registry artifact.
 ]
 
-# Registered BELOW the driver's 50-row hash window (judge tasks #1/#7):
-# er_full_contacts_pipeline is permanently rows-only (uuid5 has no
-# DuckDB twin; its key material is sha256-value-checked by the
-# er_pipeline_resolved_closed_form window row), and ta_corpus_stats is
-# superseded in the window by its fresh-name twin — if the twin greens
-# while this name stays red, the stale-per-name-driver-state diagnosis
-# is confirmed (PLANS.md r06).
+# Registered BELOW the driver's 50-row hash window: the permanently
+# rows-only queries (no DuckDB oracle BY DESIGN — uuid5 has no DuckDB
+# twin and its key material is sha256-value-checked by the
+# er_pipeline_resolved_closed_form window row; BPE merge training is
+# an iterative loop pinned by a pure-python twin in tests). The window
+# carries only oracle-bearing rows (judge r06 task #4).
 _DRIVER_DEFER = [
     "er_full_contacts_pipeline",
-    "ta_corpus_stats",
+    "ta_bpe_train_merges",
 ]
 
 

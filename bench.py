@@ -76,9 +76,13 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
             multiprobe=True),
         "ann_recall_at_10_ivf_first": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4),
+        # train_permille=200: Lloyd training cost is the tier's knob —
+        # full-corpus training cost 17.2s of the r06 bench tail; a 20%
+        # sample trains centroids of the same quality here (recall is
+        # asserted in the output), matching the frontier configs below.
         "ann_recall_at_10_ivf_kmeans": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4,
-            quantizer="kmeans"),
+            quantizer="kmeans", train_permille=200),
         "ann_recall_at_10_int8": lambda: ann.quantized_topk(
             emb, queries, k=k),
         "ann_recall_at_10_pq_first": lambda: ann.pq_topk(
@@ -320,18 +324,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    headline = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
         "warm_total_sec": round(warm_total, 3),
-        "recall": recall,
-        "lsh_frontier": frontier,
-        "clustered_ann": clustered,
         "sf": sf_val,
-    }))
+    }
+    # r07 (judge task #3): BENCH_r06.json came back `parsed: null`
+    # because the driver's tail capture truncated the single stdout
+    # JSON line once the frontier/clustered_ann sections grew past the
+    # capture window. The bulky evidence sections now go to a side
+    # file (+ stderr above); stdout's FINAL line is only the compact
+    # headline object, so the driver's capture always parses.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**headline, "recall": recall, "lsh_frontier": frontier,
+                   "clustered_ann": clustered}, f, indent=2)
+    print(f"# full recall/frontier detail -> {detail_path}",
+          file=sys.stderr)
+    print(json.dumps(headline))
     spark.stop()
 
 

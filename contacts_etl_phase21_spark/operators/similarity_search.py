@@ -29,8 +29,16 @@ def _dot(a: Column, b: Column) -> Column:
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two equal-length float arrays, computed in
     double (dot / (|a|·|b|)) — full formula, not the normalized-input
-    shortcut: sub-1e-6 norm deviations otherwise flip rounded ranks."""
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    shortcut: sub-1e-6 norm deviations otherwise flip rounded ranks.
+
+    Zero-norm input -> NULL (try_divide), not an error: Spark 4 runs
+    ANSI mode by default, where a plain `/` THROWS DIVIDE_BY_ZERO even
+    for doubles — one all-zero embedding row would kill the whole scan
+    (r07 ADVICE follow-through). Cosine is undefined for a zero
+    vector; NULL propagates through round/comparisons as false and is
+    filtered at every ranked consumer, so the row is dropped, which is
+    the semantics — and identically so in the streaming twins."""
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a) * _dot(b, b)))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -47,7 +55,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = widen(corpus.select(F.col(id_col), F.col(vec_col))) \
         .crossJoin(q).select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
+        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        .alias("cosine")).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col))
     return (
@@ -196,21 +205,23 @@ def assign_cells(df: DataFrame,
     explode — a pure scan projection, zero exchanges regardless of
     corpus size. Ordering: struct sort on (-cosine, cell), same
     (cosine desc, cell asc) ranking as the relational argmax it
-    replaced for finite scores. NaN handling DIFFERS deliberately from
-    the old Window desc(_cs): Spark's sort ranks NaN greatest, so a
-    NaN cosine (zero-norm centroid, e.g. a degenerate Lloyd cell)
-    sorts LAST here (ns = -cosine = NaN) where the window ranked it
-    FIRST — i.e. rows now prefer any finite-scored centroid over a
-    broken one, which is the behavior we want, not an equivalence
-    claim (r05 advisor finding). An all-NaN row (zero-norm INPUT
-    vector) still resolves deterministically to the min cell via the
-    cell tie-break."""
+    replaced for finite scores. Undefined-cosine handling DIFFERS
+    deliberately from the old Window desc(_cs): cosine_col yields NULL
+    for a zero-norm side (ANSI-safe try_divide, r07 — previously NaN),
+    and sort_array asc puts NULLs FIRST, so ns coalesces to +Inf to
+    keep a broken centroid (zero-norm, e.g. a degenerate Lloyd cell)
+    sorting LAST where the old window ranked it FIRST — i.e. rows
+    prefer any finite-scored centroid over a broken one, which is the
+    behavior we want, not an equivalence claim (r05 advisor finding).
+    An all-undefined row (zero-norm INPUT vector) still resolves
+    deterministically to the min cell via the cell tie-break."""
     cents = _centroid_literal(cent_rows)
     ranked = F.slice(
         F.sort_array(F.transform(
             cents,
             lambda c: F.struct(
-                (-cosine_col(F.col(vec_col), c["c_vec"])).alias("ns"),
+                F.coalesce(-cosine_col(F.col(vec_col), c["c_vec"]),
+                           F.lit(float("inf"))).alias("ns"),
                 c["cell"].alias("cell")))),
         1, n)
     return df.withColumn(
@@ -319,7 +330,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select(query_id_col, F.col(vec_col).alias("q_vec"), "cell"))
     scored = c.join(q, "cell").select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6).alias("cosine"))
+        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        .alias("cosine")).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -387,10 +399,11 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     scored = widen(qc).crossJoin(qq).select(
         query_id_col, id_col,
-        F.round(idot.cast("double")
-                / F.sqrt(F.col("qnorm").cast("double")
-                         * F.col("qnorm_q").cast("double")), 6)
-        .alias("qcosine"))
+        F.round(F.try_divide(
+            idot.cast("double"),
+            F.sqrt(F.col("qnorm").cast("double")
+                   * F.col("qnorm_q").cast("double"))), 6)
+        .alias("qcosine")).filter(F.col("qcosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("qcosine"), F.asc(id_col))
     return (
@@ -867,10 +880,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     num = _adc_lookup_sum(m, n_codes_eff)
     scored = enc.crossJoin(q).select(
         query_id_col, id_col,
-        F.round(num.cast("double")
-                / F.sqrt(F.col("qn2_e6").cast("double")
-                         * F.col("xn2_e6").cast("double")), 6)
-        .alias("pq_cosine"))
+        F.round(F.try_divide(
+            num.cast("double"),
+            F.sqrt(F.col("qn2_e6").cast("double")
+                   * F.col("xn2_e6").cast("double"))), 6)
+        .alias("pq_cosine")).filter(F.col("pq_cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("pq_cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -1173,7 +1187,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .join(qv, query_id_col).select(
             query_id_col, id_col,
             F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
-            .alias("pq_cosine"))
+            .alias("pq_cosine")).filter(F.col("pq_cosine").isNotNull())
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col, "pq_cosine"))
@@ -1312,18 +1326,29 @@ def ivfpq_relational_scored(enc: DataFrame, qframe: DataFrame,
                             id_col: str = "vec_id") -> DataFrame:
     """Scoring join of the relational IVFADC chain: equi-join on cell,
     integer num/xn2 sums, rounded cosine — shared by the batch window
-    top-k and the streaming per-query stateful top-k."""
+    top-k and the streaming per-query stateful top-k.
+
+    Zero-norm queries/encodings (qn2·xn2 = 0) are dropped HERE so
+    every consumer agrees. Two failure modes hide behind that divide:
+    under Spark 4's default ANSI mode a plain `/` THROWS
+    DIVIDE_BY_ZERO even for doubles — one bad vector kills the whole
+    stream — and with ANSI off it yields NaN, which Spark's window
+    F.desc ranks greatest while pandas sort_values puts last, silently
+    breaking the pinned stream-vs-batch parity (r07 ADVICE). try_divide
+    makes the undefined cosine NULL and the isNotNull filter drops the
+    row — cosine of a zero vector is undefined; dropping is the
+    semantics, not a workaround."""
     m = len(codebooks)
     n_codes_eff = _uniform_codebook_size(codebooks)
     num = F.col("qc_e6") + _adc_lookup_sum(m, n_codes_eff)
     xn2 = (F.col("cn2_e6") + F.lit(2) * F.col("cross_e6")
            + F.col("rn2_e6"))
-    return qframe.join(enc, "cell").select(
-        query_id_col, id_col,
-        F.round(num.cast("double")
-                / F.sqrt(F.col("qn2_e6").cast("double")
-                         * xn2.cast("double")), 6)
-        .alias("pq_cosine"))
+    cos = F.round(F.try_divide(
+        num.cast("double"),
+        F.sqrt(F.col("qn2_e6").cast("double") * xn2.cast("double"))), 6)
+    return (qframe.join(enc, "cell")
+            .select(query_id_col, id_col, cos.alias("pq_cosine"))
+            .filter(F.col("pq_cosine").isNotNull()))
 
 
 def _lsh_bucketed(df: DataFrame, vec_col: str, dim: int, bits: int,
@@ -1464,7 +1489,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = c.join(q, "tb").select(
         query_id_col, id_col,
         F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
-        .alias("cosine")).distinct()
+        .alias("cosine")).distinct() \
+        .filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

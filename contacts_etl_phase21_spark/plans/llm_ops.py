@@ -1463,7 +1463,18 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outputs carry no raw doubles — mean quality is emitted as a "
         "scaled BIGINT (mean_quality_e4 = round(avg*10000)); the "
         "per-doc scores are integers so the double sum is exact and "
-        "order-independent, making the rounding engine-portable.",
+        "order-independent, making the rounding engine-portable. "
+        "r07 ROOT CAUSE of the 3-round driver hash-red: this oracle's "
+        "bare SUM(BIGINT) returns DuckDB HUGEINT (int128) — the ONLY "
+        "two HUGEINT-emitting oracles in the 117-query registry were "
+        "exactly the two red rows. DuckDB's pandas conversion renders "
+        "HUGEINT as float64 ('123.0'); fetchall() gives int ('123'). "
+        "The driver canonicalizes via pandas (its documented sort "
+        "contract) — hash red, rows/schema green, follows the "
+        "computation not the name, survives every fetchall-based "
+        "value check. Fix: CAST(SUM(..) AS BIGINT); guard test "
+        "tests/test_oracle_types.py pins the whole registry "
+        "HUGEINT-free (PLANS.md r07).",
     oracle="""
         WITH s AS (
             SELECT lang, source,
@@ -1477,8 +1488,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang, source,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(ROUND(AVG(
                  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
                + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
@@ -1509,17 +1520,17 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ta_corpus_report",
     survey="LLM-text(stats)",
-    doc="Fresh-name twin of ta_corpus_stats (r06 diagnostic): the "
-        "driver's row for that name stayed hash-red two rounds running "
-        "while the values are bitwise-identical to the oracle at "
-        "sf0.001/0.01/0.1 under every independent check — the remaining "
-        "suspect is stale per-NAME driver state (e.g. a cached oracle "
-        "from the r04 schema). Identical computation registered under a "
-        "new name inside the driver's 50-row hash window; the group-key "
-        "columns additionally pass through an explicit VARCHAR cast on "
-        "BOTH engines to kill any residual string-typing ambiguity. If "
-        "this row greens while ta_corpus_stats (kept registered below "
-        "the window) stays red, the stale-state diagnosis is confirmed.",
+    doc="Fresh-name twin of ta_corpus_stats (r06 diagnostic; the r06 "
+        "stale-per-name-state theory was REFUTED when this twin went "
+        "red identically). r07 root cause: both twins' oracles were "
+        "the registry's only two emitting HUGEINT columns (bare "
+        "SUM(BIGINT)), which DuckDB's pandas conversion renders as "
+        "float64 ('123.0') while fetchall() gives int ('123') — the "
+        "driver hashes through pandas, every value-level re-check "
+        "used fetchall. Fixed with CAST(SUM(..) AS BIGINT) on both "
+        "names; both kept inside the window so the r07 driver run "
+        "confirms the diagnosis on the red set itself. See "
+        "ta_corpus_stats doc + PLANS.md r07.",
     oracle="""
         WITH s AS (
             SELECT lang, source,
@@ -1534,8 +1545,8 @@ def ta_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(lang AS VARCHAR) AS lang,
                CAST(source AS VARCHAR) AS source,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(ROUND(AVG(
                  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END)
                + (CASE WHEN ROUND(n_nonspace * 1.0 / n_tokens, 4)
@@ -1561,6 +1572,146 @@ def ta_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(ta.quality_score(F.col("text"))
                                .cast("double")) * 10000, 0)
                  .cast("long").alias("mean_quality_e4"))
+            .orderBy("lang", "source"))
+
+
+@query(
+    "ta_corpus_parts",
+    survey="LLM-text(stats-diagnostic)",
+    doc="Corpus-report component bisection (judge r06 task #1a): the "
+        "same (lang, source) groupBy emitting the RAW regex/split "
+        "component sums as exact BIGINTs — SUM of n_tokens, n_chars, "
+        "n_punct, n_stop, n_nonspace — with zero ratio/round/avg "
+        "arithmetic anywhere. Registered inside the driver window "
+        "beside the (now HUGEINT-fixed) report rows: if a report row "
+        "ever reds again while this greens, the divergence is in the "
+        "mean arithmetic, not the regexes; if this reds, a regex or "
+        "split flavor diverges in the driver environment. All sums "
+        "CAST to BIGINT (the r07 no-HUGEINT registry rule).",
+    oracle="""
+        WITH s AS (
+            SELECT lang, source,
+                   length(text) AS n_chars,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to)\\b')) AS n_stop,
+                   length(replace(trim(text), ' ', '')) AS n_nonspace
+            FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(n_punct) AS BIGINT) AS sum_punct,
+               CAST(SUM(n_stop) AS BIGINT) AS sum_stop,
+               CAST(SUM(n_nonspace) AS BIGINT) AS sum_nonspace
+        FROM s GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def ta_corpus_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = ta.quality_raw_counts(F.col("text"))
+    return (docs
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(raw["n_tokens"].cast("long")).alias("sum_tokens"),
+                 F.sum(raw["n_chars"].cast("long")).alias("sum_chars"),
+                 F.sum(raw["n_punct"].cast("long")).alias("sum_punct"),
+                 F.sum(raw["n_stop"].cast("long")).alias("sum_stop"),
+                 F.sum(raw["n_nonspace"].cast("long"))
+                 .alias("sum_nonspace"))
+            .orderBy("lang", "source"))
+
+
+@query(
+    "ta_corpus_report_nore",
+    survey="LLM-text(stats-diagnostic)",
+    doc="Regex-free, double-free corpus report (judge r06 task #1b): "
+        "the report's shape computed with NO regex and NO floating "
+        "point anywhere — tokens by literal-space split, n_punct via "
+        "explicit-ASCII-charset translate-length difference, n_stop "
+        "by exact token membership, every gate an exact integer "
+        "comparison (mean-word-len in [2,12] as 2*n_tok <= n_nonsp "
+        "<= 12*n_tok; punct <= 0.2 as 5*n_punct <= n_chars), and the "
+        "mean emitted as round-half-up exact integer arithmetic "
+        "((20000*sum + n) div (2n)). The gate semantics deliberately "
+        "differ from the regex form at boundary values (no ROUND "
+        "before comparing) — this is its own query with its own "
+        "oracle, immune to regex-flavor and float-rounding divergence "
+        "by construction.",
+    oracle="""
+        WITH s AS (
+            SELECT lang, source,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END
+                       AS n_tokens,
+                   length(text) - length(translate(text,
+                       '!"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~', ''))
+                       AS n_punct,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter(
+                            string_split(lower(trim(text)), ' '),
+                            t -> t IN ('the','a','of','and','to'))) END
+                       AS n_stop,
+                   length(replace(text, ' ', '')) AS n_nonspace
+            FROM documents
+        ),
+        q AS (
+            SELECT lang, source, n_tokens, n_chars,
+                   (CASE WHEN n_tokens BETWEEN 10 AND 1000
+                         THEN 40 ELSE 0 END)
+                 + (CASE WHEN n_tokens > 0
+                          AND n_nonspace >= 2 * n_tokens
+                          AND n_nonspace <= 12 * n_tokens
+                         THEN 30 ELSE 0 END)
+                 + (CASE WHEN n_stop > 0 THEN 20 ELSE 0 END)
+                 + (CASE WHEN 5 * n_punct <= n_chars
+                         THEN 10 ELSE 0 END) AS score
+            FROM s
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST((20000 * CAST(SUM(score) AS BIGINT) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS mean_quality_e4
+        FROM q GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+)
+def ta_corpus_report_nore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    punct_chars = '!"#$%&\'()*+,-./:;<=>?@[\\]^_`{|}~'
+    n_punct = n_chars - F.length(F.translate(F.col("text"),
+                                             punct_chars, ""))
+    stopwords = ("the", "a", "of", "and", "to")
+    n_stop = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(F.lower(t), " "),
+                        lambda x: x.isin(*stopwords))))
+    n_nonspace = F.length(F.translate(F.col("text"), " ", ""))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 1000), 40).otherwise(0)
+        + F.when((n_tokens > 0)
+                 & (n_nonspace >= 2 * n_tokens)
+                 & (n_nonspace <= 12 * n_tokens), 30).otherwise(0)
+        + F.when(n_stop > 0, 20).otherwise(0)
+        + F.when(5 * n_punct <= n_chars, 10).otherwise(0))
+    return (docs
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n_tokens.cast("long")).alias("total_tokens"),
+                 F.sum(n_chars.cast("long")).alias("total_chars"),
+                 F.sum(score.cast("long")).alias("sum_q"))
+            .select("lang", "source", "n_docs", "total_tokens",
+                    "total_chars",
+                    F.expr("(20000 * sum_q + n_docs) div (2 * n_docs)")
+                    .alias("mean_quality_e4"))
             .orderBy("lang", "source"))
 
 

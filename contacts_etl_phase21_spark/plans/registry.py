@@ -24,6 +24,17 @@ e6_oracle below; both engines compute identical IEEE doubles for
 round(x, 6), so cast(round(x * 1e6) as bigint) is engine-exact.
 Raw parquet passthrough columns (e.g. o_totalprice) are exempt: the
 bits come from the same file on both sides.
+
+No-HUGEINT rule (round 7): oracle output columns must bind to
+pandas-portable DuckDB types. A bare SUM(BIGINT) returns HUGEINT
+(int128), which DuckDB's pandas conversion renders as float64
+("123.0") while fetchall() gives int ("123"); the driver canonicalizes
+through pandas, so a HUGEINT column hash-reds with rows/schema green
+even though every fetchall-based value check agrees — the root cause
+of the r04-r06 ta_corpus_stats/ta_corpus_report driver reds (the
+registry's only two HUGEINT emitters were exactly the two red rows).
+Always CAST(SUM(..) AS BIGINT). Guarded by tests/test_oracle_types.py
+and the pandas-twin hash in tools/check_correctness_full.py.
 """
 
 from __future__ import annotations

@@ -812,6 +812,42 @@ def test_ivfpq_relational_contract(spark, sf_small):
         assert cells[r["vec_id"]] in probes[r["query_id"]]
 
 
+def test_ivfpq_zero_norm_query_drops_not_nan(spark, sf_small):
+    """r07 ADVICE: a zero-norm query makes pq_cosine NaN, which Spark's
+    window F.desc ranks greatest-first while pandas sort_values puts
+    last — so non-finite scores are filtered in the SHARED scoring
+    frame (ivfpq_relational_scored) and a zero-norm query returns no
+    rows from both the batch window tier and the streaming module's
+    batch twin, keeping stream-vs-batch parity NaN-proof."""
+    from contacts_etl_phase21_spark.streaming.ann_serving import (
+        ivfpq_serving_index, stream_ann_topk,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding").union(
+        spark.createDataFrame(
+            [(99, [0.0] * dim)], "query_id LONG, embedding ARRAY<FLOAT>")
+        .select("query_id",
+                F.col("embedding").cast("array<float>")))
+
+    batch = ann.ivf_pq_topk_relational(emb, queries, k=5).collect()
+    assert {r["query_id"] for r in batch} == {0, 1, 2}  # 99 dropped
+    assert all(r["pq_cosine"] == r["pq_cosine"] for r in batch)  # no NaN
+
+    cent_rows, codebooks, enc = ivfpq_serving_index(emb)
+    try:
+        twin = stream_ann_topk(queries, cent_rows, codebooks, enc,
+                               k=5).collect()
+        assert {r["query_id"] for r in twin} == {0, 1, 2}
+        assert ({(r["query_id"], r["rank"], r["vec_id"]) for r in twin}
+                == {(r["query_id"], r["rank"], r["vec_id"])
+                    for r in batch})
+    finally:
+        enc.unpersist()
+
+
 def test_semantic_near_dups_cell_pruned_recall(spark, sf_small):
     """r06: SemDeDup-style pairs are a subset of the exact all-pairs
     tier (same rounded cosines), and on a CLUSTERED corpus with
@@ -1309,6 +1345,48 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert s[1] == (4 * 500_000 + 4 * 1_000_000) // 8  # 750000
     assert s[2] == (4 * 125_000 + 3 * 1_000_000) // 7  # 500000
     assert s[1] > s[2]
+
+
+def test_bigram_lm_top_m_cap(spark):
+    """r07 judge task #2: the model broadcast is capped to the top-M
+    bigrams by (c_ab desc, bigram asc); misses score 0 but still count
+    in the n_bigrams denominator, and capped == uncapped whenever the
+    vocabulary fits under the cap."""
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    # model: "a b" c_ab=2; "a a" c_ab=1; "b a" c_ab=1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "a a"), (4, "solo")],
+        "doc_id INT, text STRING")
+    t_ab = 1_000_000 * 2 // 3
+    t_aa = 1_000_000 * 1 // 3
+
+    # top_m=1 keeps only "a b" (highest count)
+    got1 = {r["doc_id"]: (r["n_bigrams"], r["avg_p_e6"])
+            for r in bigram_lm_scores(docs, "doc_id", "text",
+                                      top_m=1).collect()}
+    assert got1[1] == (1, t_ab)
+    assert got1[2] == (2, t_ab // 2)      # "b a" missed -> 0, n stays 2
+    assert got1[3] == (1, 0)              # "a a" missed entirely
+    assert got1[4] == (0, None)
+
+    # top_m=2: tie at c_ab=1 broken by bigram asc -> "a a" in, "b a" out
+    got2 = {r["doc_id"]: (r["n_bigrams"], r["avg_p_e6"])
+            for r in bigram_lm_scores(docs, "doc_id", "text",
+                                      top_m=2).collect()}
+    assert got2[2] == (2, t_ab // 2)
+    assert got2[3] == (1, t_aa)
+
+    # cap above the vocab == uncapped (top_m=None, no broadcast hint)
+    capped = sorted(map(tuple, bigram_lm_scores(
+        docs, "doc_id", "text", top_m=10).collect()))
+    uncapped = sorted(map(tuple, bigram_lm_scores(
+        docs, "doc_id", "text", top_m=None).collect()))
+    default = sorted(map(tuple, bigram_lm_scores(
+        docs, "doc_id", "text").collect()))
+    assert capped == uncapped == default
 
 
 def test_asof_forward_direction_matches_naive(spark, sf_small):

@@ -42,6 +42,17 @@ def _canon_value(v) -> str:
     return str(v)
 
 
+def _pandas_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Rows as the driver sees them: THROUGH a pandas conversion.
+
+    DuckDB's .df() and Spark's .toPandas() both change cell renderings
+    relative to fetchall()/collect() — most critically DuckDB HUGEINT
+    -> float64 ("123.0" vs "123"), the root cause of the r04-r06
+    ta_corpus_stats driver hash-red. Hashing this path beside the
+    fetchall path makes the committed artifact driver-faithful."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def _canon(rows: list[tuple], cols: list[str]) -> tuple[list[str], str]:
     """Driver-contract canonicalization: sort columns by name, sort rows,
     hash the stringified cells. The pandas sort_values probe reproduces
@@ -85,6 +96,20 @@ def main() -> int:
             if q.oracle is None:
                 row["err"] = "no_oracle"
             else:
+                # r07 no-HUGEINT rule: the driver canonicalizes oracle
+                # results through pandas, where DuckDB renders HUGEINT
+                # (e.g. bare SUM(BIGINT)) as float64 ("123.0") while
+                # fetchall() gives int ("123") — the exact mechanism of
+                # the 3-round ta_corpus_stats hash-red. Flag any oracle
+                # emitting a pandas-hostile type so it fails HERE.
+                bad_types = [
+                    f"{c}:{t}" for c, t in
+                    zip(con.sql(q.oracle).columns, con.sql(q.oracle).types)
+                    if str(t).startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))]
+                if bad_types:
+                    raise AssertionError(
+                        f"pandas-hostile oracle column types {bad_types}; "
+                        f"CAST to BIGINT (registry no-HUGEINT rule)")
                 res = con.execute(q.oracle)
                 d_cols = [d[0] for d in res.description]
                 d_rows = [tuple(r) for r in res.fetchall()]
@@ -94,13 +119,20 @@ def main() -> int:
                 row["rows_match"] = len(s_rows) == len(d_rows)
                 row["schema_match"] = s_names == d_names
                 row["hash_match"] = s_hash == d_hash
+                # Driver-faithful twin check: both sides through pandas.
+                _, sp_hash = _canon(_pandas_rows(sdf.toPandas()), s_cols)
+                _, dp_hash = _canon(_pandas_rows(con.sql(q.oracle).df()),
+                                    d_cols)
+                row["pandas_hash_match"] = sp_hash == dp_hash
                 if not (row["rows_match"] and row["schema_match"]
-                        and row["hash_match"]):
+                        and row["hash_match"]
+                        and row["pandas_hash_match"]):
                     failures += 1
         except Exception:
             row["err"] = traceback.format_exc(limit=3)
             failures += 1
-        status = ("ok" if row["hash_match"]
+        status = ("ok" if row["hash_match"] and row.get("pandas_hash_match")
+                  else "PANDAS-DIVERGENT" if row["hash_match"]
                   else row["err"] and row["err"].strip().splitlines()[-1])
         print(f"{name}: {status}", flush=True)
         report[name] = row
@@ -108,9 +140,11 @@ def main() -> int:
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     n_green = sum(1 for r in report.values() if r["hash_match"])
+    n_pd = sum(1 for r in report.values() if r.get("pandas_hash_match"))
     n_rows_only = sum(1 for r in report.values() if r["err"] == "no_oracle")
-    print(f"\n{n_green} hash-green / {len(report)} total "
-          f"({n_rows_only} rows-only, {failures} failures) -> {out_path}")
+    print(f"\n{n_green} hash-green ({n_pd} pandas-green) / {len(report)} "
+          f"total ({n_rows_only} rows-only, {failures} failures) "
+          f"-> {out_path}")
     return 1 if failures else 0
 
 
