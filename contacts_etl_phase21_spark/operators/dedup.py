@@ -36,6 +36,34 @@ from contacts_etl_phase21_spark.functions.similarity import simhash64
 from contacts_etl_phase21_spark.io import widen
 
 
+def _carry_cached(out: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Attach the tokens-scale cached intermediates to the returned
+    frame so release_cached(out) can free them.
+
+    Lifecycle contract (r07 ADVICE): the pair builders persist
+    corpus-scale intermediates that the LAZY result still references —
+    unpersisting inside the builder would silently recompute the
+    corpus pass per join side, and eagerly materializing the result
+    would destroy the plan-shape evidence (the InMemoryTableScan
+    assertions in tests/test_scale_patterns.py). So the caller owns
+    the cache: within one input Spark's cache manager dedupes repeat
+    calls to ONE entry, but a long-lived session scoring MANY DISTINCT
+    inputs (the 24/7 ingest shape) must release_cached(result) after
+    the result's last action, or the per-input MEMORY_AND_DISK entries
+    accumulate for the session's lifetime."""
+    out._cached_intermediates = handles  # type: ignore[attr-defined]
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediates cached while building df (attached
+    by the pair builders via _carry_cached). Call after the frame's
+    last action in long-lived / many-input sessions; a no-op for
+    frames without attached handles."""
+    for h in getattr(df, "_cached_intermediates", ()):
+        h.unpersist()
+
+
 def normalized_tokens(text: Column) -> Column:
     """Distinct whitespace tokens of trimmed text (order-insensitive
     content set)."""
@@ -109,7 +137,7 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                 F.size("shingles").alias("n_sh"),
                 F.transform("shingles", lambda s: F.xxhash64(s))
                 .alias("sh_h")) \
-        .persist()
+        .persist()  # caller releases via release_cached (r07 ADVICE)
     posting = sh.select(
         "doc", "n_sh", F.explode("sh_h").alias("shingle"))
     left = posting.select(F.col("doc").alias("doc_a"),
@@ -123,10 +151,10 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
+    return _carry_cached(
         pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+        .filter(F.col("jaccard") >= threshold),
+        [sh])
 
 
 def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
@@ -214,10 +242,11 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
     Generate re-evaluates an inlined generator per OUTPUT row, so an
     unmaterialized sh_h would re-run the window-hash chain ~|shingles|
     times per doc (minhash_lsh_pairs persists it for reuse anyway;
-    this standalone entry needs the same barrier)."""
-    return _signature_from_hashed(
-        with_hashed_shingles(df, id_col, text_col, n).persist(),
-        num_hashes)
+    this standalone entry needs the same barrier). Caller releases the
+    shingle cache via release_cached (r07 ADVICE)."""
+    hashed = with_hashed_shingles(df, id_col, text_col, n).persist()
+    return _carry_cached(_signature_from_hashed(hashed, num_hashes),
+                         [hashed])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -237,7 +266,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # outlives the (lazy) result on purpose; Spark's cache manager
     # dedupes by analyzed plan (repeat calls share ONE entry) and
     # MEMORY_AND_DISK evicts LRU, so the footprint is bounded per
-    # distinct input, not per call.
+    # distinct input, not per call. Sessions scoring many DISTINCT
+    # inputs free each input's entries with release_cached(result)
+    # after its last action (r07 ADVICE; see _carry_cached).
     sh = with_hashed_shingles(df, id_col, text_col, n).persist()
     sig = _signature_from_hashed(sh, num_hashes)
     # Band array MATERIALIZED (persist), then explode the attribute —
@@ -277,7 +308,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+    return _carry_cached(verified, [sh, bba])
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -308,11 +339,13 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     rare = posting.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
     a = rare.select(F.col("doc").alias("doc_a"), "fp")
     b = rare.select(F.col("doc").alias("doc_b"), "fp")
-    return (a.join(b, "fp")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= min_shared))
+    return _carry_cached(
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared),
+        [posting])
 
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -421,13 +454,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     r = chunks.select(F.col("doc").alias("doc_b"),
                       F.col("simhash").alias("sh_b"), "c")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    return _carry_cached(
         l.join(r, "c")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        .filter(F.col("hamming") <= max_hamming),
+        [fp])
 
 
 def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,

@@ -56,6 +56,29 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(hash_bucket(F.col(id_col), modulus) < threshold)
 
 
+def chunk_uid(doc_id_col: Column, chunk_id_col: Column,
+              chunk_bits: int = 20) -> Column:
+    """Collision-free composite uid for a (doc, chunk) pair:
+    doc_id * 2^chunk_bits + chunk_id, GUARDED.
+
+    The r06 export pipeline used doc_id*1024 + chunk_id; a document
+    longer than 1024 chunks (~12k tokens at stride 12) silently
+    collided with the next doc's chunk 0, corrupting pack order and
+    shard assignment — and the oracle computed the SAME collision, so
+    hash checks could never catch it (r07 ADVICE). 2^20 chunks/doc
+    (~12.6M tokens at stride 12) bounds any real document while
+    leaving doc_id headroom to 2^43; the guard turns a silent
+    collision into a loud per-row error (raise_error is in the branch
+    codegen only evaluates on overflow, so the happy path stays a
+    multiply-add)."""
+    guarded = F.when(
+        chunk_id_col < F.lit(1 << chunk_bits), chunk_id_col.cast("long")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"chunk_uid overflow: chunk_id >= 2^{chunk_bits} "
+              "for doc_id "), doc_id_col.cast("string"))))
+    return doc_id_col.cast("long") * F.lit(1 << chunk_bits) + guarded
+
+
 def shard_id(id_col: Column, n_shards: int) -> Column:
     """Deterministic, engine-portable training shard for an id: first
     8 hex digits of md5(id) mod n_shards. md5 gives uniform spread

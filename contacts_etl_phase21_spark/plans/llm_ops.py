@@ -2833,8 +2833,11 @@ def dd_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack -> shard as ONE declarative program, the last mile "
         "after curate_corpus — overlapping 16-token windows at "
         "stride 12 (chunk_overlap, scan-side generator carrying lang "
-        "via keep_cols), a composite chunk uid = doc_id*1024 + "
-        "chunk_id (chunks/doc bounded by the stride), two-pass "
+        "via keep_cols), a composite chunk uid = doc_id*2^20 + "
+        "chunk_id (chunk_uid: guarded against chunk_id overflow — "
+        "the r06 *1024 form silently collided for >12k-token docs, "
+        "and the oracle computed the SAME collision, so hashes could "
+        "never catch it; r07 ADVICE), two-pass "
         "prefix-sum packing into 256-token context budgets per "
         "language (pack_sequences — bounded (lang, id-block) "
         "windows, never one task per language), and md5 shard "
@@ -2853,7 +2856,7 @@ def dd_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         chunks AS (
             SELECT doc_id, lang,
-                   doc_id * 1024 + i AS uid,
+                   doc_id * 1048576 + i AS uid,
                    LEAST(16, len(w) - i * 12) AS n_tokens
             FROM (SELECT doc_id, lang, w,
                          unnest(range(0, (len(w) + 11) // 12)) AS i
@@ -2877,13 +2880,13 @@ def dd_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sp_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contacts_etl_phase21_spark.operators.sampling import (
-        chunk_overlap, pack_sequences, shard_id,
+        chunk_overlap, chunk_uid, pack_sequences, shard_id,
     )
 
     docs = load(spark, sf_dir, "documents")
     chunks = chunk_overlap(docs, "doc_id", "text", size=16, stride=12,
                            keep_cols=["lang"]) \
-        .withColumn("uid", F.col("doc_id") * 1024 + F.col("chunk_id"))
+        .withColumn("uid", chunk_uid(F.col("doc_id"), F.col("chunk_id")))
     packed = pack_sequences(chunks, "lang", "uid",
                             F.col("n_chunk_toks"), budget=256)
     return (packed
@@ -2915,7 +2918,7 @@ def sp_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         chunks AS (
             SELECT doc_id, lang,
-                   doc_id * 1024 + i AS uid,
+                   doc_id * 1048576 + i AS uid,
                    LEAST(16, len(w) - i * 12) AS n_tokens,
                    array_to_string(
                        w[i*12 + 1 : LEAST(i*12 + 16, len(w))], ' ')
@@ -2943,13 +2946,13 @@ def sp_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sp_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contacts_etl_phase21_spark.operators.sampling import (
-        chunk_overlap, materialize_packs,
+        chunk_overlap, chunk_uid, materialize_packs,
     )
 
     docs = load(spark, sf_dir, "documents")
     chunks = chunk_overlap(docs, "doc_id", "text", size=16, stride=12,
                            keep_cols=["lang"]) \
-        .withColumn("uid", F.col("doc_id") * 1024 + F.col("chunk_id"))
+        .withColumn("uid", chunk_uid(F.col("doc_id"), F.col("chunk_id")))
     return materialize_packs(chunks, "lang", "uid", "n_chunk_toks",
                              "chunk_text", budget=256) \
         .orderBy("lang", "pack_id")

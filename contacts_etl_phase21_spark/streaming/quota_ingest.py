@@ -50,7 +50,11 @@ def _make_quota_fn(cap: int):
            state: GroupState) -> Iterator[pd.DataFrame]:
         taken = int(state.get[0]) if state.exists else 0
         if taken >= cap:
-            # quota spent: still touch state so the group stays cheap
+            # quota spent: no state touch needed — under NoTimeout the
+            # stored (taken,) row persists as-is and there is nothing
+            # to refresh. (If a timeout policy is ever added, this
+            # path MUST call state.update((taken,)) to keep the group
+            # alive — r07 ADVICE.)
             yield from ()
             return
         # a group's batch rows can arrive as several Arrow chunks —

@@ -1643,6 +1643,58 @@ def test_chunk_overlap_hand_computed(spark):
         chunk_overlap(df, "doc_id", "text", size=2, stride=3)
 
 
+def test_dedup_pair_builders_release_cached(spark):
+    """r07 ADVICE: the pair builders persist corpus-scale
+    intermediates the lazy result references; release_cached(result)
+    frees them (the handles ride on the returned frame), so a
+    long-lived session scoring many distinct inputs doesn't
+    accumulate MEMORY_AND_DISK entries."""
+    from contacts_etl_phase21_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i}") for i in range(20)],
+        "doc_id INT, text STRING")
+    results = [
+        dd.jaccard_near_duplicates(docs, "doc_id", "text", 3, 0.8),
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8),
+        dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10),
+        dd.winnow_overlap_pairs(docs, "doc_id", "text"),
+        dd.minhash_signature_df(docs, "doc_id", "text"),
+    ]
+    for r in results:
+        r.count()
+        handles = r._cached_intermediates
+        assert handles and all(h.is_cached for h in handles)
+        dd.release_cached(r)
+        assert not any(h.is_cached for h in handles)
+    dd.release_cached(docs)  # frames without handles: no-op
+
+
+def test_chunk_uid_collision_free_and_guarded(spark):
+    """r07 ADVICE: the old doc_id*1024+chunk_id uid silently collided
+    for documents past 1024 chunks (and the oracle computed the same
+    collision, so hashes couldn't catch it). chunk_uid widens to 2^20
+    and turns overflow into a loud error instead of a collision."""
+    import pytest as _pytest
+
+    from contacts_etl_phase21_spark.operators.sampling import chunk_uid
+
+    # the r06 collision case: (doc 5, chunk 1024+7) vs (doc 6, chunk 7)
+    # collided under *1024; distinct under chunk_uid
+    df = spark.createDataFrame(
+        [(5, 1024 + 7), (6, 7), (5, 0), (6, 0)],
+        "doc_id INT, chunk_id INT")
+    uids = [r[0] for r in df.select(
+        chunk_uid(F.col("doc_id"), F.col("chunk_id"))).collect()]
+    assert len(set(uids)) == 4
+    assert uids[1] == 6 * (1 << 20) + 7
+
+    over = spark.createDataFrame([(1, 1 << 20)], "doc_id INT, chunk_id INT")
+    with _pytest.raises(Exception, match="chunk_uid overflow"):
+        over.select(chunk_uid(F.col("doc_id"),
+                              F.col("chunk_id"))).collect()
+
+
 def test_chunk_overlap_plan_is_scan_side_generator(spark, sf_small):
     from contacts_etl_phase21_spark.operators.sampling import chunk_overlap
 
