@@ -12,11 +12,16 @@ every cross-engine number rides only on operations IEEE-754 pins
 down, and integer sums are order-independent):
 
 - Features are unigrams + bigrams of whitespace tokens, hashed to
-  `n_buckets` buckets via the md5-prefix trick (shard_id precedent:
-  DuckDB computes the identical bucket with
-  ('0x' || substr(md5(g),1,8))::BIGINT % B). xxhash64 is NOT used
-  here because bucket identity changes the counts, and the oracle
-  must land in the same buckets.
+  `n_buckets` buckets. TWO hash tiers (r07): 'md5' via the md5-prefix
+  trick is the ORACLE twin (shard_id precedent: DuckDB computes the
+  identical bucket with ('0x' || substr(md5(g),1,8))::BIGINT % B) and
+  stays the registry default; 'xxhash64' is the production tier —
+  the per-gram crypto hash is the operator's dominant cost (BASELINE
+  r06 s3) and xxhash64 removes it, at the price of bucket identities
+  no DuckDB twin can reproduce. On collision-free gram sets the two
+  tiers produce bit-identical scores and selections (pinned in
+  tests); under collisions they differ only in which rare grams get
+  smoothed together.
 - Per-bucket likelihood ratio is Laplace-smoothed and computed with
   INTEGER division only:
       ratio_e6[b] = (1e6 * (c_t[b]+1) * (N_r+B)) div ((c_r[b]+1) * (N_t+B))
@@ -61,8 +66,30 @@ def md5_bucket(col: Column, n_buckets: int) -> Column:
         F.lit(n_buckets))
 
 
+def gram_bucket(col: Column, n_buckets: int,
+                hash_fn: str = "md5") -> Column:
+    """Hash bucket with a selectable hash (r07, judge task #7).
+
+    'md5' is the ORACLE twin — DuckDB computes the identical bucket —
+    but a cryptographic hash per gram is the DSIR pipeline's dominant
+    cost (22s/1e6 docs, BASELINE r06 s3). 'xxhash64' is the
+    production path: one non-crypto 64-bit mix JVM-side. Bucket
+    IDENTITIES differ between the two (xxhash64 has no DuckDB twin),
+    so cross-engine checks ride the md5 twin; what the paths share is
+    the SELECTION — when distinct grams don't collide (the common
+    regime: n_buckets >> per-domain distinct grams matters only for
+    collision smoothing), per-gram counts and hence scores are
+    bit-identical, pinned by test."""
+    if hash_fn == "md5":
+        return md5_bucket(col, n_buckets)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def _gram_buckets(df: DataFrame, id_col: str, text_col: str,
-                  extra_cols: list[str], n_buckets: int) -> DataFrame:
+                  extra_cols: list[str], n_buckets: int,
+                  hash_fn: str = "md5") -> DataFrame:
     """One row per gram OCCURRENCE (unigrams + bigrams), reduced to its
     hash bucket. Grams build row-locally with a codegen'd transform
     (bigram_lm_scores' pattern) and explode once."""
@@ -73,7 +100,7 @@ def _gram_buckets(df: DataFrame, id_col: str, text_col: str,
     return (df.select(F.col(id_col), *extra_cols,
                       F.explode(F.concat(toks, bigrams)).alias("__gram"))
             .select(id_col, *extra_cols,
-                    md5_bucket(F.col("__gram"), n_buckets)
+                    gram_bucket(F.col("__gram"), n_buckets, hash_fn)
                     .alias("bucket")))
 
 
@@ -100,10 +127,15 @@ def bucket_ratios(gram_counts: DataFrame, target_col: str,
 
 def importance_weights(df: DataFrame, id_col: str, text_col: str,
                        target_col: str,
-                       n_buckets: int = 4096) -> DataFrame:
+                       n_buckets: int = 4096,
+                       hash_fn: str = "md5") -> DataFrame:
     """Per-document DSIR importance score: id, n_grams, score_e6 =
     floor(mean per-gram target/raw ratio * 1e6). Every input row comes
-    back (a doc with no grams scores 0 with n_grams 0)."""
+    back (a doc with no grams scores 0 with n_grams 0).
+
+    hash_fn: 'md5' (default — the DuckDB-twinned oracle path) or
+    'xxhash64' (production — the gram hash IS this operator's dominant
+    cost; see gram_bucket)."""
     # Gram + md5-bucket ONCE behind persist (the minhash shingle-frame
     # pattern, dedup.py:233): the same gram frame feeds both the
     # corpus-wide bucket counts (map-side combine to n_buckets rows per
@@ -119,7 +151,7 @@ def importance_weights(df: DataFrame, id_col: str, text_col: str,
     # repeated calls never accumulate tokens-scale caches; the caller
     # owns the (1-row-per-doc) returned frame's lifecycle.
     grams = _gram_buckets(df, id_col, text_col, [target_col],
-                          n_buckets).persist()
+                          n_buckets, hash_fn).persist()
     try:
         gram_counts = grams.withColumn("c", F.lit(1))
         ratios = bucket_ratios(gram_counts, target_col, n_buckets)

@@ -1509,6 +1509,48 @@ def test_dsir_weights_hand_computed(spark):
     assert got[2][1] > got[3][1]
 
 
+def test_dsir_xxhash_tier_matches_md5_selection(spark):
+    """r07 (judge task #7): the xxhash64 production tier vs the md5
+    oracle twin. Bucket IDS differ by construction; what must agree is
+    the scoring and the SELECTION. On a collision-free gram set (few
+    distinct grams, wide bucket space — verified collision-free below
+    so the pin isn't vacuous) each gram occupies its own bucket under
+    BOTH hashes, so per-gram counts, hence every (n_grams, score_e6),
+    hence dsir_select's output, are bit-identical."""
+    from contacts_etl_phase21_spark.operators.importance import (
+        dsir_select, gram_bucket, importance_weights,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 25}" for j in range(12)),
+             i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, t BOOLEAN")
+    B = 1 << 20
+
+    # fixture guard: no two distinct grams share a bucket under either
+    # hash (else scores could legitimately differ and the test lies)
+    grams = set()
+    for _, text, _t in rows:
+        w = text.split(" ")
+        grams.update(w)
+        grams.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    gdf = spark.createDataFrame([(g,) for g in sorted(grams)], "g STRING")
+    for hf in ("md5", "xxhash64"):
+        n_buckets = gdf.select(
+            gram_bucket(F.col("g"), B, hf).alias("b")) \
+            .distinct().count()
+        assert n_buckets == len(grams), f"{hf} collides; enlarge B"
+
+    wa = importance_weights(df, "doc_id", "text", "t", n_buckets=B)
+    wb = importance_weights(df, "doc_id", "text", "t", n_buckets=B,
+                            hash_fn="xxhash64")
+    rows_a = sorted(map(tuple, wa.collect()))
+    rows_b = sorted(map(tuple, wb.collect()))
+    assert rows_a == rows_b
+    sel_a = [tuple(r) for r in dsir_select(wa, "doc_id", 10).collect()]
+    sel_b = [tuple(r) for r in dsir_select(wb, "doc_id", 10).collect()]
+    assert sel_a == sel_b and len(sel_a) == 10
+
+
 def test_dsir_discriminates_target_language(spark, sf_small):
     """With target = lang='en', en documents must outscore non-en on
     average (the DSIR selection signal actually discriminates)."""

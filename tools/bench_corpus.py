@@ -192,6 +192,17 @@ def run_once(spark: SparkSession, n: int) -> dict:
     n_sel = dsir_select(w, "doc_id", max(1, n // 100)).count()
     stages["sp_dsir"] = round(time.perf_counter() - t0, 1)
 
+    # r07 (judge task #7): same DSIR pipeline on the xxhash64
+    # production tier — the per-gram md5 IS the md5 path's dominant
+    # cost, so this stage's delta measures exactly that hash swap
+    t0 = time.perf_counter()
+    w_xx = importance_weights(
+        docs.withColumn("__t", F.col("lang") == "en"),
+        "doc_id", "text", "__t", hash_fn="xxhash64")
+    n_sel_xx = dsir_select(w_xx, "doc_id", max(1, n // 100)).count()
+    assert n_sel_xx == n_sel
+    stages["sp_dsir_xx"] = round(time.perf_counter() - t0, 1)
+
     # sliding-window chunking: pure scan-side generator, ~2 rows/doc
     # at DOC_TOKENS=50 with size=32/stride=24
     t0 = time.perf_counter()
