@@ -550,6 +550,135 @@ def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") >= threshold))
 
 
+def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.45,
+                                  n_cells: int = 1024,
+                                  n_assign: int = 1,
+                                  train_permille: int | None = None,
+                                  block: int = 2048) -> DataFrame:
+    """SemDeDup at a PRODUCTION cell count (r07, judge task #5). Same
+    semantics as semantic_near_duplicates(quantizer='kmeans_local'),
+    different physical plan — the two places the relational tier stops
+    scaling past ~10²) cells are replaced:
+
+    1. Cell assignment. The relational tier inlines centroids as a
+       plan literal (n_cells × dim float literals — 65k at 1024×64,
+       an interpreted-HOF fold per row and a plan Catalyst chews on
+       for longer than the job). Here the centroid matrix ships ONCE
+       as a broadcast variable and each Arrow batch assigns by one
+       GEMM + argmax (ivf_pq_encode's kernel shape) — same cosine
+       ranking, same NaN-column-ranks-last / all-NaN-row-takes-
+       first-cell semantics as assign_cells (equality-pinned in
+       tests).
+    2. Within-cell pairs. The relational tier's cell self-equi-join
+       materializes Σ|cell|² joined ROWS through the shuffle (each
+       carrying two full vectors — ~1 TB of shuffle write at 10⁶ ×
+       1024 cells). Here each cell's members move ONCE (one corpus
+       shuffle keyed on cell) and applyInPandas scores the cell's
+       upper triangle in blocked BLAS matmuls, emitting only pairs
+       ABOVE threshold — the Abbas et al. within-cluster pass as it
+       is actually run.
+
+    n_assign > 1 probes each vector into its n nearest cells (the
+    boundary-straddle mitigation assign_cells already supports):
+    recall rises because a pair is found if the two share ANY cell;
+    pair work rises ≤ n_assign²×. Duplicate emissions from shared
+    multi-cells are distinct-ed on the (bounded) OUTPUT, never the
+    corpus. Rounding matches the relational tier bit-for-bit:
+    HALF_UP at 6 decimals (np.round is banker's — not used).
+
+    Training = pq_codebooks(kmeans_local): the FAISS shape, driver
+    Lloyd on a deterministic hash sample; identical call to the
+    relational tier so the two tiers see the SAME centroids.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        pq_codebooks,
+    )
+
+    cent_rows = pq_codebooks(emb, 1, n_cells, id_col, vec_col,
+                             "kmeans_local", train_permille)[0]
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((cells, cmat))
+
+    assign_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("vec_a", LongType()),
+        StructField("__v", ArrayType(DoubleType())),
+    ])
+
+    def assign_kernel(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+        cells_, cmat_ = bc.value
+        cn2 = np.sqrt((cmat_ * cmat_).sum(1))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            sim = (mat @ cmat_.T) / np.outer(
+                np.sqrt((mat * mat).sum(1)), cn2)
+            # NaN centroid column ranks LAST, all-NaN row falls to the
+            # first cell — assign_cells' exact semantics; stable
+            # argsort keeps the (cosine desc, cell asc) tie-break
+            order = np.argsort(np.nan_to_num(-sim, nan=np.inf),
+                               axis=1, kind="stable")[:, :n_assign]
+            out = []
+            for j in range(order.shape[1]):
+                out.append(pd.DataFrame({
+                    "cell": cells_[order[:, j]],
+                    "vec_a": ids,
+                    "__v": list(mat),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    pair_schema = StructType([
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [],
+                                 "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+        ids = pdf["vec_a"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__v"]])
+        norms = np.sqrt((mat * mat).sum(1))
+        outs = []
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sim = (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms)
+            # HALF_UP at 6 decimals == Spark F.round for the >= 0
+            # values the threshold keeps (np.round would bankers-round)
+            sim = np.floor(sim * 1e6 + 0.5) / 1e6
+            ia, ib = np.nonzero(sim >= threshold)
+            ga, gb = ids[lo + ia], ids[ib]
+            keep = ga < gb
+            outs.append(pd.DataFrame({
+                "vec_a": ga[keep], "vec_b": gb[keep],
+                "cosine": sim[ia, ib][keep]}))
+        return pd.concat(outs, ignore_index=True)
+
+    assigned = (widen(emb.select(id_col, vec_col))
+                .mapInPandas(assign_kernel, assign_schema))
+    pairs = assigned.groupBy("cell").applyInPandas(pair_kernel,
+                                                   pair_schema)
+    if n_assign > 1:
+        pairs = pairs.distinct()
+    return pairs
+
+
 def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
                             k: int = 8, max_df: int | None = None
                             ) -> DataFrame:

@@ -880,6 +880,40 @@ def test_semantic_near_dups_cell_pruned_recall(spark, sf_small):
     assert recall >= 0.8, f"semantic dedup within-cell recall {recall}"
 
 
+def test_semantic_blas_tier_matches_relational(spark):
+    """r07 (judge task #5): the production BLAS tier (broadcast-kernel
+    cell assignment + per-cell blocked matmul) against the relational
+    tier on identical centroids (both call pq_codebooks kmeans_local
+    with the same params, which is deterministic). Same pair set, same
+    HALF_UP-rounded cosines; n_assign=2 recall vs the exact tier must
+    dominate n_assign=1 (multi-probe can only add boundary pairs)."""
+    from tools.bench_corpus import clustered_embeddings
+
+    clus = clustered_embeddings(spark, 1200) \
+        .select("vec_id", "embedding").persist()
+    kw = dict(threshold=0.9, n_cells=32, train_permille=500)
+    rel = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dd.semantic_near_duplicates(
+               clus, quantizer="kmeans_local", **kw).collect()}
+    blas = {(r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in dd.semantic_near_duplicates_blas(
+                clus, **kw).collect()}
+    assert set(rel) == set(blas)
+    assert all(abs(rel[p] - blas[p]) < 1.5e-6 for p in rel)
+
+    blas2 = {(r["vec_a"], r["vec_b"])
+             for r in dd.semantic_near_duplicates_blas(
+                 clus, n_assign=2, **kw).collect()}
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in dd.embedding_cosine_pairs(
+                 clus, threshold=0.9, n_chunks=4).collect()}
+    clus.unpersist()
+    assert set(blas) <= blas2 <= exact
+    r1 = len(set(blas) & exact) / len(exact)
+    r2 = len(blas2 & exact) / len(exact)
+    assert r2 >= r1 >= 0.8, f"blas tier recall {r1} -> {r2}"
+
+
 # --- r06 session 2: temperature mix + BPE trainer ---------------------------
 
 
