@@ -76,13 +76,12 @@ def ann_recall_metrics(spark, sf_dir: str, k: int = 10,
             multiprobe=True),
         "ann_recall_at_10_ivf_first": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4),
-        # train_permille=200: Lloyd training cost is the tier's knob —
-        # full-corpus training cost 17.2s of the r06 bench tail; a 20%
-        # sample trains centroids of the same quality here (recall is
-        # asserted in the output), matching the frontier configs below.
+        # kmeans_local (r07): driver-numpy Lloyd on the 20% sample —
+        # the distributed trainer's 20.8s here was job COUNT (n_iter×2
+        # Spark jobs), not data; same recall, asserted in the output.
         "ann_recall_at_10_ivf_kmeans": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4,
-            quantizer="kmeans", train_permille=200),
+            quantizer="kmeans_local", train_permille=200),
         "ann_recall_at_10_int8": lambda: ann.quantized_topk(
             emb, queries, k=k),
         "ann_recall_at_10_pq_first": lambda: ann.pq_topk(
@@ -238,7 +237,7 @@ def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
             emb, queries, k=k, n_cells=16, n_probe=4),
         "ivf_kmeans_p4of16": lambda: ann.ivf_topk(
             emb, queries, k=k, n_cells=16, n_probe=4,
-            quantizer="kmeans", train_permille=200),
+            quantizer="kmeans_local", train_permille=200),
         "int8": lambda: ann.quantized_topk(emb, queries, k=k),
         "pq_first_m8x32": lambda: ann.pq_topk(
             emb, queries, k=k, encode_kernel="blas"),

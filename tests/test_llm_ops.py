@@ -259,6 +259,23 @@ def test_ann_ivf_kmeans_quantizer(spark, sf_small):
     recall = len(b & got) / len(b)
     assert recall >= 0.3, f"kmeans-ivf recall {recall}"
 
+    # r07: the driver-side Lloyd trainer (ONE Spark job instead of the
+    # distributed trainer's n_iter×2 — the bench's 20.8s→~7s swap) is
+    # deterministic, keeps self-recall, and meets the same floor
+    kl = {(r["query_id"], r["rank"], r["vec_id"])
+          for r in ann.ivf_topk(emb, queries, k=10, n_cells=16,
+                                n_probe=4,
+                                quantizer="kmeans_local").collect()}
+    kl2 = {(r["query_id"], r["rank"], r["vec_id"])
+           for r in ann.ivf_topk(emb, queries, k=10, n_cells=16,
+                                 n_probe=4,
+                                 quantizer="kmeans_local").collect()}
+    assert kl == kl2
+    got_l = {(q, v) for q, _, v in kl}
+    assert all((q, q) in got_l for q in range(10))
+    recall_l = len(b & got_l) / len(b)
+    assert recall_l >= 0.3, f"kmeans_local-ivf recall {recall_l}"
+
 
 def test_kmeans_centroids_shape_and_determinism(spark, sf_small):
     emb = load(spark, sf_small, "embeddings")
