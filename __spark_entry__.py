@@ -83,6 +83,20 @@ _DRIVER_PRIORITY = [
     #    CORRECTNESS_r06 still re-certifies the engine's spine. Window
     #    rotation cannot hide the rest: the full registry is
     #    self-checked every round (CORRECTNESS_FULL_r{N}.json). --
+    # -- r07 session 2: the corpus-refresh ring (Gopher rule gates,
+    #    quality survivorship dedup, incremental cross-corpus dedup,
+    #    token-budget selection). Rotated out to make room (all
+    #    long-green, siblings still in the window, full-registry
+    #    artifact still covers them): sp_epoch_mix, sp_shard_assign,
+    #    ann_quantized_topk, st_sliding_window_counts. --
+    "ta_gopher_quality_flags",
+    "dd_dedup_keep_best",
+    "dd_cross_corpus_near_dups",
+    "sp_token_budget_select",
+    # j10 completes the temporal-join family (as-of/range/overlap);
+    # st_session_window_counts rotated out for it (sliding/tumbling/
+    # stateful siblings keep the streaming family visible).
+    "j10_interval_overlap_join",
     "er_pipeline_resolved_closed_form",
     "e1_blocking_stats",
     "e2_blocked_pairs_decided",
@@ -92,17 +106,12 @@ _DRIVER_PRIORITY = [
     "a2_presence_summary",
     "n2_email_dedup_label_upgrade",
     "st_tumbling_window_counts",
-    "st_session_window_counts",
-    "st_sliding_window_counts",
     "st_stateful_first_event",
     "st_incremental_er_assign",
     "st_stream_near_dup_flags",
     "curate_corpus",
     "dd_dedup_keep_first",
     "dd_decontaminate_ngrams",
-    "sp_epoch_mix",
-    "sp_shard_assign",
-    "ann_quantized_topk",
     # Rotated out in r06 s4 to make room for the seven new operators
     # (sp_source_cap, dd_snapshot_delta, st_source_cap_ingest,
     # sp_training_export, sp_pack_rows, st_snapshot_delta_ingest,

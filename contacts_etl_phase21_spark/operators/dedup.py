@@ -500,6 +500,108 @@ def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,
         .cast("int").alias("kept"))
 
 
+def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
+                    rank_col: str, n: int = 3, num_hashes: int = 64,
+                    bands: int = 16, threshold: float = 0.8) -> DataFrame:
+    """Near-dedup keeping the BEST document per duplicate group
+    (highest rank_col, ties to the smallest id) — the survivorship
+    variant a curation pipeline wants when duplicates differ in
+    quality/length and "first" is an accident of ingestion order.
+
+    Same spine as dedup_keep_first (LSH pairs → connected components);
+    the representative is then an argmax per component: ONE extra
+    groupBy on the already-shuffled component key using a
+    lexicographic struct max (rank desc via max, id asc via negated
+    id), plus an equi-join of that |components|-row frame back — both
+    bounded by the component count, no new corpus-scale shuffle.
+
+    Returns (id_col, keep_id, kept) like dedup_keep_first.
+    """
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    vertices = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(vertices, edges)
+    labeled = cc.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(rank_col).alias("__rank")), "id")
+    best = (labeled.groupBy("component")
+            .agg(F.max(F.struct(F.col("__rank").alias("r"),
+                                (-F.col("id")).alias("nid"))).alias("m"))
+            .select("component", (-F.col("m.nid")).alias("keep_id")))
+    return (labeled.join(best, "component")
+            .select(F.col("id").alias(id_col),
+                    F.col("keep_id"),
+                    F.when(F.col("id") == F.col("keep_id"), 1).otherwise(0)
+                    .cast("int").alias("kept")))
+
+
+def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
+                           id_col: str, text_col: str, n: int = 3,
+                           num_hashes: int = 64, bands: int = 16,
+                           threshold: float = 0.8,
+                           broadcast_new: bool = True) -> DataFrame:
+    """Incremental cross-corpus near-dedup: flag NEW-batch docs that
+    near-duplicate any doc in an existing INDEX corpus — the
+    nightly-ingest operation (dedupe tonight's crawl against the
+    already-curated corpus) that a self-join dedup cannot express
+    without rescanning everything as one corpus.
+
+    Band-bucket equi-join between the two sides' LSH signatures
+    (never a self-join, never all-pairs), exact-Jaccard verification
+    on candidates only. At 100 TB the index's (doc, band, bucket)
+    frame is computed ONCE and stored (the lsh_corpus_index shape the
+    streaming near-dup tier serves from); a nightly batch ≪ index, so
+    with broadcast_new the new side's buckets AND its shingle arrays
+    broadcast — the index is probed in the scan, zero index shuffle.
+
+    Returns (new_id, index_id, jaccard) for verified pairs.
+    """
+    rows = num_hashes // bands
+    sh_new = with_hashed_shingles(new, id_col, text_col, n).persist()
+    sh_idx = with_hashed_shingles(index, id_col, text_col, n).persist()
+
+    def buckets(sh: DataFrame) -> DataFrame:
+        sig = _signature_from_hashed(sh, num_hashes)
+        bba = sig.select(
+            "doc",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
+                    .alias("bucket"))).alias("bba"))
+        return bba.select("doc", F.explode("bba").alias("bb"))
+
+    b_new = buckets(sh_new).select(F.col("doc").alias("new_id"), "bb")
+    b_idx = buckets(sh_idx).select(F.col("doc").alias("index_id"), "bb")
+    if broadcast_new:
+        b_new = F.broadcast(b_new)
+    candidates = (b_new.join(b_idx, "bb")
+                  .select("new_id", "index_id").distinct())
+    a = sh_new.select(F.col("doc").alias("new_id"),
+                      F.col("sh_h").alias("sh_a"))
+    b = sh_idx.select(F.col("doc").alias("index_id"),
+                      F.col("sh_h").alias("sh_b"))
+    if broadcast_new:
+        a = F.broadcast(a)
+    verified = (
+        candidates.join(a, "new_id").join(b, "index_id")
+        .select(
+            "new_id", "index_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))
+    return _carry_cached(verified, [sh_new, sh_idx])
+
+
 def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.45,

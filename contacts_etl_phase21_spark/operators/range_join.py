@@ -57,3 +57,58 @@ def range_join(points: DataFrame, intervals: DataFrame, key_col: str,
     return p.join(i, cond, how).select(
         *[p[c] for c in points.columns],
         *[i[f"{prefix}{c}"] for c in icols])
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, key_col: str,
+                          l_start: str, l_end: str, r_start: str,
+                          r_end: str, bucket_span_us: int = 600_000_000,
+                          prefix: str = "r_") -> DataFrame:
+    """Interval-OVERLAP join: one output row per (left interval, right
+    interval) pair that overlaps — `l.start <= r.end AND r.start <=
+    l.end` on the same key. The third member of the temporal-join
+    family (as-of = latest-before, range = point-in-interval, overlap
+    = interval-intersects-interval); a bare theta join plans as a
+    nested-loop cartesian.
+
+    Same bucketization as range_join, with one extra idea: BOTH sides
+    explode into the coarse buckets they cover, so an overlapping pair
+    would surface once per SHARED bucket — instead each pair is
+    claimed by exactly ONE canonical bucket, the bucket containing the
+    overlap's start (greatest of the two starts), which both sides
+    cover by definition. No post-join distinct, no duplicate
+    candidates surviving. Work is Σ(len/span + 1) exploded rows per
+    side, shuffled on (key, bucket); pick bucket_span_us near the
+    typical interval length so the explode factor stays ~2.
+
+    Inner semantics only: an outer variant over exploded sides would
+    fabricate one NULL row per uncovered (row, bucket) — compose
+    left-outer reports as aggregate + join-back (the j8/j10 pattern).
+    Inputs with end < start are dropped BEFORE the explode (Spark's
+    sequence() counts DOWN when stop < start — the recorded trap).
+    Left columns keep their names; right columns arrive prefixed.
+    """
+    lcols = list(left.columns)
+    rcols = list(right.columns)
+    lf = (left
+          .withColumn("__ls", F.unix_micros(F.col(l_start)))
+          .withColumn("__le", F.unix_micros(F.col(l_end)))
+          .filter(F.col("__le") >= F.col("__ls"))
+          .withColumn("__bkt", F.explode(F.sequence(
+              F.floor(F.col("__ls") / bucket_span_us),
+              F.floor(F.col("__le") / bucket_span_us)))))
+    rf = (right
+          .select(*[F.col(c).alias(f"{prefix}{c}") for c in rcols])
+          .withColumn("__rs", F.unix_micros(F.col(f"{prefix}{r_start}")))
+          .withColumn("__re", F.unix_micros(F.col(f"{prefix}{r_end}")))
+          .filter(F.col("__re") >= F.col("__rs"))
+          .withColumn("__bkt", F.explode(F.sequence(
+              F.floor(F.col("__rs") / bucket_span_us),
+              F.floor(F.col("__re") / bucket_span_us)))))
+    cond = (lf[key_col].eqNullSafe(rf[f"{prefix}{key_col}"])
+            & (lf["__bkt"] == rf["__bkt"])
+            & (lf["__ls"] <= rf["__re"]) & (rf["__rs"] <= lf["__le"])
+            & (lf["__bkt"] == F.floor(
+                F.greatest(lf["__ls"], rf["__rs"]) / bucket_span_us)))
+    return lf.join(rf, cond).select(
+        *[lf[c] for c in lcols],
+        *[rf[f"{prefix}{c}"] for c in rcols])

@@ -352,6 +352,52 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                     .cast("int").alias("pack_id")))
 
 
+def token_budget_select(df: DataFrame, id_col: str, rank_col: str,
+                        tokens_col: Column, budget: int,
+                        rank_span: int = 64) -> DataFrame:
+    """Greedy token-budget corpus selection: order documents by
+    (rank_col DESC, id ASC) and keep the maximal PREFIX whose
+    inclusive cumulative token count fits the budget — "take the best
+    docs until the token budget is spent", the standard way a
+    fixed-compute training run is provisioned from a scored corpus.
+    Prefix semantics (selection stops at the first overflow), not
+    knapsack — deterministic and engine-portable.
+
+    Scale shape: pack_sequences' TWO-PASS prefix sum, but blocked on
+    the bucketized SORT KEY (__blk = -floor(rank/rank_span)) instead
+    of id ranges, so ascending block order IS descending rank order
+    and the global (rank desc, id) order factors exactly into
+    (block, in-block order). Pass 1 windows inside a block (bounded by
+    the rank histogram's bucket mass — pick rank_span so no single
+    rank bucket is a whole-corpus partition); pass 2 cumulates one
+    total per block (tiny) and broadcasts offsets back. No global
+    single-reducer sort of the corpus.
+
+    Returns (id_col, rank_col, n_tokens, cum_tokens) for the selected
+    prefix only.
+    """
+    base = df.select(F.col(id_col), F.col(rank_col).alias("__rank"),
+                     tokens_col.cast("long").alias("n_tokens")) \
+        .withColumn("__blk", -F.floor(F.col("__rank") / rank_span))
+    w_local = Window.partitionBy("__blk") \
+        .orderBy(F.desc("__rank"), F.asc(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    local = base.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    w_blocks = Window.orderBy("__blk") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (base.groupBy("__blk")
+               .agg(F.sum("n_tokens").alias("__t"))
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__t").over(w_blocks), F.lit(0)))
+               .drop("__t"))
+    return (local.join(F.broadcast(offsets), "__blk")
+            .withColumn("cum_tokens",
+                        F.col("__offset") + F.col("__local_cum"))
+            .filter(F.col("cum_tokens") <= budget)
+            .select(F.col(id_col), F.col("__rank").alias(rank_col),
+                    "n_tokens", "cum_tokens"))
+
+
 def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
                   size: int = 64, stride: int = 48,
                   keep_cols: list[str] | None = None) -> DataFrame:

@@ -136,6 +136,78 @@ def quality_score(text: Column) -> Column:
     ).cast("int")
 
 
+# The Gopher rule-set stopwords (Rae et al. 2021, Appendix A): a doc
+# must contain at least two DISTINCT members to pass the stop gate.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_signals(text: Column, min_words: int = 50,
+                   max_words: int = 100_000) -> dict[str, Column]:
+    """The full Gopher quality-rule family (Rae et al. 2021, Appx A)
+    as pure column expressions — word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, distinct-stopword floor — plus the
+    combined pass flag.
+
+    Every GATE is integer arithmetic (e.g. symbol ratio < 0.1 is
+    tested as 10*symbols < words), so the pass/fail decision is exact
+    and engine-portable; the float ratios are emitted separately for
+    reporting and rounded for fixed-point hashing. 100 TB shape: one
+    projection over the scan, no shuffle, no Python — the same class
+    as quality_signals. Counting by replace-length-delta (for '#' and
+    '...') is non-regex and identical across engines.
+    """
+    t = F.trim(text)
+    toks = F.split(t, r"\s+")
+    n_words = whitespace_token_count(text)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = ((F.length(text)
+                   - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+                  / F.lit(3)).cast("long")
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    alpha_words = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))))
+    n_stop_distinct = F.size(F.array_intersect(
+        F.array_distinct(F.split(F.lower(t), r"\s+")),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).startswith("-")
+        | F.ltrim(ln).startswith("*") | F.ltrim(ln).startswith("•")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")))
+    safe_words = F.when(n_words == 0, F.lit(1)).otherwise(n_words)
+    gates = {
+        "g_words": (n_words >= min_words) & (n_words <= max_words),
+        "g_mean_wlen": (n_words > 0) & (nonspace >= 3 * n_words)
+        & (nonspace <= 10 * n_words),
+        "g_symbol": 10 * n_symbols < n_words,
+        "g_alpha": (n_words > 0) & (5 * alpha_words >= 4 * n_words),
+        "g_stop": n_stop_distinct >= 2,
+        "g_bullet": 10 * bullet_lines <= 9 * n_lines,
+        "g_ellipsis": 10 * ellipsis_lines <= 3 * n_lines,
+    }
+    out: dict[str, Column] = {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.round(nonspace.cast("double") / n_words, 4)),
+        "symbol_ratio": F.round(n_symbols.cast("double") / safe_words, 6),
+        "alpha_ratio": F.round(alpha_words.cast("double") / safe_words, 6),
+        "n_stop_distinct": n_stop_distinct.cast("int"),
+        "bullet_frac": F.round(bullet_lines.cast("double") / n_lines, 6),
+        "ellipsis_frac": F.round(ellipsis_lines.cast("double") / n_lines, 6),
+    }
+    for k, g in gates.items():
+        out[k] = g.cast("int")
+    out["pass_gopher"] = (
+        gates["g_words"] & gates["g_mean_wlen"] & gates["g_symbol"]
+        & gates["g_alpha"] & gates["g_stop"] & gates["g_bullet"]
+        & gates["g_ellipsis"]).cast("int")
+    return out
+
+
 def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set — catches shuffled/re-ordered duplicates that

@@ -2325,6 +2325,71 @@ def j8_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j10_interval_overlap_join",
+    survey="J-ext(overlap),LLM-events(session-overlap)",
+    doc="Interval-OVERLAP join (r07, operators/range_join."
+        "interval_overlap_join): 5-minute click sessions matched to "
+        "the 10-minute error windows they INTERSECT (same user), "
+        "aggregated to per-click coverage. Completes the temporal-join "
+        "family (as-of / range / overlap). Both interval sets explode "
+        "into covered time buckets; each overlapping pair is claimed "
+        "by exactly ONE canonical bucket (the one containing the "
+        "overlap's start), so the bucket equi-join needs no post-join "
+        "distinct. Oracle is the quadratic theta-join reference.",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e_us
+            FROM events WHERE event_type = 'click'
+        ),
+        e AS (
+            SELECT event_id AS err_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id,
+               CAST(COUNT(e.err_id) AS BIGINT) AS n_overlaps,
+               MIN(e.err_id) AS first_err_id
+        FROM c LEFT JOIN e
+          ON c.user_id = e.user_id
+         AND c.s_us <= e.e_us AND e.s_us <= c.e_us
+        GROUP BY c.event_id, c.user_id
+        ORDER BY c.event_id
+    """,
+)
+def j10_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.col("ts").alias("c_start"),
+        F.timestamp_micros(F.unix_micros("ts") + 300_000_000)
+        .alias("c_end"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        F.timestamp_micros(F.unix_micros("ts") + 600_000_000)
+        .alias("w_end"))
+    pairs = interval_overlap_join(clicks, errors, "user_id",
+                                  "c_start", "c_end", "w_start", "w_end",
+                                  bucket_span_us=600_000_000)
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("r_err_id").alias("first_err_id"))
+    return (clicks.join(agg, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.coalesce(F.col("__n"), F.lit(0)).cast("bigint")
+                    .alias("n_overlaps"),
+                    "first_err_id")
+            .orderBy("event_id"))
+
+
+@query(
     "ta_distinct_profile",
     survey="LLM-text(cardinality)",
     doc="Per-language corpus cardinality profile (r06): exact distinct "
@@ -3043,3 +3108,245 @@ def ta_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return ta.ccnet_buckets(docs, "doc_id", "text", "lang",
                             bin_e6=100).orderBy("doc_id")
+
+
+# Corpus-refresh ring (r07 session 2) ------------------------------------------
+
+
+@query(
+    "ta_gopher_quality_flags",
+    survey="LLM-text(gopher)",
+    doc="The full Gopher quality-rule family (Rae et al. 2021, Appx "
+        "A) per document: word-count bounds, mean-word-length bounds, "
+        "symbol-to-word ratio, alphabetic-word fraction, distinct-"
+        "stopword floor, bullet/ellipsis line fractions — each gate "
+        "decided with INTEGER arithmetic (10*symbols < words, not a "
+        "float compare) so pass/fail is exact cross-engine; ratios "
+        "emitted e6/rounded for reporting. One projection over the "
+        "scan, no shuffle, no Python (operators/text_analysis."
+        "gopher_signals).",
+    oracle=e6_oracle("""
+        WITH g AS (
+            SELECT doc_id,
+                   string_split(trim(text), ' ') AS w,
+                   len(string_split(trim(text), ' ')) AS n_words,
+                   len(replace(trim(text), ' ', '')) AS nonspace,
+                   len(text) - len(replace(text, '#', '')) AS n_hash,
+                   (len(text) - len(replace(text, '...', ''))) // 3
+                       AS n_ellipsis,
+                   len(list_intersect(
+                       list_distinct(string_split(lower(trim(text)), ' ')),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS n_stop_distinct,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ),
+        g2 AS (
+            SELECT doc_id, n_words, nonspace,
+                   n_hash + n_ellipsis AS n_symbols, n_stop_distinct,
+                   len(list_filter(w,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines,
+                       l -> starts_with(ltrim(l), '-')
+                            OR starts_with(ltrim(l), '*')
+                            OR starts_with(ltrim(l), '•'))) AS bullet_lines,
+                   len(list_filter(lines,
+                       l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               ROUND(nonspace * 1.0 / n_words, 4) AS mean_word_len,
+               ROUND(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+               ROUND(alpha_words * 1.0 / n_words, 6) AS alpha_ratio,
+               CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+               ROUND(bullet_lines * 1.0 / n_lines, 6) AS bullet_frac,
+               ROUND(ellipsis_lines * 1.0 / n_lines, 6) AS ellipsis_frac,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END AS INT) AS g_words,
+               CAST(CASE WHEN n_words > 0 AND nonspace >= 3 * n_words
+                          AND nonspace <= 10 * n_words
+                    THEN 1 ELSE 0 END AS INT) AS g_mean_wlen,
+               CAST(CASE WHEN 10 * n_symbols < n_words
+                    THEN 1 ELSE 0 END AS INT) AS g_symbol,
+               CAST(CASE WHEN n_words > 0
+                          AND 5 * alpha_words >= 4 * n_words
+                    THEN 1 ELSE 0 END AS INT) AS g_alpha,
+               CAST(CASE WHEN n_stop_distinct >= 2
+                    THEN 1 ELSE 0 END AS INT) AS g_stop,
+               CAST(CASE WHEN 10 * bullet_lines <= 9 * n_lines
+                    THEN 1 ELSE 0 END AS INT) AS g_bullet,
+               CAST(CASE WHEN 10 * ellipsis_lines <= 3 * n_lines
+                    THEN 1 ELSE 0 END AS INT) AS g_ellipsis,
+               CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND n_words > 0 AND nonspace >= 3 * n_words
+                          AND nonspace <= 10 * n_words
+                          AND 10 * n_symbols < n_words
+                          AND 5 * alpha_words >= 4 * n_words
+                          AND n_stop_distinct >= 2
+                          AND 10 * bullet_lines <= 9 * n_lines
+                          AND 10 * ellipsis_lines <= 3 * n_lines
+                    THEN 1 ELSE 0 END AS INT) AS pass_gopher
+        FROM g2 ORDER BY doc_id
+    """, "mean_word_len", "symbol_ratio", "alpha_ratio", "bullet_frac",
+        "ellipsis_frac"),
+)
+def ta_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    g = ta.gopher_signals(F.col("text"))
+    cols = ["n_words", "mean_word_len", "symbol_ratio", "alpha_ratio",
+            "n_stop_distinct", "bullet_frac", "ellipsis_frac",
+            "g_words", "g_mean_wlen", "g_symbol", "g_alpha", "g_stop",
+            "g_bullet", "g_ellipsis", "pass_gopher"]
+    return scale_e6(
+        docs.select("doc_id", *[g[c].alias(c) for c in cols])
+            .orderBy("doc_id"),
+        "mean_word_len", "symbol_ratio", "alpha_ratio", "bullet_frac",
+        "ellipsis_frac")
+
+
+@query(
+    "dd_dedup_keep_best",
+    survey="LLM-dedup(keep-best),E5,E6",
+    doc="Near-dedup with QUALITY survivorship (operators/dedup."
+        "dedup_keep_best): LSH pairs → connected components → keep the "
+        "highest-n_chars doc per duplicate group (ties to min id) — "
+        "the survivorship a curation pipeline wants when duplicates "
+        "differ in quality and keep-first is an ingestion-order "
+        "accident. vs keep_first: one extra groupBy on the component "
+        "key (lexicographic struct argmax) + a |components|-row join "
+        "back. Oracle recomputes exact-Jaccard transitive closure "
+        "with a recursive CTE and the same argmax via ROW_NUMBER.",
+    oracle="""
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                  >= 0.8
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        comp AS (
+            SELECT d.doc_id,
+                   COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS comp,
+                   d.n_chars
+            FROM documents d LEFT JOIN rep r USING (doc_id)
+        ),
+        best AS (
+            SELECT comp, doc_id AS keep_id FROM (
+                SELECT comp, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY comp
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM comp) WHERE rn = 1
+        )
+        SELECT c.doc_id, CAST(b.keep_id AS BIGINT) AS keep_id,
+               CAST(CASE WHEN c.doc_id = b.keep_id THEN 1 ELSE 0 END
+                    AS INT) AS kept
+        FROM comp c JOIN best b USING (comp)
+        ORDER BY c.doc_id
+    """,
+)
+def dd_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.dedup_keep_best(docs, "doc_id", "text",
+                              "n_chars").orderBy("doc_id")
+
+
+@query(
+    "dd_cross_corpus_near_dups",
+    survey="LLM-dedup(cross-corpus)",
+    doc="Incremental cross-corpus near-dedup (operators/dedup."
+        "cross_corpus_near_dups): flag NEW-batch docs (doc_id%5=0) "
+        "near-duplicating any doc in the existing INDEX corpus (the "
+        "rest) — the nightly-ingest dedupe-against-curated operation. "
+        "LSH band-bucket equi-join between the sides (never a "
+        "self-join); the new batch ≪ index so its buckets and shingle "
+        "arrays BROADCAST and the index is probed in the scan. Same "
+        "recall argument as dd_minhash_lsh_verified (P(miss) < 1e-3 "
+        "at j=0.8), so the oracle is the exact cross-side Jaccard.",
+    oracle=e6_oracle("""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        ),
+        newb AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        idx AS (SELECT * FROM sh WHERE doc_id % 5 <> 0)
+        SELECT * FROM (
+            SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+                   ROUND(len(list_intersect(n.s, i.s)) * 1.0
+                         / len(list_distinct(list_concat(n.s, i.s))), 6)
+                       AS jaccard
+            FROM newb n JOIN idx i ON 1 = 1
+        ) WHERE jaccard >= 0.8
+        ORDER BY new_id, index_id
+    """, "jaccard"),
+)
+def dd_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    return scale_e6(
+        dd.cross_corpus_near_dups(new, idx, "doc_id", "text")
+          .orderBy("new_id", "index_id"),
+        "jaccard")
+
+
+@query(
+    "sp_token_budget_select",
+    survey="LLM-sampling(budget)",
+    doc="Greedy token-budget corpus selection (operators/sampling."
+        "token_budget_select): order docs by (n_chars DESC, doc_id) "
+        "and keep the maximal prefix whose inclusive cumulative token "
+        "count fits a 12k budget — fixed-compute training-run "
+        "provisioning from a scored corpus. Two-pass prefix sum "
+        "blocked on the bucketized SORT KEY (ascending block = "
+        "descending rank), so no global single-reducer sort; the "
+        "oracle is one QUALIFY window (CAST to BIGINT — window SUM is "
+        "HUGEINT in DuckDB, the r07 hash-red lesson).",
+    oracle="""
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(len(string_split(trim(text), ' ')))
+                    OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                   AS cum_tokens
+        FROM documents
+        QUALIFY cum_tokens <= 12000
+        ORDER BY doc_id
+    """,
+)
+def sp_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs, "doc_id", "n_chars",
+        ta.whitespace_token_count(F.col("text")),
+        budget=12_000).orderBy("doc_id")

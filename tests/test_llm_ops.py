@@ -1958,3 +1958,207 @@ def test_ccnet_buckets_terciles_and_null_rule(spark):
     # one bin can never split across buckets
     for grp in (range(0, 3), range(3, 6), range(6, 9)):
         assert len({got[i] for i in grp}) == 1
+
+
+# Corpus-refresh ring (r07 session 2) -----------------------------------------
+
+
+def test_gopher_signals_gate_semantics(spark):
+    from contacts_etl_phase21_spark.operators import text_analysis as ta
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog and"] * 6)
+    cases = [
+        (1, good, 1),                                   # 60 words, clean
+        (2, "the of short", 0),                         # g_words: < 50
+        (3, " ".join(["a"] * 60), 0),                   # g_mean_wlen: 1.0
+        (4, good + " " + " ".join(["###"] * 20), 0),    # g_symbol + mean
+        (5, " ".join(["the"] * 60), 0),                 # g_stop: 1 distinct
+        (6, "\n".join(["- " + good] * 10), 0),          # g_bullet: all bullets
+        (7, "\n".join([good + " ..."] * 10), 0),        # g_ellipsis: all end ...
+        (8, " ".join(["1234"] * 30 + [good]), 0),       # g_alpha < 0.8
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               ["doc_id", "text"])
+    g = ta.gopher_signals(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[g[k].alias(k) for k in
+                    ("n_words", "pass_gopher", "g_words", "g_mean_wlen",
+                     "g_symbol", "g_alpha", "g_stop", "g_bullet",
+                     "g_ellipsis")]).collect()}
+    for i, _, want in cases:
+        assert rows[i]["pass_gopher"] == want, (i, dict(rows[i].asDict()))
+    # each rejected case fails through the INTENDED gate
+    assert rows[2]["g_words"] == 0
+    assert rows[3]["g_mean_wlen"] == 0
+    assert rows[4]["g_symbol"] == 0
+    assert rows[5]["g_stop"] == 0
+    assert rows[6]["g_bullet"] == 0
+    assert rows[7]["g_ellipsis"] == 0
+    assert rows[8]["g_alpha"] == 0
+
+
+def test_dedup_keep_best_prefers_rank_then_min_id(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base + " one", 10),
+         (2, base + " one extra", 99),      # same shingles + longer: best
+         (3, base + " one", 10),            # ties doc 1 on rank
+         (9, "completely different words entirely here now", 5)],
+        ["doc_id", "text", "n_chars"])
+    out = {r["doc_id"]: r for r in dd.dedup_keep_best(
+        docs, "doc_id", "text", "n_chars", threshold=0.5).collect()}
+    assert out[2]["kept"] == 1 and out[1]["keep_id"] == 2
+    assert out[1]["kept"] == 0 and out[3]["keep_id"] == 2
+    assert out[9]["kept"] == 1 and out[9]["keep_id"] == 9
+    # tie on rank falls back to min id: drop doc 2, group {1,3} keeps 1
+    out2 = {r["doc_id"]: r for r in dd.dedup_keep_best(
+        docs.filter("doc_id != 2"), "doc_id", "text", "n_chars",
+        threshold=0.5).collect()}
+    assert out2[1]["kept"] == 1 and out2[3]["keep_id"] == 1
+
+
+def test_cross_corpus_near_dups_matches_exact(spark, sf_small):
+    docs = load(spark, sf_small, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {(r["new_id"], r["index_id"]) for r in
+           dd.cross_corpus_near_dups(new, idx, "doc_id", "text").collect()}
+    # exact cross-side truth from the all-pairs tier on the union
+    exact = _pairs(dd.jaccard_near_duplicates(docs, "doc_id", "text", 3, 0.8))
+    want = {(a, b) for a, b in exact if (a % 5 == 0) != (b % 5 == 0)}
+    want = {(a, b) if a % 5 == 0 else (b, a) for a, b in want}
+    assert want, "calibration: need at least one straddling planted pair"
+    assert got == want
+
+
+def test_token_budget_select_equals_global_window(spark, sf_small):
+    from pyspark.sql import Window
+    from contacts_etl_phase21_spark.operators import text_analysis as ta
+    from contacts_etl_phase21_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    got = token_budget_select(
+        docs, "doc_id", "n_chars",
+        ta.whitespace_token_count(F.col("text")), budget=12_000)
+    # single global-window twin (the shape the two-pass plan replaces)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    twin = (docs.select(
+        "doc_id", "n_chars",
+        ta.whitespace_token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 12_000))
+    g = {tuple(r) for r in got.collect()}
+    t = {tuple(r) for r in twin.collect()}
+    assert g == t and g
+    # prefix property: every selected doc outranks every unselected one
+    sel = got.select("doc_id", "n_chars").collect()
+    unsel = (docs.join(got.select("doc_id"), "doc_id", "left_anti")
+             .select("doc_id", "n_chars").collect())
+    worst_sel = max(((-r["n_chars"], r["doc_id"]) for r in sel))
+    best_unsel = min(((-r["n_chars"], r["doc_id"]) for r in unsel))
+    assert worst_sel < best_unsel
+
+
+def test_interval_overlap_join_exact_once_and_edges(spark):
+    """Each overlapping pair must surface EXACTLY once even when both
+    intervals span many buckets (the canonical-bucket claim), reversed
+    intervals are dropped, NULL keys group together, and the result
+    equals the quadratic theta-join reference."""
+    from contacts_etl_phase21_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    # build with explicit second offsets; bucket span 10s
+    lrows = [(1, "a", 0, 35), (2, "a", 50, 55), (3, None, 0, 5),
+             (4, "a", 80, 70)]                       # reversed: dropped
+    rrows = [(10, "a", 30, 95), (11, "a", 200, 210), (12, None, 3, 4),
+             (13, "b", 0, 100)]
+    left = spark.createDataFrame(lrows, ["id", "k", "ss", "es"]).select(
+        "id", "k", F.timestamp_micros(F.col("ss") * 1_000_000).alias("s"),
+        F.timestamp_micros(F.col("es") * 1_000_000).alias("e"))
+    right = spark.createDataFrame(rrows, ["id", "k", "ss", "es"]).select(
+        "id", "k", F.timestamp_micros(F.col("ss") * 1_000_000).alias("s"),
+        F.timestamp_micros(F.col("es") * 1_000_000).alias("e"))
+    got = [(r["id"], r["r_id"]) for r in interval_overlap_join(
+        left, right, "k", "s", "e", "s", "e",
+        bucket_span_us=10_000_000).collect()]
+    # pair (1,10) overlaps on [30,35] — both sides span MANY 10s
+    # buckets and share buckets 3; (2,10) overlaps [50,55]; (3,12)
+    # joins through the NULL key; (4,*) dropped as reversed.
+    assert sorted(got) == [(1, 10), (2, 10), (3, 12)]
+    assert len(got) == len(set(got)), "duplicate candidate survived"
+
+
+def test_gopher_signals_random_cross_check(spark):
+    """Pure-python twin over 200 seeded random docs — pins the Spark
+    column expressions (splits, replace-counting, HOF filters, integer
+    gates) against an independent reimplementation, including
+    whitespace runs, newlines, bullets, ellipses and symbols."""
+    import random
+    import re as _re
+
+    from contacts_etl_phase21_spark.operators import text_analysis as ta
+
+    rng = random.Random(7)
+    words = ["the", "of", "and", "that", "have", "with", "a", "####",
+             "data", "12345", "x", "...", "pipeline", "-", "•",
+             "longishword", "supercalifragilistic"]
+    clean = ["the", "of", "and", "that", "have", "with", "quick",
+             "brown", "foxes", "jumped", "over", "lazy", "dogs"]
+    docs = []
+    for i in range(200):
+        if i % 4 == 0:  # clean family: should mostly pass
+            n = rng.randint(55, 120)
+            docs.append((i, " ".join(rng.choice(clean)
+                                     for _ in range(n))))
+            continue
+        n_lines = rng.randint(1, 4)
+        lines = []
+        for _ in range(n_lines):
+            n = rng.randint(0, 40)
+            line = (" " * rng.randint(1, 2)).join(
+                rng.choice(words) for _ in range(n))
+            if rng.random() < 0.3:
+                line = "- " + line
+            if rng.random() < 0.3:
+                line = line + " ..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+
+    def twin(text):
+        t = text.strip()
+        toks = _re.split(r"\s+", t) if t else [""]
+        n_words = 0 if t == "" else len(toks)
+        nonspace = len(_re.sub(r"\s+", "", t))
+        n_hash = text.count("#")
+        n_ell = text.count("...")  # non-overlapping, same as replace
+        n_sym = n_hash + n_ell
+        alpha = 0 if n_words == 0 else sum(
+            1 for w in toks if _re.search("[A-Za-z]", w))
+        stop = len(set(_re.split(r"\s+", t.lower()) if t else [])
+                   & set(ta.GOPHER_STOPWORDS))
+        lines = text.split("\n")
+        nl = len(lines)
+        bl = sum(1 for ln in lines
+                 if ln.lstrip().startswith(("-", "*", "•")))
+        el = sum(1 for ln in lines if ln.rstrip().endswith("..."))
+        return int(50 <= n_words <= 100_000
+                   and n_words > 0
+                   and 3 * n_words <= nonspace <= 10 * n_words
+                   and 10 * n_sym < n_words
+                   and 5 * alpha >= 4 * n_words
+                   and stop >= 2
+                   and 10 * bl <= 9 * nl
+                   and 10 * el <= 3 * nl)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    g = ta.gopher_signals(F.col("text"))
+    got = {r["doc_id"]: r["pass_gopher"] for r in df.select(
+        "doc_id", g["pass_gopher"].alias("pass_gopher")).collect()}
+    want = {i: twin(t) for i, t in docs}
+    assert got == want
+    assert sum(want.values()) > 0, "calibration: some doc must pass"

@@ -693,3 +693,37 @@ def test_export_composition_keeps_two_pass_packing(spark, sf_small):
         "row-level pack window lost its block key"
     assert tot_windows, "per-block totals window missing"
     assert "BroadcastHashJoin" in plan  # offsets come back broadcast
+
+
+def test_token_budget_select_two_pass_plan(spark, sf_small):
+    """r07: the budget-selection prefix sum must never sort the whole
+    corpus under one global window — the corpus-scale window is keyed
+    on the bucketized SORT KEY block; per-block offsets come back via
+    a broadcast join (pack_sequences' two-pass property, transplanted
+    to an arbitrary rank ordering)."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    # small rank_span so sf_small spans multiple blocks
+    got = token_budget_select(docs, "doc_id", "n_chars",
+                              whitespace_token_count(F.col("text")),
+                              budget=12_000, rank_span=16)
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "__blk" in p
+    assert "BroadcastHashJoin" in p
+    # multiple blocks actually exercised, and the selection is
+    # rank_span-invariant (same rows as the default-span plan)
+    n_blocks = (docs.select((-F.floor(F.col("n_chars") / 16))
+                            .alias("b")).distinct().count())
+    assert n_blocks > 3
+    default_span = token_budget_select(
+        docs, "doc_id", "n_chars",
+        whitespace_token_count(F.col("text")), budget=12_000)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in default_span.collect()})
