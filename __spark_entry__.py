@@ -97,6 +97,13 @@ _DRIVER_PRIORITY = [
     # st_session_window_counts rotated out for it (sliding/tumbling/
     # stateful siblings keep the streaming family visible).
     "j10_interval_overlap_join",
+    # dd_contamination_by_eval: the eval-integrity inverse of the
+    # decontaminate flags; n2_email_dedup_label_upgrade rotated out
+    # (ER family keeps 7 other window rows).
+    "dd_contamination_by_eval",
+    # sp_corpus_refresh: the ring composed end-to-end (gate -> cross-
+    # dedup -> budget select); st_stateful_first_event rotated out.
+    "sp_corpus_refresh",
     "er_pipeline_resolved_closed_form",
     "e1_blocking_stats",
     "e2_blocked_pairs_decided",
@@ -104,9 +111,7 @@ _DRIVER_PRIORITY = [
     "e7_first_name_vote",
     "e8_channel_union_survivorship",
     "a2_presence_summary",
-    "n2_email_dedup_label_upgrade",
     "st_tumbling_window_counts",
-    "st_stateful_first_event",
     "st_incremental_er_assign",
     "st_stream_near_dup_flags",
     "curate_corpus",

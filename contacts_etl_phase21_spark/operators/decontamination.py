@@ -79,6 +79,45 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame,
                     .otherwise(0).cast("int").alias("contaminated")))
 
 
+def contamination_by_eval(train: DataFrame, eval_df: DataFrame,
+                          id_col: str, text_col: str,
+                          n: int = 8) -> DataFrame:
+    """The INVERSE report of contamination_flags: one row per EVAL doc
+    — (eval_id, n_train_docs, n_shared_grams) — "which benchmark items
+    are how badly leaked into the corpus", the eval-integrity view a
+    benchmark owner needs (flags tell you what to drop; this tells you
+    which eval numbers to distrust).
+
+    Scale shape mirrors contamination_flags: the (eval_id, gram) frame
+    is tiny and BROADCAST, so the corpus-side gram join runs inside
+    the scan; only the |hit pairs| rows (corpus-scale only if the
+    corpus is mostly leaked) reach the per-eval aggregate, and the
+    join back to all eval docs (for honest zero rows) broadcasts too.
+    The corpus is never shuffled. Caller releases the shingle cache
+    via dedup.release_cached (the r07 lifecycle contract).
+    """
+    from contacts_etl_phase21_spark.operators.dedup import _carry_cached
+
+    ev = broadcast(
+        with_hashed_shingles(eval_df, id_col, text_col, n)
+        .select(F.col("doc").alias("eval_id"), F.explode("sh_h").alias("g")))
+    tr = with_hashed_shingles(train, id_col, text_col, n).persist()
+    hit_pairs = (tr.select(F.col("doc").alias("train_id"),
+                           F.explode("sh_h").alias("g"))
+                 .join(ev, "g"))
+    rep = hit_pairs.groupBy("eval_id").agg(
+        F.countDistinct("train_id").alias("n_train_docs"),
+        F.countDistinct("g").alias("n_shared_grams"))
+    out = (eval_df.select(F.col(id_col).alias("eval_id"))
+           .join(broadcast(rep), "eval_id", "left")
+           .select("eval_id",
+                   F.coalesce("n_train_docs", F.lit(0)).cast("bigint")
+                   .alias("n_train_docs"),
+                   F.coalesce("n_shared_grams", F.lit(0)).cast("bigint")
+                   .alias("n_shared_grams")))
+    return _carry_cached(out, [tr])
+
+
 def broadcast_eval_ngrams(eval_df: DataFrame, id_col: str,
                           text_col: str, n: int = 8):
     """The eval n-gram hash set as a Spark BROADCAST VARIABLE — the

@@ -561,15 +561,18 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
     with broadcast_new the new side's buckets AND its shingle arrays
     broadcast — the index is probed in the scan, zero index shuffle.
 
-    Returns (new_id, index_id, jaccard) for verified pairs.
+    Returns (new_id, index_id, jaccard) for verified pairs. The 24/7
+    twin is streaming/dedup_ingest.stream_near_dup_flags (same
+    lsh_corpus_index served continuously); this batch form also emits
+    the verified pair list a compactor needs, not just flags.
     """
     rows = num_hashes // bands
     sh_new = with_hashed_shingles(new, id_col, text_col, n).persist()
     sh_idx = with_hashed_shingles(index, id_col, text_col, n).persist()
 
-    def buckets(sh: DataFrame) -> DataFrame:
+    def band_arrays(sh: DataFrame) -> DataFrame:
         sig = _signature_from_hashed(sh, num_hashes)
-        bba = sig.select(
+        return sig.select(
             "doc",
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -577,10 +580,19 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
                     b.cast("int").alias("band"),
                     F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
                     .alias("bucket"))).alias("bba"))
-        return bba.select("doc", F.explode("bba").alias("bb"))
 
-    b_new = buckets(sh_new).select(F.col("doc").alias("new_id"), "bb")
-    b_idx = buckets(sh_idx).select(F.col("doc").alias("index_id"), "bb")
+    # Index band array MATERIALIZED before the explode — the same
+    # Generate pitfall minhash_lsh_pairs documents: an inlined
+    # generator is re-evaluated per OUTPUT row, so the unpersisted
+    # 16-struct band array (and its 16 signature-slice hashes) would
+    # be rebuilt 16× per index doc. Measured here: dd_cross 44.9s →
+    # (see BASELINE r07 s2) at 10⁶ docs on this one persist. The new
+    # side is batch-sized; it broadcasts anyway.
+    bba_idx = band_arrays(sh_idx).persist()
+    b_new = band_arrays(sh_new) \
+        .select(F.col("doc").alias("new_id"), F.explode("bba").alias("bb"))
+    b_idx = bba_idx \
+        .select(F.col("doc").alias("index_id"), F.explode("bba").alias("bb"))
     if broadcast_new:
         b_new = F.broadcast(b_new)
     candidates = (b_new.join(b_idx, "bb")
@@ -599,7 +611,7 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold))
-    return _carry_cached(verified, [sh_new, sh_idx])
+    return _carry_cached(verified, [sh_new, sh_idx, bba_idx])
 
 
 def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",

@@ -1187,6 +1187,64 @@ def dd_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
+@query(
+    "dd_contamination_by_eval",
+    survey="LLM-dedup(decontaminate-report)",
+    doc="Per-EVAL-doc leakage report (r07, operators/decontamination."
+        "contamination_by_eval): for each benchmark doc (doc_id%10=0), "
+        "how many train docs share any token 8-gram with it and how "
+        "many distinct grams leak — the eval-integrity view (flags say "
+        "what to DROP; this says which eval numbers to DISTRUST). "
+        "Same broadcast shape as dd_decontaminate_ngrams: the (eval, "
+        "gram) frame broadcasts, the corpus never shuffles; distinct "
+        "gram counts are hash-based (64-bit-collision equivalence, as "
+        "documented for the MinHash tier).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 7, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 7, 1) + 1)]) AS grams
+            FROM toks
+        ),
+        evg AS (
+            SELECT doc_id AS eval_id, unnest(grams) AS gg
+            FROM g WHERE doc_id % 10 = 0
+        ),
+        trg AS (
+            SELECT doc_id AS train_id, unnest(grams) AS gg
+            FROM g WHERE doc_id % 10 <> 0
+        ),
+        hits AS (
+            SELECT e.eval_id,
+                   COUNT(DISTINCT t.train_id) AS n_train_docs,
+                   COUNT(DISTINCT t.gg) AS n_shared_grams
+            FROM evg e JOIN trg t USING (gg) GROUP BY e.eval_id
+        )
+        SELECT d.doc_id AS eval_id,
+               CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+               CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT)
+                   AS n_shared_grams
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
+        WHERE d.doc_id % 10 = 0
+        ORDER BY eval_id
+    """,
+)
+def dd_contamination_by_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_by_eval,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_by_eval(train, ev, "doc_id", "text",
+                                 n=8).orderBy("eval_id")
+
+
 # Weighted epoch mixing -------------------------------------------------------
 
 
@@ -3314,6 +3372,83 @@ def dd_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.cross_corpus_near_dups(new, idx, "doc_id", "text")
           .orderBy("new_id", "index_id"),
         "jaccard")
+
+
+@query(
+    "sp_corpus_refresh",
+    survey="LLM-pipeline(refresh)",
+    doc="The corpus-refresh ring composed end-to-end, full SQL oracle "
+        "(the curate_corpus pattern): tonight's batch (doc_id%5=0) → "
+        "structural Gopher gates (word-count + mean-word-length; the "
+        "stopword gate is a config choice — this synthetic corpus "
+        "contains no two distinct Gopher stopwords, g_stop would "
+        "zero the pipeline) → drop docs near-duplicating the existing "
+        "INDEX corpus (cross_corpus_near_dups, left_anti) → greedy "
+        "token-budget selection of the best survivors. Every stage "
+        "keeps its standalone scale shape; the oracle recomputes the "
+        "whole composition (gates as integer arithmetic, dup set as "
+        "exact cross-side Jaccard, selection as one QUALIFY window).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        ),
+        gated AS (
+            SELECT doc_id, n_chars, text,
+                   len(string_split(trim(text), ' ')) AS n_words
+            FROM documents
+            WHERE doc_id % 5 = 0
+              AND len(string_split(trim(text), ' '))
+                  BETWEEN 50 AND 100000
+              AND len(replace(trim(text), ' ', ''))
+                  >= 3 * len(string_split(trim(text), ' '))
+              AND len(replace(trim(text), ' ', ''))
+                  <= 10 * len(string_split(trim(text), ' '))
+        ),
+        dup AS (
+            SELECT DISTINCT n.doc_id
+            FROM sh n JOIN sh i
+              ON n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+            WHERE ROUND(len(list_intersect(n.s, i.s)) * 1.0
+                        / len(list_distinct(list_concat(n.s, i.s))), 6)
+                  >= 0.8
+        )
+        SELECT doc_id, n_chars,
+               CAST(n_words AS BIGINT) AS n_tokens,
+               CAST(SUM(n_words) OVER (ORDER BY n_chars DESC, doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        QUALIFY cum_tokens <= 2000
+        ORDER BY doc_id
+    """,
+)
+def sp_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    g = ta.gopher_signals(F.col("text"))
+    gated = (new.select("doc_id", "text", "n_chars",
+                        g["g_words"].alias("__gw"),
+                        g["g_mean_wlen"].alias("__gm"))
+             .filter((F.col("__gw") == 1) & (F.col("__gm") == 1)))
+    dup_ids = (dd.cross_corpus_near_dups(
+        gated.select("doc_id", "text"), idx, "doc_id", "text")
+        .select(F.col("new_id").alias("doc_id")).distinct())
+    survivors = gated.join(dup_ids, "doc_id", "left_anti")
+    return token_budget_select(
+        survivors, "doc_id", "n_chars",
+        ta.whitespace_token_count(F.col("text")),
+        budget=2_000).orderBy("doc_id")
 
 
 @query(

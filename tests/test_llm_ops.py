@@ -2162,3 +2162,25 @@ def test_gopher_signals_random_cross_check(spark):
     want = {i: twin(t) for i, t in docs}
     assert got == want
     assert sum(want.values()) > 0, "calibration: some doc must pass"
+
+
+def test_contamination_by_eval_planted(spark):
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        contamination_by_eval,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"),          # 3 8-gram windows
+         (10, "zz yy xx ww vv uu tt ss")],    # exactly 1 window, clean
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h X"),            # shares [a..h]
+         (2, "a b c d e f g h i j tail"),     # shares all 3 windows
+         (3, "nothing shared here at all by design really")],
+        ["doc_id", "text"])
+    out = {r["eval_id"]: r for r in contamination_by_eval(
+        train, eval_df, "doc_id", "text", 8).collect()}
+    assert out[10]["n_train_docs"] == 0
+    assert out[10]["n_shared_grams"] == 0
+    assert out[0]["n_train_docs"] == 2
+    assert out[0]["n_shared_grams"] == 3

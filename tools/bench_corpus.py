@@ -169,6 +169,40 @@ def run_once(spark: SparkSession, n: int) -> dict:
         .filter(F.col("kept") == 1).count()
     stages["dd_keep"] = round(time.perf_counter() - t0, 1)
 
+    # r07 s2: cross-corpus near-dedup — the 2% near-dup copies
+    # (i % 50 == 1) are "tonight's batch", their originals sit in the
+    # index; expected ≥1 verified pair per new doc, index probed via
+    # the broadcast new side (plus any exact-copy planted overlap).
+    t0 = time.perf_counter()
+    newb = docs.filter(F.col("doc_id") % 50 == 1)
+    idx = docs.filter(F.col("doc_id") % 50 != 1)
+    cross = dd.cross_corpus_near_dups(newb, idx, "doc_id", "text")
+    n_cross = cross.count()
+    n_cross_direct = cross.filter(
+        F.col("index_id") == F.col("new_id") - 1).count()
+    dd.release_cached(cross)
+    stages["dd_cross"] = round(time.perf_counter() - t0, 1)
+
+    # r07 s2: token-budget selection of the top-10%-by-length prefix —
+    # two-pass prefix sum blocked on the bucketized sort key
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.sampling import (
+        token_budget_select,
+    )
+    n_budget = token_budget_select(
+        docs.withColumn("n_chars", F.length("text")),
+        "doc_id", "n_chars",
+        ta.whitespace_token_count(F.col("text")),
+        budget=n * DOC_TOKENS // 10, rank_span=8).count()
+    stages["sp_budget"] = round(time.perf_counter() - t0, 1)
+
+    # r07 s2: the Gopher gate family — one scan-side projection
+    t0 = time.perf_counter()
+    gp = ta.gopher_signals(F.col("text"))
+    n_gopher = docs.select(gp["pass_gopher"].alias("p")) \
+        .agg(F.sum("p")).collect()[0][0]
+    stages["ta_gopher"] = round(time.perf_counter() - t0, 1)
+
     t0 = time.perf_counter()
     scan = docs.select(
         "doc_id",
@@ -277,7 +311,12 @@ def run_once(spark: SparkSession, n: int) -> dict:
     return {
         "metric": "corpus_ops_sec", "docs": n, "stages": stages,
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
-                   "kept": n_kept, "dsir_selected": n_sel,
+                   "kept": n_kept,
+                   "cross_pairs": n_cross,
+                   "cross_direct_pairs": n_cross_direct,
+                   "budget_selected": n_budget,
+                   "gopher_pass": int(n_gopher or 0),
+                   "dsir_selected": n_sel,
                    "chunks": n_chunks,
                    "exported_chunks": exp_row[0],
                    "max_pack_id": exp_row[1],
