@@ -1001,3 +1001,64 @@ def test_stream_source_cap_state_survives_restart(spark, tmp_path):
     assert got2.pop(("A", 10)) == 5
     # B's quota was spent before the restart -> nothing re-admitted
     assert got2 == {}, f"state lost across restart: {got2}"
+
+
+def test_stream_curate_dedup_state_survives_restart(spark, tmp_path):
+    """r07: the second restart leg (quota was r07's first) — kill the
+    curate-ingest query and restart from its checkpoint; a fingerprint
+    admitted in run 1 must NOT be re-admitted in run 2 (dropDuplicates
+    state recovered), while genuinely new content is. Each run
+    collects into its own foreachBatch list, so run 2's emissions
+    cannot contain replayed run-1 output."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        broadcast_eval_ngrams,
+    )
+    from contacts_etl_phase21_spark.streaming.curate_ingest import (
+        stream_curate_ingest,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "naps of an afternoon")
+    other = ("a small band of owls watches the river bend and hums "
+             "to the reeds")
+    eval_docs = spark.createDataFrame(
+        [(0, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        ["doc_id", "text"])
+    eval_bc = broadcast_eval_ngrams(eval_docs, "doc_id", "text", n=8)
+
+    arrivals = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, good, "en"), (2, other, "en")],
+                          ["doc_id", "text", "lang"]) \
+        .coalesce(1).write.parquet(arrivals)
+    schema = spark.read.parquet(arrivals).schema
+
+    def run() -> set:
+        emitted: set = set()
+
+        def sink(batch, _bid):
+            emitted.update(r["doc_id"] for r in batch.collect())
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        q = (stream_curate_ingest(stream, eval_bc).writeStream
+             .foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return emitted
+
+    assert run() == {1, 2}
+
+    # batch 2 lands AFTER the stop: doc 3 duplicates doc 1's content
+    # (same fingerprint, token reorder), doc 4 is genuinely new
+    reordered = " ".join(reversed(good.split()))
+    spark.createDataFrame(
+        [(3, reordered, "en"),
+         (4, "the tall pines lean into a north wind and sigh of old "
+             "winters", "en")],
+        ["doc_id", "text", "lang"]) \
+        .coalesce(1).write.mode("append").parquet(arrivals)
+    assert run() == {4}, "recovered fingerprint state must drop doc 3"
