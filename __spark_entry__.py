@@ -104,11 +104,14 @@ _DRIVER_PRIORITY = [
     # sp_corpus_refresh: the ring composed end-to-end (gate -> cross-
     # dedup -> budget select); st_stateful_first_event rotated out.
     "sp_corpus_refresh",
+    # dd_semantic_blas_tier: the production SemDeDup physical plan
+    # hash-checked on the oracle centroids; e7_first_name_vote rotated
+    # out (ER keeps e1/e2/e5/e8/a2/er_closed_form in the window).
+    "dd_semantic_blas_tier",
     "er_pipeline_resolved_closed_form",
     "e1_blocking_stats",
     "e2_blocked_pairs_decided",
     "e5_connected_components",
-    "e7_first_name_vote",
     "e8_channel_union_survivorship",
     "a2_presence_summary",
     "st_tumbling_window_counts",

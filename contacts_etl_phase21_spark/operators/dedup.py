@@ -670,7 +670,9 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
                                   n_cells: int = 1024,
                                   n_assign: int = 1,
                                   train_permille: int | None = None,
-                                  block: int = 2048) -> DataFrame:
+                                  block: int = 2048,
+                                  quantizer: str = "kmeans_local"
+                                  ) -> DataFrame:
     """SemDeDup at a PRODUCTION cell count (r07, judge task #5). Same
     semantics as semantic_near_duplicates(quantizer='kmeans_local'),
     different physical plan — the two places the relational tier stops
@@ -705,6 +707,10 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
     Training = pq_codebooks(kmeans_local): the FAISS shape, driver
     Lloyd on a deterministic hash sample; identical call to the
     relational tier so the two tiers see the SAME centroids.
+    quantizer='first' (first-n centroids, fully relational) makes the
+    tier share the relational oracle's cell assignment exactly — the
+    registered dd_semantic_blas_tier row hash-checks this physical
+    plan against the same SQL the relational tier answers.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -716,7 +722,7 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
     )
 
     cent_rows = pq_codebooks(emb, 1, n_cells, id_col, vec_col,
-                             "kmeans_local", train_permille)[0]
+                             quantizer, train_permille)[0]
     cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((cells, cmat))

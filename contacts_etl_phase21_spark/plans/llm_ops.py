@@ -189,20 +189,7 @@ def dd_embedding_cosine_near_dups(spark: SparkSession,
         "cosine")
 
 
-@query(
-    "dd_semantic_near_dups",
-    survey="LLM-dedup(semantic)",
-    doc="SemDeDup-style semantic near-dup pairs (r06): coarse-cell "
-        "candidate generation (row-local assignment over inlined "
-        "first-8 centroids, self-equi-join on cell) + exact cosine "
-        "verify at >= 0.45 — embedding-space dedup restricted to "
-        "within-cluster pairs, the web-scale shape (Abbas et al. "
-        "2023); Σ|cell|² bounds the pair work vs the all-pairs "
-        "exact tier dd_embedding_cosine_near_dups. The first-n "
-        "quantizer keeps assignment relational, so the oracle "
-        "reproduces cells, candidates and verification in SQL; the "
-        "within-cell recall vs the exact tier is test-measured.",
-    oracle=e6_oracle("""
+_SEMANTIC_CELL_ORACLE = e6_oracle("""
         WITH emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
@@ -224,12 +211,51 @@ def dd_embedding_cosine_near_dups(spark: SparkSession,
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         ORDER BY vec_a, vec_b
-    """, "cosine"),
+    """, "cosine")
+
+
+@query(
+    "dd_semantic_near_dups",
+    survey="LLM-dedup(semantic)",
+    doc="SemDeDup-style semantic near-dup pairs (r06): coarse-cell "
+        "candidate generation (row-local assignment over inlined "
+        "first-8 centroids, self-equi-join on cell) + exact cosine "
+        "verify at >= 0.45 — embedding-space dedup restricted to "
+        "within-cluster pairs, the web-scale shape (Abbas et al. "
+        "2023); Σ|cell|² bounds the pair work vs the all-pairs "
+        "exact tier dd_embedding_cosine_near_dups. The first-n "
+        "quantizer keeps assignment relational, so the oracle "
+        "reproduces cells, candidates and verification in SQL; the "
+        "within-cell recall vs the exact tier is test-measured.",
+    oracle=_SEMANTIC_CELL_ORACLE,
 )
 def dd_semantic_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return scale_e6(
         dd.semantic_near_duplicates(emb, threshold=0.45, n_cells=8)
+        .orderBy("vec_a", "vec_b"),
+        "cosine")
+
+
+@query(
+    "dd_semantic_blas_tier",
+    survey="LLM-dedup(semantic-blas)",
+    doc="The PRODUCTION SemDeDup physical plan (r07, operators/dedup."
+        "semantic_near_duplicates_blas) hash-checked against the SAME "
+        "SQL the relational tier answers: broadcast-GEMM cell "
+        "assignment + per-cell blocked-BLAS upper triangle via "
+        "applyInPandas, run here on the oracle's first-n centroids "
+        "(quantizer='first'). The relational row pins the semantics; "
+        "this row pins that the 10⁶-vector plan (BASELINE r07 s1 "
+        "probe: 12× cheaper than exact at 10⁵, Σ|cell|² bounded) "
+        "computes the identical pair set.",
+    oracle=_SEMANTIC_CELL_ORACLE,
+)
+def dd_semantic_blas_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        dd.semantic_near_duplicates_blas(emb, threshold=0.45, n_cells=8,
+                                         quantizer="first")
         .orderBy("vec_a", "vec_b"),
         "cosine")
 
