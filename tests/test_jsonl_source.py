@@ -131,3 +131,58 @@ def test_streaming_jsonl_ingest_incremental_drains(spark, tmp_path):
     # parquet roundtrip relaxes nullability flags; names+types must match
     assert ([(f.name, f.dataType) for f in batch_clean.schema.fields]
             == [(f.name, f.dataType) for f in c2.schema.fields])
+
+
+def test_jsonl_landing_to_curate_one_streaming_query(spark, tmp_path):
+    """End-to-end continuous ingest: landing-zone JSONL → conform →
+    full curate pipeline (quality gate, row-local decontamination,
+    fingerprint dedup, PII scrub, shard) as ONE streaming query — the
+    rings compose without a staging hop. Quarantine-bound lines never
+    reach the curate stages."""
+    import json
+    import uuid
+
+    from contacts_etl_phase21_spark.operators.decontamination import (
+        broadcast_eval_ngrams,
+    )
+    from contacts_etl_phase21_spark.sources.jsonl_docs import conform_docs
+    from contacts_etl_phase21_spark.streaming.curate_ingest import (
+        stream_curate_ingest,
+    )
+    from contacts_etl_phase21_spark.streaming.jsonl_ingest import (
+        stream_jsonl_documents,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and naps of "
+            "an afternoon")
+    dup = " ".join(reversed(good.split()))   # same fingerprint
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    lines = [
+        json.dumps({"doc_id": 1, "text": good, "lang": "en"}),
+        json.dumps({"doc_id": 2, "text": dup, "lang": "en"}),   # deduped
+        json.dumps({"doc_id": 3, "text": "too short", "lang": "en"}),
+        'broken { json',                                         # quarantine
+    ]
+    (landing / "a.jsonl").write_text("\n".join(lines) + "\n",
+                                     encoding="utf-8")
+
+    eval_docs = spark.createDataFrame(
+        [(0, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        ["doc_id", "text"])
+    eval_bc = broadcast_eval_ngrams(eval_docs, "doc_id", "text", n=8)
+
+    stream = stream_jsonl_documents(spark, str(landing))
+    clean, _ = conform_docs(stream)
+    curated = stream_curate_ingest(
+        clean.select("doc_id", "text", "lang"), eval_bc)
+    assert curated.isStreaming
+
+    name = f"jsonlcurate_{uuid.uuid4().hex[:8]}"
+    q = (curated.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT doc_id FROM {name}").collect()
+    # doc 1 survives; 2 is a fingerprint dup; 3 fails quality; the
+    # broken line was quarantined before the pipeline
+    assert {r["doc_id"] for r in rows} == {1}
