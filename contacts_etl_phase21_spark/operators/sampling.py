@@ -352,6 +352,34 @@ def pack_sequences(df: DataFrame, part_col: str, id_col: str,
                     .cast("int").alias("pack_id")))
 
 
+def write_training_shards(df: DataFrame, id_col: str, tokens_col: Column,
+                          path: str, n_shards: int = 64) -> DataFrame:
+    """Materialize a training export: md5-shard the rows, write one
+    parquet directory per shard (partitionBy), and write a MANIFEST
+    beside the data — (shard, n_rows, n_tokens) — returning it as a
+    DataFrame. The manifest is the write-side contract a training job
+    verifies BEFORE reading 100 TB: row/token totals per shard from
+    the same frame that was written, so a partial or double write is
+    caught by comparing manifest to directory, not by re-counting the
+    corpus on every run (tests pin manifest == read-back).
+
+    One aggregate (n_shards rows) beyond the data write; the data
+    write repartitions on shard so each shard directory is written by
+    its own tasks (the test_sharded_write_roundtrip shape).
+    """
+    sharded = (df.withColumn("__tok", tokens_col.cast("long"))
+               .withColumn("shard", shard_id(F.col(id_col), n_shards)
+                           .cast("int")))
+    (sharded.repartition(n_shards, "shard")
+     .write.partitionBy("shard").parquet(f"{path}/data"))
+    manifest = (sharded.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum("__tok").alias("n_tokens"))
+                .orderBy("shard"))
+    manifest.coalesce(1).write.parquet(f"{path}/manifest")
+    return manifest
+
+
 def token_budget_select(df: DataFrame, id_col: str, rank_col: str,
                         tokens_col: Column, budget: int,
                         rank_span: int = 64) -> DataFrame:

@@ -727,3 +727,36 @@ def test_token_budget_select_two_pass_plan(spark, sf_small):
         whitespace_token_count(F.col("text")), budget=12_000)
     assert ({tuple(r) for r in got.collect()}
             == {tuple(r) for r in default_span.collect()})
+
+
+def test_write_training_shards_manifest_matches_disk(spark, sf_small,
+                                                     tmp_path):
+    """r07: the write-side contract — the manifest written beside the
+    data must match what a consumer re-reading the shard directories
+    actually finds (rows AND token sums per shard), so export
+    integrity is a manifest comparison, not a corpus re-count."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.sampling import (
+        write_training_shards,
+    )
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        whitespace_token_count,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text")
+    out = str(tmp_path / "export")
+    returned = write_training_shards(
+        docs, "doc_id", whitespace_token_count(F.col("text")), out,
+        n_shards=8)
+    ret = {r["shard"]: (r["n_rows"], r["n_tokens"])
+           for r in returned.collect()}
+    stored = {r["shard"]: (r["n_rows"], r["n_tokens"])
+              for r in spark.read.parquet(f"{out}/manifest").collect()}
+    assert ret == stored and len(ret) == 8
+    disk = spark.read.parquet(f"{out}/data")
+    got = {r["shard"]: (r["n"], r["t"]) for r in
+           disk.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("__tok").alias("t"))
+           .collect()}
+    assert got == ret
+    assert sum(n for n, _ in ret.values()) == docs.count()
