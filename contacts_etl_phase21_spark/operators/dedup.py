@@ -721,8 +721,20 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
         pq_codebooks,
     )
 
-    cent_rows = pq_codebooks(emb, 1, n_cells, id_col, vec_col,
-                             quantizer, train_permille)[0]
+    pair_schema = StructType([
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    # pq_codebooks returns [] for an empty corpus (r07 ADVICE: ivf_topk
+    # guards this same call) — short-circuit to an empty pair frame
+    # instead of IndexError.
+    books = pq_codebooks(emb, 1, n_cells, id_col, vec_col,
+                         quantizer, train_permille)
+    if not books:
+        return emb.sparkSession.createDataFrame([], pair_schema)
+    cent_rows = books[0]
     cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
     bc = emb.sparkSession.sparkContext.broadcast((cells, cmat))
@@ -758,12 +770,6 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
                     "__v": list(mat),
                 }))
             yield pd.concat(out, ignore_index=True)
-
-    pair_schema = StructType([
-        StructField("vec_a", LongType()),
-        StructField("vec_b", LongType()),
-        StructField("cosine", DoubleType()),
-    ])
 
     def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)

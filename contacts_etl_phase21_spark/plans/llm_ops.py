@@ -2419,7 +2419,11 @@ def j8_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "into covered time buckets; each overlapping pair is claimed "
         "by exactly ONE canonical bucket (the one containing the "
         "overlap's start), so the bucket equi-join needs no post-join "
-        "distinct. Oracle is the quadratic theta-join reference.",
+        "distinct. Oracle is the quadratic theta-join reference with "
+        "IS NOT DISTINCT FROM on the key — pinning the operator's "
+        "documented eqNullSafe grouping semantics (NULL keys form one "
+        "group, as Window.partitionBy would) instead of masking them "
+        "behind NULL-free synthetic keys (r07 ADVICE).",
     oracle="""
         WITH c AS (
             SELECT event_id, user_id,
@@ -2437,7 +2441,7 @@ def j8_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(e.err_id) AS BIGINT) AS n_overlaps,
                MIN(e.err_id) AS first_err_id
         FROM c LEFT JOIN e
-          ON c.user_id = e.user_id
+          ON c.user_id IS NOT DISTINCT FROM e.user_id
          AND c.s_us <= e.e_us AND e.s_us <= c.e_us
         GROUP BY c.event_id, c.user_id
         ORDER BY c.event_id
@@ -2584,16 +2588,23 @@ def dd_duplicate_span_fraction(spark: SparkSession,
             FROM bg GROUP BY lft, bigram
         ),
         ca AS (SELECT lft, SUM(c_ab) AS c_l FROM cab GROUP BY lft),
+        -- top-M cap mirrors the Spark side's default top_m=1e6
+        -- (r07 ADVICE: an uncapped oracle model would silently
+        -- diverge on any corpus with >1M distinct bigrams); same
+        -- (c_ab DESC, bigram ASC) total order, and the scoring join
+        -- is LEFT with term 0 on miss — the capped semantics.
         model AS (
-            SELECT bigram,
-                   CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
-                   AS term_e6
-            FROM cab JOIN ca USING (lft)
+            SELECT bigram, term_e6 FROM (
+                SELECT bigram, c_ab,
+                       CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
+                       AS term_e6
+                FROM cab JOIN ca USING (lft)
+                ORDER BY c_ab DESC, bigram LIMIT 1000000)
         ),
         scored AS (
             SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-                   SUM(m.term_e6) AS sum_e6
-            FROM bg JOIN model m USING (bigram)
+                   SUM(COALESCE(m.term_e6, 0)) AS sum_e6
+            FROM bg LEFT JOIN model m USING (bigram)
             GROUP BY bg.doc_id
         )
         SELECT t.doc_id,
@@ -3138,16 +3149,20 @@ def sp_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bg GROUP BY lft, bigram
         ),
         ca AS (SELECT lft, SUM(c_ab) AS c_l FROM cab GROUP BY lft),
+        -- top-M cap + LEFT scoring join: the Spark side's capped
+        -- default, pinned here too (see ta_bigram_lm_scores).
         model AS (
-            SELECT bigram,
-                   CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
-                   AS term_e6
-            FROM cab JOIN ca USING (lft)
+            SELECT bigram, term_e6 FROM (
+                SELECT bigram, c_ab,
+                       CAST(FLOOR(1000000.0 * c_ab / c_l) AS BIGINT)
+                       AS term_e6
+                FROM cab JOIN ca USING (lft)
+                ORDER BY c_ab DESC, bigram LIMIT 1000000)
         ),
         scored AS (
             SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-                   SUM(m.term_e6) AS sum_e6
-            FROM bg JOIN model m USING (bigram)
+                   SUM(COALESCE(m.term_e6, 0)) AS sum_e6
+            FROM bg LEFT JOIN model m USING (bigram)
             GROUP BY bg.doc_id
         ),
         sc AS (

@@ -51,12 +51,19 @@ def stream_jsonl_documents(spark: SparkSession, landing_dir: str,
 
 def run_jsonl_quarantine_ingest(spark: SparkSession, landing_dir: str,
                                 clean_dir: str, quarantine_dir: str,
-                                checkpoint_dir: str) -> None:
+                                checkpoint_dir: str,
+                                timeout_sec: float = 600.0) -> None:
     """Drain the landing directory once (availableNow): per
     micro-batch, fork into clean/quarantined with conform_docs and
     append each split as parquet. Restart-safe: the checkpoint's
     seen-files log makes re-drains pick up ONLY files landed since
-    the last run (pinned in tests/test_jsonl_source.py)."""
+    the last run (pinned in tests/test_jsonl_source.py).
+
+    Raises TimeoutError if the drain outlives timeout_sec (r07
+    ADVICE: a silently-ignored awaitTermination(timeout) return would
+    let callers read a PARTIAL clean_dir while the query still
+    writes); the query is stopped before raising so no writer keeps
+    appending behind the caller's back."""
     stream = stream_jsonl_documents(spark, landing_dir)
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
@@ -64,9 +71,14 @@ def run_jsonl_quarantine_ingest(spark: SparkSession, landing_dir: str,
         clean.write.mode("append").parquet(clean_dir)
         quarantined.write.mode("append").parquet(quarantine_dir)
 
-    (stream.writeStream
-     .foreachBatch(write_batch)
-     .option("checkpointLocation", checkpoint_dir)
-     .trigger(availableNow=True)
-     .start()
-     .awaitTermination(300))
+    query = (stream.writeStream
+             .foreachBatch(write_batch)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"JSONL landing-zone drain exceeded {timeout_sec}s; query "
+            "stopped — clean_dir is partial, re-run to resume from the "
+            "checkpoint's seen-files log")
