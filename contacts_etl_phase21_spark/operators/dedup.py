@@ -20,6 +20,17 @@ Four tiers, all as declarative DataFrame programs:
 At 100 TB: every join here is an equi-join on a synthetic key
 (shingle, band bucket, simhash chunk) — shuffle-partitionable, AQE
 skew-splittable; nothing is O(n²) in the corpus.
+
+Duplicate-safe spine (r08): real crawls carry 10⁵-10⁶-member groups of
+IDENTICAL documents (boilerplate, licence headers, error pages), which
+make every band bucket they share output-quadratic — AQE cannot help
+because the blowup is join OUTPUT, not shuffle input. All MinHash-LSH
+entry points therefore collapse identical-shingle-set docs to one
+representative first (_exact_collapse), run LSH on representatives,
+and expand membership back into pair/keep semantics — identical output
+(pinned in tests), work linear in distinct contents. A residual
+max_bucket cap (winnow's max_df precedent) bounds NEAR-duplicate
+families, with the recall trade documented at _lsh_verified_pairs.
 """
 
 from __future__ import annotations
@@ -249,27 +260,76 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str,
                          [hashed])
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n: int = 3, num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.8) -> DataFrame:
-    """LSH candidate pairs verified with exact Jaccard.
+def _exact_collapse(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical-shingle-SET documents to one representative
+    before any LSH work — the duplicate-safe spine (r08).
+
+    Why: a group of k IDENTICAL documents (boilerplate pages, licence
+    headers, error bodies — k reaches 10⁵-10⁶ in real crawls) lands in
+    the SAME bucket in ALL bands, so uncollapsed candidate generation
+    emits bands·k²/2 pairs and joins two full shingle arrays onto each
+    — ~10¹¹ joined rows from ONE group at k=10⁵; AQE cannot help
+    because the blowup is join OUTPUT, not shuffle input. Identical
+    shingle sets have Jaccard exactly 1 with each other and identical
+    Jaccard against everything else, so one member can stand for the
+    group with NO recall loss; group membership is expanded back into
+    pair/keep semantics afterwards (linear work, see callers).
+
+    Input `sh` is the (doc, sh_h) frame — consumed ONCE (callers must
+    NOT pre-persist it; the returned members frame subsumes it).
+    Returns (rep_sh, members): members is the persisted
+    (doc, sh_h, rep) frame — rep = min doc id over the doc's
+    identical-set group, labeled with ONE window shuffle on the set
+    fingerprint (no groupBy + join-back round trip) — and rep_sh is
+    the cached-filter view (doc == rep) that stands in for the corpus
+    everywhere downstream (signature aggregation AND both verify
+    sides), so the whole spine keeps a SINGLE corpus-scale cache
+    entry. Callers release members via _carry_cached.
+
+    The fingerprint is xxhash64 over the SORTED hash set
+    (order-canonical; array_distinct upstream makes it
+    multiplicity-canonical), so two docs collapse iff their shingle
+    sets are equal modulo 64-bit collisions — the same accepted
+    equivalence as the LSH tier itself. The window's per-fingerprint
+    partitions are exactly the duplicate groups — linear work even at
+    a 10⁵-member group (the whole point)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    members = (sh
+               .withColumn("__fp", F.xxhash64(F.array_sort("sh_h")))
+               .withColumn("rep", F.min("doc").over(w))
+               .drop("__fp")
+               .persist())
+    rep_sh = members.filter(F.col("doc") == F.col("rep")) \
+        .select("doc", "sh_h")
+    return rep_sh, members
+
+
+def _lsh_verified_pairs(sh: DataFrame, num_hashes: int, bands: int,
+                        threshold: float,
+                        max_bucket: int | None = None
+                        ) -> tuple[DataFrame, list[DataFrame]]:
+    """The LSH self-join core over a (doc, sh_h) frame: signature →
+    banded buckets → candidate equi-join → exact-Jaccard verify.
+    Returns (verified pairs, cache handles to carry).
 
     bands=16 × rows=4 → P(candidate) = 1-(1-j⁴)¹⁶: ≈0.99+ at j=0.8.
     The band bucket join is the only all-corpus shuffle; verification
     touches candidates only.
+
+    max_bucket (r08) is the residual hot-bucket cap — the same
+    stop-fingerprint idea as winnow_overlap_pairs' max_df: buckets
+    wider than the cap are DROPPED from candidate generation (the
+    over-cap bucket list is tiny and broadcast into a left_anti).
+    With exact duplicates pre-collapsed (callers), a wide bucket means
+    a large NEAR-duplicate family; capping trades recall inside that
+    family (members can still pair through their other bands — a pair
+    is missed only if ALL its shared bands are over-cap) for a hard
+    k²-per-bucket work bound. Default None = no cap, exact recall
+    curve, unchanged plan.
     """
     rows = num_hashes // bands
-    # Shingle + hash ONCE and persist: the same (doc, sh_h) feeds the
-    # signature aggregation AND both sides of the verification join.
-    # Without this the corpus is tokenized/shingled three times — at
-    # 100 TB that's two redundant full-corpus passes. The cache entry
-    # outlives the (lazy) result on purpose; Spark's cache manager
-    # dedupes by analyzed plan (repeat calls share ONE entry) and
-    # MEMORY_AND_DISK evicts LRU, so the footprint is bounded per
-    # distinct input, not per call. Sessions scoring many DISTINCT
-    # inputs free each input's entries with release_cached(result)
-    # after its last action (r07 ADVICE; see _carry_cached).
-    sh = with_hashed_shingles(df, id_col, text_col, n).persist()
     sig = _signature_from_hashed(sh, num_hashes)
     # Band array MATERIALIZED (persist), then explode the attribute —
     # two reasons, both measured (1.8× on the LSH stage at 10^6 docs,
@@ -289,6 +349,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.xxhash64(b, F.slice("signature", b * rows + 1, rows))
                 .alias("bucket"))).alias("bba")).persist()
     buckets = bba.select("doc", F.explode("bba").alias("bb"))
+    if max_bucket is not None:
+        wide = (buckets.groupBy("bb")
+                .agg(F.count(F.lit(1)).alias("__w"))
+                .filter(F.col("__w") > max_bucket)
+                .select("bb"))
+        buckets = buckets.join(F.broadcast(wide), "bb", "left_anti")
     l = buckets.select(F.col("doc").alias("doc_a"), "bb")
     r = buckets.select(F.col("doc").alias("doc_b"), "bb")
     candidates = (
@@ -308,7 +374,74 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return _carry_cached(verified, [sh, bba])
+    return verified, [bba]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.8, collapse_exact: bool = True,
+                      max_bucket: int | None = None) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard (see
+    _lsh_verified_pairs for the core plan and the max_bucket knob).
+
+    collapse_exact (r08, default ON): identical-shingle-set docs are
+    collapsed to one representative BEFORE the LSH self-join
+    (_exact_collapse — the hot-bucket quadratic fix), and group
+    membership is expanded back afterwards: cross-group pairs inherit
+    their representatives' verified jaccard (identical sets ⇒ identical
+    jaccard); within-group pairs are emitted directly with jaccard 1.0
+    (identical sets ⇒ jaccard exactly 1, ≥ any threshold). The emitted
+    pair set is IDENTICAL to the uncollapsed path — pinned in tests —
+    but candidate/verify work scales with DISTINCT contents, not raw
+    rows, and the expansion is bounded by OUTPUT size with no shingle
+    arrays attached. (A pairs API is inherently output-quadratic in a
+    k-member duplicate group; keep_first/keep_best/cross-corpus expand
+    MEMBERSHIP instead and stay linear — use those for end-to-end
+    dedup.)
+    """
+    # Shingle + hash ONCE into a single persisted corpus-scale frame:
+    # the collapsed path caches members (doc, sh_h, rep) inside
+    # _exact_collapse — it subsumes the shingle frame, so the
+    # signature aggregation, both verification sides AND both
+    # membership expansions all read ONE cache entry; the uncollapsed
+    # path persists the shingle frame itself. Without a cache the
+    # corpus is tokenized/shingled three times — at 100 TB that's two
+    # redundant full-corpus passes. The entry outlives the (lazy)
+    # result on purpose; Spark's cache manager dedupes by analyzed
+    # plan (repeat calls share ONE entry) and MEMORY_AND_DISK evicts
+    # LRU, so the footprint is bounded per distinct input, not per
+    # call. Sessions scoring many DISTINCT inputs free each input's
+    # entries with release_cached(result) after its last action
+    # (r07 ADVICE).
+    if not collapse_exact:
+        sh = with_hashed_shingles(df, id_col, text_col, n).persist()
+        verified, handles = _lsh_verified_pairs(sh, num_hashes, bands,
+                                                threshold, max_bucket)
+        return _carry_cached(verified, [sh, *handles])
+    sh = with_hashed_shingles(df, id_col, text_col, n)
+    rep_sh, members = _exact_collapse(sh)
+    rep_pairs, handles = _lsh_verified_pairs(rep_sh, num_hashes, bands,
+                                             threshold, max_bucket)
+    ma = members.select(F.col("rep").alias("doc_a"),
+                        F.col("doc").alias("__da"))
+    mb = members.select(F.col("rep").alias("doc_b"),
+                        F.col("doc").alias("__db"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("__da", "__db").alias("doc_a"),
+                     F.greatest("__da", "__db").alias("doc_b"),
+                     "jaccard"))
+    # within-group pairs: one self-equi-join on rep — singleton groups
+    # self-pair only as (d, d), killed by the strict inequality, so no
+    # multi-group prefilter is needed; output is Σ k²/2 rows, exactly
+    # the pairs the uncollapsed path would emit at jaccard 1.
+    wa = members.select("rep", F.col("doc").alias("doc_a"))
+    wb = members.select("rep", F.col("doc").alias("doc_b"))
+    within = (wa.join(wb, "rep")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b",
+                      F.lit(1.0).alias("jaccard")))
+    return _carry_cached(cross.unionByName(within),
+                         [members, *handles])
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -463,13 +596,54 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         [fp])
 
 
+def _collapsed_doc_components(df: DataFrame, id_col: str, text_col: str,
+                              n: int, num_hashes: int, bands: int,
+                              threshold: float,
+                              max_bucket: int | None
+                              ) -> tuple[DataFrame, list[DataFrame]]:
+    """Doc-level near-dup component labels with the duplicate-safe
+    spine (r08): exact-set groups collapse to representatives
+    (_exact_collapse), LSH + connected components run on
+    REPRESENTATIVES only, and membership expands the labels back —
+    linear in |docs|, never in pairs. Returns ((doc, component),
+    handles).
+
+    Correctness of the expansion: identical-set docs are jaccard-1
+    pairs, so an exact group is always a clique inside one component;
+    the component label is the min REP id, and since each rep is the
+    min id of its group, min-over-reps == min-over-all-members — the
+    label the uncollapsed component computation would assign (pinned
+    equality in tests)."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    sh = with_hashed_shingles(df, id_col, text_col, n)
+    rep_sh, members = _exact_collapse(sh)
+    rep_pairs, handles = _lsh_verified_pairs(rep_sh, num_hashes, bands,
+                                             threshold, max_bucket)
+    edges = rep_pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst"))
+    # rep_sh already holds exactly one row per representative — no
+    # distinct needed for the vertex set
+    vertices = rep_sh.select(F.col("doc").alias("id"))
+    cc = connected_components(vertices, edges)
+    doc_cc = members.join(cc, members["rep"] == cc["id"]) \
+        .select(F.col("doc"), F.col("component"))
+    return doc_cc, [members, *handles]
+
+
 def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,
                      n: int = 3, num_hashes: int = 64, bands: int = 16,
-                     threshold: float = 0.8) -> DataFrame:
+                     threshold: float = 0.8,
+                     max_bucket: int | None = None) -> DataFrame:
     """End-to-end near-dedup with canonical keep-first semantics — the
     operation a training pipeline actually runs (pairs are an
-    intermediate): MinHash+LSH verified pairs → connected components →
-    keep the min-id representative per duplicate group.
+    intermediate): exact-set pre-collapse (r08, _exact_collapse) →
+    MinHash+LSH verified pairs over representatives → connected
+    components → keep the min-id doc per duplicate group, membership
+    expanded back linearly (never through pairs, so a 10⁵-member
+    boilerplate group costs 10⁵ rows, not 10¹⁰ pair rows).
 
     Returns one row per input doc: (doc_id, keep_id, kept) where
     keep_id is the group representative and kept = 1 iff this doc
@@ -478,68 +652,58 @@ def dedup_keep_first(df: DataFrame, id_col: str, text_col: str,
     Scale shape: reuses the LSH equi-join pair path (no all-pairs
     work) and the ER engine's min-label-propagation components loop
     (operators/entity_resolution.connected_components — one shuffle
-    per round, loop-invariant edges checkpointed once). Duplicate
-    groups are near-cliques, so the loop converges in O(log
-    diameter) ≈ 2-3 rounds.
+    per round, loop-invariant edges checkpointed once) on the
+    REPRESENTATIVE graph. Duplicate groups are near-cliques, so the
+    loop converges in O(log diameter) ≈ 2-3 rounds.
     """
-    from contacts_etl_phase21_spark.operators.entity_resolution import (
-        connected_components,
-    )
-
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
-                              num_hashes=num_hashes, bands=bands,
-                              threshold=threshold)
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-    vertices = df.select(F.col(id_col).alias("id"))
-    cc = connected_components(vertices, edges)
-    return cc.select(
-        F.col("id").alias(id_col),
-        F.col("component").alias("keep_id"),
-        F.when(F.col("id") == F.col("component"), 1).otherwise(0)
-        .cast("int").alias("kept"))
+    doc_cc, handles = _collapsed_doc_components(
+        df, id_col, text_col, n, num_hashes, bands, threshold, max_bucket)
+    return _carry_cached(
+        doc_cc.select(
+            F.col("doc").alias(id_col),
+            F.col("component").alias("keep_id"),
+            F.when(F.col("doc") == F.col("component"), 1).otherwise(0)
+            .cast("int").alias("kept")),
+        handles)
 
 
 def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
                     rank_col: str, n: int = 3, num_hashes: int = 64,
-                    bands: int = 16, threshold: float = 0.8) -> DataFrame:
+                    bands: int = 16, threshold: float = 0.8,
+                    max_bucket: int | None = None) -> DataFrame:
     """Near-dedup keeping the BEST document per duplicate group
     (highest rank_col, ties to the smallest id) — the survivorship
     variant a curation pipeline wants when duplicates differ in
     quality/length and "first" is an accident of ingestion order.
 
-    Same spine as dedup_keep_first (LSH pairs → connected components);
-    the representative is then an argmax per component: ONE extra
-    groupBy on the already-shuffled component key using a
+    Same spine as dedup_keep_first (exact pre-collapse → rep-level LSH
+    pairs → connected components → membership expansion); the
+    survivor is then an argmax over ALL member docs per component:
+    ONE extra groupBy on the already-shuffled component key using a
     lexicographic struct max (rank desc via max, id asc via negated
     id), plus an equi-join of that |components|-row frame back — both
-    bounded by the component count, no new corpus-scale shuffle.
+    bounded by the component count, no new corpus-scale shuffle. The
+    argmax runs at DOC level (members of an exact group can differ in
+    rank only if rank_col is not content-derived — still honored).
 
     Returns (id_col, keep_id, kept) like dedup_keep_first.
     """
-    from contacts_etl_phase21_spark.operators.entity_resolution import (
-        connected_components,
-    )
-
-    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n,
-                              num_hashes=num_hashes, bands=bands,
-                              threshold=threshold)
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-    vertices = df.select(F.col(id_col).alias("id"))
-    cc = connected_components(vertices, edges)
-    labeled = cc.join(
-        df.select(F.col(id_col).alias("id"),
-                  F.col(rank_col).alias("__rank")), "id")
+    doc_cc, handles = _collapsed_doc_components(
+        df, id_col, text_col, n, num_hashes, bands, threshold, max_bucket)
+    labeled = doc_cc.join(
+        df.select(F.col(id_col).alias("doc"),
+                  F.col(rank_col).alias("__rank")), "doc")
     best = (labeled.groupBy("component")
             .agg(F.max(F.struct(F.col("__rank").alias("r"),
-                                (-F.col("id")).alias("nid"))).alias("m"))
+                                (-F.col("doc")).alias("nid"))).alias("m"))
             .select("component", (-F.col("m.nid")).alias("keep_id")))
-    return (labeled.join(best, "component")
-            .select(F.col("id").alias(id_col),
-                    F.col("keep_id"),
-                    F.when(F.col("id") == F.col("keep_id"), 1).otherwise(0)
-                    .cast("int").alias("kept")))
+    return _carry_cached(
+        labeled.join(best, "component")
+        .select(F.col("doc").alias(id_col),
+                F.col("keep_id"),
+                F.when(F.col("doc") == F.col("keep_id"), 1).otherwise(0)
+                .cast("int").alias("kept")),
+        handles)
 
 
 def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
@@ -565,10 +729,21 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
     twin is streaming/dedup_ingest.stream_near_dup_flags (same
     lsh_corpus_index served continuously); this batch form also emits
     the verified pair list a compactor needs, not just flags.
+
+    Duplicate-safe (r08): BOTH sides collapse identical-shingle-set
+    docs to representatives before signatures/banding/verify
+    (_exact_collapse — a crawl's 10⁵-member boilerplate group would
+    otherwise collide with its indexed twin in every band and join
+    full shingle arrays onto 10¹⁰ candidate rows), and membership is
+    expanded back onto the verified REP pairs afterwards (each member
+    pair inherits the rep pair's jaccard exactly — identical sets).
+    The emitted pair set is identical to the uncollapsed path.
     """
     rows = num_hashes // bands
-    sh_new = with_hashed_shingles(new, id_col, text_col, n).persist()
-    sh_idx = with_hashed_shingles(index, id_col, text_col, n).persist()
+    rep_new, m_new = _exact_collapse(
+        with_hashed_shingles(new, id_col, text_col, n))
+    rep_idx, m_idx = _exact_collapse(
+        with_hashed_shingles(index, id_col, text_col, n))
 
     def band_arrays(sh: DataFrame) -> DataFrame:
         sig = _signature_from_hashed(sh, num_hashes)
@@ -588,8 +763,8 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
     # be rebuilt 16× per index doc. Measured here: dd_cross 44.9s →
     # (see BASELINE r07 s2) at 10⁶ docs on this one persist. The new
     # side is batch-sized; it broadcasts anyway.
-    bba_idx = band_arrays(sh_idx).persist()
-    b_new = band_arrays(sh_new) \
+    bba_idx = band_arrays(rep_idx).persist()
+    b_new = band_arrays(rep_new) \
         .select(F.col("doc").alias("new_id"), F.explode("bba").alias("bb"))
     b_idx = bba_idx \
         .select(F.col("doc").alias("index_id"), F.explode("bba").alias("bb"))
@@ -597,13 +772,13 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
         b_new = F.broadcast(b_new)
     candidates = (b_new.join(b_idx, "bb")
                   .select("new_id", "index_id").distinct())
-    a = sh_new.select(F.col("doc").alias("new_id"),
-                      F.col("sh_h").alias("sh_a"))
-    b = sh_idx.select(F.col("doc").alias("index_id"),
-                      F.col("sh_h").alias("sh_b"))
+    a = rep_new.select(F.col("doc").alias("new_id"),
+                       F.col("sh_h").alias("sh_a"))
+    b = rep_idx.select(F.col("doc").alias("index_id"),
+                       F.col("sh_h").alias("sh_b"))
     if broadcast_new:
         a = F.broadcast(a)
-    verified = (
+    rep_verified = (
         candidates.join(a, "new_id").join(b, "index_id")
         .select(
             "new_id", "index_id",
@@ -611,7 +786,19 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold))
-    return _carry_cached(verified, [sh_new, sh_idx, bba_idx])
+    # Membership expansion: batch-side map broadcasts with the batch;
+    # index-side map is an equi-join on the (small) verified pair set.
+    exp_new = m_new.select(F.col("rep").alias("new_id"),
+                           F.col("doc").alias("__n"))
+    if broadcast_new:
+        exp_new = F.broadcast(exp_new)
+    verified = (rep_verified
+                .join(exp_new, "new_id")
+                .join(m_idx.select(F.col("rep").alias("index_id"),
+                                   F.col("doc").alias("__i")), "index_id")
+                .select(F.col("__n").alias("new_id"),
+                        F.col("__i").alias("index_id"), "jaccard"))
+    return _carry_cached(verified, [m_new, m_idx, bba_idx])
 
 
 def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",

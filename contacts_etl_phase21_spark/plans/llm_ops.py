@@ -2267,6 +2267,65 @@ def ta_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "lft", "rgt").limit(20))
 
 
+def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
+    """Certificate oracle for the iterative BPE merge loop (r08 — the
+    registry's last oracle-less computation that could have one; the
+    f16/er closed-form precedent). DuckDB cannot run the driver-side
+    loop, but the loop has a BOUNDED, KNOWN iteration count — so the
+    oracle is the loop UNROLLED: n_merges chained MATERIALIZED CTEs,
+    each computing step i's argmax pair (count DESC, pair ASC) from
+    state i-1 and rewriting the symbol sequences for state i.
+    MATERIALIZED is load-bearing: st_i references st_{i-1} twice
+    (pair-count + rewrite), so inlined CTEs would expand the plan
+    2^n_merges-fold.
+
+    The greedy left-to-right merge application is expressed with plain
+    string replace() over a marker encoding: every symbol is wrapped
+    \\x01sym\\x02, and merging (l, r) replaces \\x01l\\x02\\x01r\\x02 with
+    \\x01lr\\x02. replace() scans left-to-right, skips overlaps, and
+    resumes AFTER each replacement — exactly BPE's greedy pass — and
+    the paired markers make cross-symbol false matches impossible
+    ('xa','b' never matches pattern 'a','b' because \\x01 must
+    immediately precede the 'a'). Assumes corpus tokens contain no
+    \\x01/\\x02 bytes (control chars; whitespace-split text never
+    does). Equality with the Python trainer is pinned exhaustively in
+    tests (same argmax, same tie order, same rewrite)."""
+    o, c = chr(1), chr(2)
+    ctes = [f"""
+        w AS (SELECT unnest(string_split(trim(text), ' ')) AS word
+              FROM documents),
+        wf AS MATERIALIZED (
+            SELECT word, COUNT(*) AS cnt FROM w WHERE word <> ''
+            GROUP BY word ORDER BY cnt DESC, word LIMIT {top_v}),
+        st0 AS MATERIALIZED (
+            SELECT [word[i] for i in range(1, len(word)+1)] AS syms, cnt
+            FROM wf)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""
+        pc{i} AS (
+            SELECT s.syms[j] AS lft, s.syms[j+1] AS rgt, SUM(s.cnt) AS c
+            FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS j
+                  FROM st{p} WHERE len(syms) >= 2) s
+            GROUP BY lft, rgt),
+        best{i} AS MATERIALIZED (
+            SELECT lft, rgt, c FROM pc{i}
+            ORDER BY c DESC, lft, rgt LIMIT 1),
+        st{i} AS MATERIALIZED (
+            SELECT string_split(o[2:len(o)-1], '{c}{o}') AS syms, cnt
+            FROM (SELECT replace(
+                      '{o}' || array_to_string(w.syms, '{c}{o}') || '{c}',
+                      '{o}' || b.lft || '{c}{o}' || b.rgt || '{c}',
+                      '{o}' || b.lft || b.rgt || '{c}') AS o, w.cnt
+                  FROM st{p} w CROSS JOIN best{i} b))""")
+    sel = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lft, rgt, lft || rgt AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1))
+    return ("WITH " + ",".join(ctes)
+            + f"\n        SELECT * FROM ({sel}) ORDER BY merge_rank")
+
+
 @query(
     "ta_bpe_train_merges",
     survey="LLM-text(bpe-train)",
@@ -2275,11 +2334,13 @@ def ta_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs driver-side on the bounded table with incremental pair "
         "counts — the shape real trainers (HF/SentencePiece) use; the "
         "corpus is scanned exactly once regardless of n_merges. "
-        "Iterative (each merge rewrites the sequences the next "
-        "iteration counts) -> documented rows-only class; pinned by a "
-        "pure-python reference twin + the hash-green iteration-0 "
-        "anchor ta_bpe_pair_counts.",
-    oracle=None,
+        "r08: the loop gains a full certificate oracle — the bounded "
+        "iteration unrolled into chained MATERIALIZED CTEs, each step "
+        "re-deriving the argmax pair and greedily rewriting the "
+        "symbol table (see _bpe_merges_oracle) — closing the "
+        "registry's last oracle-less computation that can have one "
+        "(er_full stays rows-only: uuid5).",
+    oracle=_bpe_merges_oracle(30, 50_000),
 )
 def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contacts_etl_phase21_spark.operators.tokenizer_train import (

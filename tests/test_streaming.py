@@ -1062,3 +1062,56 @@ def test_stream_curate_dedup_state_survives_restart(spark, tmp_path):
         ["doc_id", "text", "lang"]) \
         .coalesce(1).write.mode("append").parquet(arrivals)
     assert run() == {4}, "recovered fingerprint state must drop doc 3"
+
+
+def test_lsh_index_write_load_roundtrip_across_restart(spark, sf_small,
+                                                       tmp_path):
+    """r08: the stored LSH corpus index artifact. Build the index,
+    write it (band-partitioned, bucket-sorted parquet), re-load it as
+    a 'restarted session' would, and verify: (a) the on-disk layout is
+    the 16 band partitions, (b) probing the STORED index — both as the
+    static side of a real availableNow stream and via the batch twin —
+    flags exactly what the FRESH index flags."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        load_lsh_corpus_index, lsh_corpus_index, stream_near_dup_flags,
+        write_lsh_corpus_index,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+
+    fresh = lsh_corpus_index(corpus, "doc_id", "text")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_corpus_index(fresh, path)
+
+    import os
+    bands = sorted(d for d in os.listdir(path) if d.startswith("band="))
+    assert len(bands) == 16
+
+    stored = load_lsh_corpus_index(spark, path)
+    want = {(r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in stream_near_dup_flags(arriving, fresh).collect()}
+    got_batch = {(r["doc_id"], r["dup_of"], r["jaccard"])
+                 for r in stream_near_dup_flags(arriving, stored).collect()}
+    fresh.unpersist()
+    assert got_batch == want and len(want) > 0
+
+    # real stream against the STORED index (the restart shape: nothing
+    # recomputed from corpus text — the static side is a parquet scan)
+    staged = str(tmp_path / "arriving")
+    arriving.coalesce(1).write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    out = stream_near_dup_flags(stream, stored)
+    assert out.isStreaming
+    name = f"storedidx_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got_stream = {(r["doc_id"], r["dup_of"], r["jaccard"])
+                  for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got_stream == want

@@ -1,0 +1,105 @@
+"""Duplicate-heavy near-dedup bench (BASELINE.md protocol, r08).
+
+Builds a corpus where ONE boilerplate document repeats k times — the
+adversarial shape for MinHash-LSH dedup: the k members land in the
+SAME bucket in all 16 bands, so UNCOLLAPSED candidate generation emits
+16·k²/2 pairs and joins two full shingle arrays onto each (output-
+quadratic; AQE can't split join OUTPUT). Measures:
+
+    uncollapsed   minhash_lsh_pairs(collapse_exact=False) at small k —
+                  the quadratic curve (pair count k²/2, superlinear
+                  wall-clock)
+    collapsed     dedup_keep_first (r08 default: exact-set pre-collapse,
+                  rep-level LSH, membership expansion) at k up to 10⁵ —
+                  must stay flat in k (the group costs ONE rep)
+
+Usage: python tools/bench_dedup_dup.py [n_distinct]
+       (default: 1e5 distinct docs; duplicate group sizes are fixed
+       ladders: uncollapsed k ∈ {1000, 2000, 4000},
+       collapsed k ∈ {10_000, 100_000})
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from contacts_etl_phase21_spark.operators.dedup import (  # noqa: E402
+    dedup_keep_first, minhash_lsh_pairs, release_cached,
+)
+from contacts_etl_phase21_spark.session import get_spark  # noqa: E402
+
+BOILER = ("server error page not found please contact the site admin "
+          "for assistance with this request immediately thank you for "
+          "your patience while we investigate the underlying problem")
+
+
+def dup_heavy_corpus(spark: SparkSession, n_distinct: int,
+                     k_dup: int) -> DataFrame:
+    """ids [0, k_dup) share BOILER verbatim; the rest are 30 distinct
+    tokens derived from the id (no cross-doc shingle overlap)."""
+    base = spark.range(n_distinct + k_dup)
+    distinct_text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(29)),
+                    lambda t: F.concat(F.lit("tok"),
+                                       F.col("id").cast("string"),
+                                       F.lit("w"), t.cast("string"))), " ")
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < k_dup, F.lit(BOILER))
+        .otherwise(distinct_text).alias("text"))
+
+
+def main() -> None:
+    n_distinct = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("contacts-etl-phase21-dedup-dup-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    runs = []
+    for k in (1000, 2000, 4000):
+        docs = dup_heavy_corpus(spark, n_distinct, k)
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                                  collapse_exact=False)
+        n_pairs = pairs.count()
+        dt = round(time.perf_counter() - t0, 1)
+        release_cached(pairs)
+        runs.append({"path": "uncollapsed_pairs", "k_dup": k,
+                     "sec": dt, "pairs": n_pairs})
+        print(f"# uncollapsed k={k}: {dt}s, {n_pairs} pairs",
+              file=sys.stderr, flush=True)
+
+    for k in (10_000, 100_000):
+        docs = dup_heavy_corpus(spark, n_distinct, k)
+        t0 = time.perf_counter()
+        kept = dedup_keep_first(docs, "doc_id", "text")
+        n_kept = kept.filter("kept = 1").count()
+        dt = round(time.perf_counter() - t0, 1)
+        release_cached(kept)
+        runs.append({"path": "collapsed_keep_first", "k_dup": k,
+                     "sec": dt, "survivors": n_kept})
+        print(f"# collapsed k={k}: {dt}s, {n_kept} survivors",
+              file=sys.stderr, flush=True)
+        assert n_kept == n_distinct + 1, n_kept
+
+    print(json.dumps({
+        "metric": "dedup_duplicate_group_sec",
+        "n_distinct": n_distinct,
+        "runs": runs,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
