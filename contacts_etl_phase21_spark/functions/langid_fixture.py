@@ -1,0 +1,104 @@
+"""Labeled training fixture for the model-based language-ID tier.
+
+A small, author-written, all-lowercase multilingual sentence sample
+(10 sentences × 5 languages) — the bounded labeled corpus the hashed
+char-n-gram classifier trains on. All text here was written for this
+repository (no external corpus), deliberately lowercase so the
+lower() normalization step cannot introduce cross-engine case-folding
+differences, and ASCII-only for the European languages so length/
+substr arithmetic is identical across engines (the zh rows exercise
+the non-ASCII path — both Spark and DuckDB index VARCHAR by
+codepoint).
+
+The fixture doubles as DuckDB oracle input: langid_fixture_values()
+renders it as a VALUES clause, so the registered query's oracle
+trains the SAME model from the SAME literal rows (the driver's DuckDB
+only sees the synthetic tables, so fixture data must travel inside
+the SQL).
+"""
+
+from __future__ import annotations
+
+LANGID_SENTENCES: list[tuple[str, str]] = [(lang, s) for lang, ss in {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she walked to the market and bought fresh bread with some cheese",
+        "we have been waiting for the train since early this morning",
+        "children love to play outside when the weather is warm and sunny",
+        "the old library keeps thousands of books about science and history",
+        "please remember to close the windows before the storm arrives tonight",
+        "my brother works at a small company that builds wooden furniture",
+        "they traveled across the country to visit their grandparents last summer",
+        "a good breakfast with eggs and coffee makes the morning better",
+        "the teacher asked every student to write a short story about home",
+    ],
+    "es": [
+        "el perro corre por el parque todos los dias con su dueno",
+        "la nina compro pan fresco y queso en el mercado del pueblo",
+        "hemos estado esperando el tren desde muy temprano esta manana",
+        "a los ninos les encanta jugar afuera cuando hace buen tiempo",
+        "la biblioteca antigua guarda miles de libros de ciencia e historia",
+        "por favor recuerda cerrar las ventanas antes de la tormenta",
+        "mi hermano trabaja en una empresa que fabrica muebles de madera",
+        "viajaron por todo el pais para visitar a sus abuelos",
+        "un buen desayuno con huevos y cafe mejora toda la manana",
+        "la maestra pidio a cada estudiante escribir una historia corta",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt uber den faulen hund am fluss",
+        "sie ging zum markt und kaufte frisches brot und etwas kase",
+        "wir warten seit dem fruhen morgen auf den verspateten zug",
+        "kinder spielen gerne draussen wenn das wetter warm und sonnig ist",
+        "die alte bibliothek bewahrt tausende bucher uber wissenschaft und geschichte",
+        "bitte denke daran die fenster vor dem sturm heute abend zu schliessen",
+        "mein bruder arbeitet in einer kleinen firma die holzmobel baut",
+        "sie reisten durch das ganze land um ihre grosseltern zu besuchen",
+        "ein gutes fruhstuck mit eiern und kaffee macht den morgen besser",
+        "die lehrerin bat jeden schuler eine kurze geschichte zu schreiben",
+    ],
+    "fr": [
+        "le chien court dans le parc tous les jours avec son maitre",
+        "elle est allee au marche acheter du pain frais et du fromage",
+        "nous attendons le train depuis tot ce matin sur le quai",
+        "les enfants adorent jouer dehors quand le temps est chaud",
+        "la vieille bibliotheque garde des milliers de livres de science",
+        "merci de fermer les fenetres avant la tempete de ce soir",
+        "mon frere travaille dans une petite entreprise de meubles en bois",
+        "ils ont voyage a travers le pays pour voir leurs grands parents",
+        "un bon petit dejeuner avec des oeufs rend le matin meilleur",
+        "la maitresse a demande a chaque eleve une courte histoire",
+    ],
+    "zh": [
+        "今天天气很好我们一起去公园散步吧",
+        "他每天早上喝一杯咖啡然后去上班",
+        "图书馆里有很多关于科学和历史的书",
+        "孩子们喜欢在天气好的时候出去玩",
+        "请记得在暴风雨来之前关上窗户",
+        "我的哥哥在一家生产木制家具的小公司工作",
+        "他们去年夏天去看望了他们的祖父母",
+        "一顿有鸡蛋和咖啡的早餐让早晨更美好",
+        "老师让每个学生写一篇关于家的短文",
+        "她走到市场买了新鲜的面包和一些奶酪",
+    ],
+}.items() for s in ss]
+
+# held-out sentences (never trained on) for the accuracy pin in tests
+LANGID_HOLDOUT: list[tuple[str, str]] = [
+    ("en", "the small cat sleeps on the warm chair in the kitchen"),
+    ("en", "we should bring water and food for the long walk tomorrow"),
+    ("es", "el gato pequeno duerme en la silla de la cocina"),
+    ("es", "debemos llevar agua y comida para la caminata de manana"),
+    ("de", "die kleine katze schlaft auf dem warmen stuhl in der kuche"),
+    ("de", "wir sollten wasser und essen fur die lange wanderung mitbringen"),
+    ("fr", "le petit chat dort sur la chaise chaude de la cuisine"),
+    ("fr", "nous devons apporter de l eau pour la longue marche de demain"),
+    ("zh", "小猫在厨房温暖的椅子上睡觉"),
+    ("zh", "我们明天远足应该带上水和食物"),
+]
+
+
+def langid_fixture_values() -> str:
+    """The fixture as a DuckDB VALUES list: (lang, sent) rows."""
+    return ",".join(
+        "('" + lang + "','" + sent.replace("'", "''") + "')"
+        for lang, sent in LANGID_SENTENCES)

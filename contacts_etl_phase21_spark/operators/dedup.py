@@ -563,19 +563,41 @@ def _udf_simhash(tokens: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  collapse_exact: bool = True) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint (pandas UDF over
     token arrays), blocked on 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
-    ≥1 identical chunk of 4), verified with exact popcount."""
+    ≥1 identical chunk of 4), verified with exact popcount.
+
+    collapse_exact (r08): docs with IDENTICAL simhash values collapse
+    to one representative before the chunk self-join — the same
+    hot-bucket fix as the MinHash spine (a k-member identical-doc
+    group shares all 4 chunks, so uncollapsed candidate generation
+    emits 4·k²/2 rows). Equal fingerprints ⇒ hamming 0 to each other
+    and identical hamming to everything else, so within-group pairs
+    emit directly at hamming 0 and cross pairs inherit the rep pair's
+    hamming — output identical to the uncollapsed path."""
     # persist: the chunk self-join's two sides are separate subplans —
     # unmaterialized, the pandas-UDF fingerprint pass (the corpus-scale
     # stage) would run TWICE over the corpus (same lesson as the
-    # MinHash band array, PLANS.md). Cache entry is (doc, long).
+    # MinHash band array, PLANS.md). Cache entry is (doc, long) —
+    # plus the rep label under collapse.
+    from pyspark.sql import Window
+
     fp = widen(df).select(
         F.col(id_col).alias("doc"),
         _udf_simhash(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .alias("simhash")).persist()
-    chunks = fp.select(
+        .alias("simhash"))
+    if collapse_exact:
+        fp = fp.withColumn(
+            "rep", F.min("doc").over(Window.partitionBy("simhash"))) \
+            .persist()
+        base = fp.filter(F.col("doc") == F.col("rep")) \
+            .select("doc", "simhash")
+    else:
+        fp = fp.persist()
+        base = fp
+    chunks = base.select(
         "doc", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_idx"),
@@ -587,13 +609,26 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     r = chunks.select(F.col("doc").alias("doc_b"),
                       F.col("simhash").alias("sh_b"), "c")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return _carry_cached(
+    rep_pairs = (
         l.join(r, "c")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming),
-        [fp])
+        .filter(F.col("hamming") <= max_hamming))
+    if not collapse_exact:
+        return _carry_cached(rep_pairs, [fp])
+    ma = fp.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__da"))
+    mb = fp.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__db"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("__da", "__db").alias("doc_a"),
+                     F.greatest("__da", "__db").alias("doc_b"), "hamming"))
+    wa = fp.select("rep", F.col("doc").alias("doc_a"))
+    wb = fp.select("rep", F.col("doc").alias("doc_b"))
+    within = (wa.join(wb, "rep")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b",
+                      F.lit(0).cast("int").alias("hamming")))
+    return _carry_cached(cross.unionByName(within), [fp])
 
 
 def _collapsed_doc_components(df: DataFrame, id_col: str, text_col: str,
@@ -729,6 +764,14 @@ def cross_corpus_near_dups(new: DataFrame, index: DataFrame,
     twin is streaming/dedup_ingest.stream_near_dup_flags (same
     lsh_corpus_index served continuously); this batch form also emits
     the verified pair list a compactor needs, not just flags.
+
+    When the corpus index is already STORED (the r08 production
+    artifact, write_lsh_corpus_index), do not re-derive it from text
+    through this function — run stream_near_dup_flags(batch,
+    load_lsh_corpus_index(spark, path)) instead: it works identically
+    on a batch frame, probes the stored buckets, and fetches stored
+    shingles at candidate scale (measured at 10⁶ docs: stored probe
+    8.5s vs 12.4s recompute — BASELINE r08).
 
     Duplicate-safe (r08): BOTH sides collapse identical-shingle-set
     docs to representatives before signatures/banding/verify

@@ -2267,6 +2267,95 @@ def ta_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "lft", "rgt").limit(20))
 
 
+def _langid_model_oracle() -> str:
+    """DuckDB twin of ta_language_id_model: trains the SAME char-3-gram
+    naive-Bayes model from the SAME fixture rows (shipped inside the
+    SQL as a VALUES list — the driver's DuckDB sees only the synthetic
+    tables) and scores/argmaxes identically: integer terms
+    floor(1e9·(c+1)/(c_lang+V)), misses (n_grams−n_hit)·miss(lang),
+    ties (score DESC, lang ASC), 'und' for gramless docs."""
+    from contacts_etl_phase21_spark.functions.langid_fixture import (
+        langid_fixture_values,
+    )
+
+    return f"""
+        WITH fixture(lang, sent) AS (VALUES {langid_fixture_values()}),
+        fg AS (
+            SELECT lang, substr(t, i, 3) AS g FROM (
+                SELECT lang, lower(trim(sent)) AS t FROM fixture),
+                unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)
+        ),
+        cab AS (SELECT g, lang, COUNT(*) AS c FROM fg GROUP BY g, lang),
+        clang AS (SELECT lang, SUM(c) AS c_lang FROM cab GROUP BY lang),
+        v AS (SELECT COUNT(DISTINCT g) AS v FROM cab),
+        model AS (
+            SELECT g, lang,
+                   CAST(FLOOR(1000000000.0 * (c + 1) / (c_lang + v))
+                        AS BIGINT) AS term
+            FROM cab JOIN clang USING (lang) CROSS JOIN v),
+        missf AS (
+            SELECT lang,
+                   CAST(FLOOR(1000000000.0 / (c_lang + v)) AS BIGINT)
+                       AS miss
+            FROM clang CROSS JOIN v),
+        dg AS (
+            SELECT doc_id, substr(t, i, 3) AS g FROM (
+                SELECT doc_id, lower(trim(text)) AS t FROM documents),
+                unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)
+        ),
+        ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+        hits AS (
+            SELECT doc_id, lang, COUNT(*) AS n_hit, SUM(term) AS hit_sum
+            FROM dg JOIN model USING (g) GROUP BY doc_id, lang),
+        grid AS (SELECT ng.doc_id, ng.n_grams, m.lang, m.miss
+                 FROM ng CROSS JOIN missf m),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(COALESCE(hit_sum, 0)
+                        + (n_grams - COALESCE(n_hit, 0)) * miss
+                        AS BIGINT) AS score
+            FROM grid LEFT JOIN hits USING (doc_id, lang)),
+        pred AS (
+            SELECT doc_id, lang AS predicted_lang, score AS score_e9
+            FROM scored QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang) = 1)
+        SELECT d.doc_id,
+               COALESCE(p.predicted_lang, 'und') AS predicted_lang,
+               CAST(COALESCE(p.score_e9, 0) AS BIGINT) AS score_e9
+        FROM documents d LEFT JOIN pred p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+@query(
+    "ta_language_id_model",
+    survey="LLM-text(langid-model)",
+    doc="Model-based language ID (r08, judge #5): char-3-gram "
+        "multinomial naive Bayes trained on the shipped multilingual "
+        "fixture (functions/langid_fixture.py), integer-exact scoring "
+        "in the bigram-LM design language — per-gram terms "
+        "floor(1e9·(c+1)/(c_lang+V)) int64, unseen grams score the "
+        "per-language smoothing floor, argmax ties (score DESC, lang "
+        "ASC), 'und' for gramless docs. The bounded model broadcasts; "
+        "corpus work is one gram explode + broadcast join + one "
+        "(doc, lang) groupBy. Beats the tier-0 marker heuristic "
+        "10/10 vs 6/10 on held-out fixture sentences (pinned in "
+        "tests). Oracle trains the same model from the same fixture "
+        "rows carried as a VALUES list.",
+    oracle=_langid_model_oracle(),
+)
+def ta_language_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.functions.langid_fixture import (
+        LANGID_SENTENCES,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = spark.createDataFrame(LANGID_SENTENCES,
+                                    "lang STRING, sent STRING")
+    return ta.language_id_model(docs, "doc_id", "text", labeled) \
+        .orderBy("doc_id")
+
+
 def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
     """Certificate oracle for the iterative BPE merge loop (r08 — the
     registry's last oracle-less computation that could have one; the

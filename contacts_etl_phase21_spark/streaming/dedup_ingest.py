@@ -30,6 +30,8 @@ Two deliberate departures from the batch operator
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -77,90 +79,157 @@ def _band_buckets(df: DataFrame, bands: int, rows: int) -> DataFrame:
             .alias("bucket"))))).drop("signature")
 
 
+@dataclass
+class LshCorpusIndex:
+    """The static near-dup index, SPLIT into its two natural keys
+    (r08): `buckets` = (doc, bb) — one row per (corpus doc, band
+    bucket), the probe join side; `shingles` = (doc, sh_h) — ONE copy
+    of each doc's shingle-hash set, the verification side. Through
+    r07 these were one fused frame carrying sh_h on every band row —
+    a 16× (bands×) duplication of the corpus's shingle arrays that
+    OOMed a 32 GB heap at 10⁷ docs (~61 GB fused vs ~7.6 GB split;
+    BASELINE r08). The probe pays one extra candidate-sized equi-join
+    on dup_of to fetch shingles; flags are identical (pinned).
+
+    `extras` carries any additional cached frames this index's
+    construction owns (e.g. an incremental update's delta index) so
+    unpersist() releases the WHOLE lifecycle in one call."""
+
+    buckets: DataFrame
+    shingles: DataFrame
+    extras: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for h in (self.buckets, self.shingles, *self.extras):
+            h.unpersist()
+
+
 def lsh_corpus_index(corpus: DataFrame, id_col: str, text_col: str,
                      n: int = 3, num_hashes: int = 64,
-                     bands: int = 16) -> DataFrame:
-    """The static side: (doc, sh_h, bb) — one row per (corpus doc,
-    band bucket). At 100 TB this is materialized once and written
-    partitioned by bb.bucket so each probe reads one bucket's worth;
-    here it stays a DataFrame the stream joins against. Uses the
-    aggregate signature plan (batch context — map-side combined).
+                     bands: int = 16) -> LshCorpusIndex:
+    """Build the static index (see LshCorpusIndex). At 100 TB both
+    halves are materialized once and written to parquet
+    (write_lsh_corpus_index: buckets band-partitioned + bucket-sorted,
+    shingles doc-keyed); here they stay DataFrames the stream joins
+    against. Uses the aggregate signature plan (batch context —
+    map-side combined).
 
-    Cache lifecycle (r06, per advisor): the returned index is
-    persisted AND materialized here (the static side of a
-    stream-static join re-executes per micro-batch — without the
-    persist every batch would rebuild shingles + 64 min-aggregates +
-    banding), and the intermediate shingle frame — shared by the
-    signature aggregation and the join, so persisted during the
-    build — is UNPERSISTED before returning: repeated index builds
-    (bench sweeps, long sessions) no longer accumulate cached
-    intermediates. The caller owns the returned index's lifecycle
-    (unpersist it when the stream stops)."""
+    Cache lifecycle (r06, per advisor): both halves are persisted AND
+    materialized here (the static side of a stream-static join
+    re-executes per micro-batch — without the persist every batch
+    would rebuild shingles + 64 min-aggregates + banding). The
+    shingles half IS the intermediate shingle frame, so nothing
+    transient is left cached. The caller owns the returned index's
+    lifecycle (index.unpersist() when the stream stops)."""
     sh = with_hashed_shingles(corpus, id_col, text_col, n).persist()
-    try:
-        index = _band_buckets(
-            _signature_from_hashed(sh, num_hashes).join(sh, "doc"),
-            bands, num_hashes // bands).persist()
-        index.count()  # materialize while sh is still cached
-    finally:
-        sh.unpersist()
-    return index
+    buckets = _band_buckets(
+        _signature_from_hashed(sh, num_hashes),
+        bands, num_hashes // bands).persist()
+    buckets.count()  # materialize while sh is cached (sig reads it twice)
+    sh.count()
+    return LshCorpusIndex(buckets=buckets, shingles=sh)
 
 
-def write_lsh_corpus_index(index: DataFrame, path: str,
+def write_lsh_corpus_index(index: LshCorpusIndex, path: str,
                            n_files_per_band: int = 8,
                            mode: str = "error") -> None:
-    """Persist an lsh_corpus_index frame as the PRODUCTION artifact
-    (r08): at 100 TB the index is built ONCE from the curated corpus
-    and then probed nightly (cross_corpus batches) and continuously
-    (stream flags) — recomputing shingles + 64 min-aggregates + banding
-    from text per session is a full corpus pass the artifact exists to
+    """Persist an LshCorpusIndex as the PRODUCTION artifact (r08): at
+    100 TB the index is built ONCE from the curated corpus and then
+    probed nightly (cross_corpus batches) and continuously (stream
+    flags) — recomputing shingles + 64 min-aggregates + banding from
+    text per session is a full corpus pass the artifact exists to
     avoid.
 
-    Layout: the (doc, sh_h, bb) rows flatten to (doc, sh_h, bucket)
-    under a band=N directory partition — 16 hive partitions, so a
-    probe restricted to a band prunes 15/16 of the files before any
-    IO — and within a band the rows are hash-clustered and SORTED by
-    bucket, so parquet row-group min/max stats prune bucket-equality
-    probes inside each file. n_files_per_band sizes the files (scale
-    with corpus so a row group stays ~128 MB).
-
-    The shingle array rides along (it is the verification side's
-    input); a deployment can split it into a second, doc-keyed
-    artifact if band fan-out (16× duplication of sh_h) dominates
-    storage — the probe join shape is unchanged."""
-    flat = index.select(
-        "doc", "sh_h",
+    Layout, one subdir per index half:
+    - {path}/buckets: (doc, bucket) under a band=N directory partition
+      — 16 hive partitions, so a band-restricted probe prunes 15/16 of
+      the files before any IO — and within a band the rows are
+      hash-clustered and SORTED by bucket, so parquet row-group
+      min/max stats prune bucket-equality probes inside each file.
+      n_files_per_band sizes the files (scale with corpus so a row
+      group stays ~128 MB).
+    - {path}/shingles: (doc, sh_h), doc-keyed, ONE copy per doc — the
+      split that keeps the artifact (and any in-memory cache of it)
+      bands× smaller than the r07 fused layout."""
+    flat = index.buckets.select(
+        "doc",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"))
     (flat.repartition(n_files_per_band, "band", "bucket")
      .sortWithinPartitions("bucket")
-     .write.mode(mode).partitionBy("band").parquet(path))
+     .write.mode(mode).partitionBy("band").parquet(f"{path}/buckets"))
+    index.shingles.write.mode(mode).parquet(f"{path}/shingles")
 
 
-def load_lsh_corpus_index(spark, path: str) -> DataFrame:
-    """Read a stored index back into the exact frame lsh_corpus_index
-    builds — (doc, sh_h, bb struct) with identical field types, so
-    stream_near_dup_flags / cross-corpus probes are drop-in (stored-
-    vs-fresh flag equality across a restart is pinned in
-    tests/test_streaming.py). No persist: the artifact is already
-    materialized on disk; a static side re-read per micro-batch is a
-    pruned parquet scan, not a recompute."""
-    flat = spark.read.parquet(path)
-    return flat.select(
-        "doc", "sh_h",
+def load_lsh_corpus_index(spark, path: str) -> LshCorpusIndex:
+    """Read a stored index back into the exact shape lsh_corpus_index
+    builds — identical field types, so stream_near_dup_flags /
+    cross-corpus probes are drop-in (stored-vs-fresh flag equality
+    across a restart is pinned in tests/test_streaming.py). No
+    persist: the artifact is already materialized on disk; a static
+    side re-read per micro-batch is a pruned parquet scan, not a
+    recompute."""
+    flat = spark.read.parquet(f"{path}/buckets")
+    buckets = flat.select(
+        "doc",
         F.struct(F.col("band").cast("int").alias("band"),
                  F.col("bucket").cast("long").alias("bucket"))
         .alias("bb"))
+    shingles = spark.read.parquet(f"{path}/shingles")
+    return LshCorpusIndex(buckets=buckets, shingles=shingles)
 
 
-def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
+def update_lsh_corpus_index(index: LshCorpusIndex, old_snapshot: DataFrame,
+                            new_snapshot: DataFrame, id_col: str,
+                            text_col: str, n: int = 3,
+                            num_hashes: int = 64,
+                            bands: int = 16) -> LshCorpusIndex:
+    """Incremental index maintenance (r08): apply a corpus snapshot
+    delta to an EXISTING index without re-signing the unchanged corpus
+    — the nightly operation at 100 TB, where a full rebuild
+    (shingle + 64 min-aggregates + banding over everything) costs a
+    corpus pass but tonight's delta is ~0.1% of it.
+
+    Plan: snapshot_delta classifies ids with one full-outer join on
+    (id, md5-fingerprint) — text never shuffles; REMOVED∪CHANGED ids
+    drop from both index halves via broadcast anti-joins (the delta id
+    set is nightly-sized); ADDED∪CHANGED docs — the only ones whose
+    TEXT is touched — build a fresh delta index (lsh_corpus_index,
+    persisted) that unions on. Updated-index ≡ built-from-scratch on
+    the new snapshot is pinned in tests (rows AND probe flags).
+
+    The returned halves are (old ∪ delta) views carrying the delta
+    index's cached frames in `extras`; write the result with
+    write_lsh_corpus_index to version the artifact, then
+    updated.unpersist() releases the delta's cache (the old index's
+    own cache is untouched and still owned by its creator)."""
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+
+    delta = snapshot_delta(old_snapshot, new_snapshot, id_col, text_col)
+    touched = delta.filter(F.col("status").isin("removed", "changed")) \
+        .select(F.col(id_col).alias("doc"))
+    fresh_ids = delta.filter(F.col("status").isin("added", "changed")) \
+        .select(F.col(id_col))
+    fresh_docs = new_snapshot.join(F.broadcast(fresh_ids), id_col, "semi")
+    fresh = lsh_corpus_index(fresh_docs, id_col, text_col, n,
+                             num_hashes, bands)
+    keep_b = index.buckets.join(F.broadcast(touched), "doc", "left_anti")
+    keep_s = index.shingles.join(F.broadcast(touched), "doc", "left_anti")
+    return LshCorpusIndex(
+        buckets=keep_b.unionByName(fresh.buckets),
+        shingles=keep_s.unionByName(fresh.shingles),
+        extras=[fresh.buckets, fresh.shingles])
+
+
+def stream_near_dup_flags(stream_docs: DataFrame,
+                          corpus_index: LshCorpusIndex,
                           id_col: str = "doc_id", text_col: str = "text",
                           n: int = 3, num_hashes: int = 64,
                           bands: int = 16,
                           threshold: float = 0.8) -> DataFrame:
     """Streaming plan: arriving docs → row-local signature → band
-    buckets → stream-static equi-join on bb → exact-Jaccard verify →
+    buckets → stream-static equi-join on bb → shingle fetch by dup_of
+    (the split-index join, candidate-sized) → exact-Jaccard verify →
     (doc_id, dup_of, jaccard). Works identically on a batch frame
     (the batch twin the oracle checks).
 
@@ -174,9 +243,11 @@ def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
         .select(F.col("doc").alias("in_doc"),
                 F.col("sh_h").alias("in_sh"), "bb")
     hits = probe.join(
-        corpus_index.select(F.col("doc").alias("dup_of"),
-                            F.col("sh_h").alias("c_sh"), "bb"),
-        "bb")
+        corpus_index.buckets.select(F.col("doc").alias("dup_of"), "bb"),
+        "bb") \
+        .join(corpus_index.shingles.select(F.col("doc").alias("dup_of"),
+                                           F.col("sh_h").alias("c_sh")),
+              "dup_of")
     jac = (F.size(F.array_intersect("in_sh", "c_sh"))
            / F.size(F.array_union("in_sh", "c_sh")))
     return (hits
@@ -187,7 +258,7 @@ def stream_near_dup_flags(stream_docs: DataFrame, corpus_index: DataFrame,
 
 
 def stream_near_dup_flags_watermarked(
-        stream_docs: DataFrame, corpus_index: DataFrame,
+        stream_docs: DataFrame, corpus_index: LshCorpusIndex,
         ts_col: str = "ts", delay: str = "10 minutes",
         id_col: str = "doc_id", text_col: str = "text",
         n: int = 3, num_hashes: int = 64, bands: int = 16,
@@ -215,9 +286,11 @@ def stream_near_dup_flags_watermarked(
         .select(F.col("doc").alias("in_doc"),
                 F.col("sh_h").alias("in_sh"), F.col(ts_col), "bb")
     hits = probe.join(
-        corpus_index.select(F.col("doc").alias("dup_of"),
-                            F.col("sh_h").alias("c_sh"), "bb"),
-        "bb")
+        corpus_index.buckets.select(F.col("doc").alias("dup_of"), "bb"),
+        "bb") \
+        .join(corpus_index.shingles.select(F.col("doc").alias("dup_of"),
+                                           F.col("sh_h").alias("c_sh")),
+              "dup_of")
     jac = (F.size(F.array_intersect("in_sh", "c_sh"))
            / F.size(F.array_union("in_sh", "c_sh")))
     return (hits

@@ -2184,3 +2184,39 @@ def test_contamination_by_eval_planted(spark):
     assert out[10]["n_shared_grams"] == 0
     assert out[0]["n_train_docs"] == 2
     assert out[0]["n_shared_grams"] == 3
+
+
+def test_langid_model_beats_marker_tier_on_holdout(spark):
+    """r08 (judge #5): the char-3-gram NB tier must classify the
+    HELD-OUT fixture sentences (never trained on) correctly and beat
+    the tier-0 marker heuristic on the same set — the recorded
+    accuracy claim (model 10/10 vs marker 6/10)."""
+    from contacts_etl_phase21_spark.functions.langid_fixture import (
+        LANGID_HOLDOUT, LANGID_SENTENCES,
+    )
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        language_id_model, predict_language,
+    )
+
+    labeled = spark.createDataFrame(LANGID_SENTENCES,
+                                    "lang STRING, sent STRING")
+    held = spark.createDataFrame(
+        [(i, lang, s) for i, (lang, s) in enumerate(LANGID_HOLDOUT)],
+        "doc_id LONG, true_lang STRING, text STRING")
+    pred = language_id_model(held, "doc_id", "text", labeled)
+    got = {r["doc_id"]: r["predicted_lang"] for r in pred.collect()}
+    truth = {i: lang for i, (lang, _) in enumerate(LANGID_HOLDOUT)}
+    model_acc = sum(got[i] == truth[i] for i in truth)
+
+    marker = held.select(
+        "doc_id", predict_language(F.col("text")).alias("p"))
+    got_m = {r["doc_id"]: r["p"] for r in marker.collect()}
+    marker_acc = sum(got_m[i] == truth[i] for i in truth)
+
+    assert model_acc == len(truth)          # 10/10
+    assert marker_acc < model_acc           # 6/10 at last recording
+    # determinism: gramless text predicts 'und'
+    und = language_id_model(
+        spark.createDataFrame([(1, "ab")], "doc_id LONG, text STRING"),
+        "doc_id", "text", labeled).collect()
+    assert und[0]["predicted_lang"] == "und" and und[0]["score_e9"] == 0

@@ -914,3 +914,23 @@ def test_lsh_max_bucket_caps_near_dup_families(spark):
     n_capped = capped.count()
     release_cached(capped)
     assert n_capped < n_uncapped
+
+
+def test_simhash_collapse_output_identical(spark):
+    """r08: simhash_pairs' identical-fingerprint pre-collapse must emit
+    exactly the uncollapsed pair set (hamming computed from the
+    fingerprint only, so equal fingerprints expand losslessly)."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        release_cached, simhash_pairs,
+    )
+
+    docs = _dup_heavy_docs(spark, k_dup=20, n_distinct=6)
+    fast = simhash_pairs(docs, "doc_id", "text", collapse_exact=True)
+    slow = simhash_pairs(docs, "doc_id", "text", collapse_exact=False)
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, slow.collect()))
+    release_cached(fast)
+    release_cached(slow)
+    assert got == want
+    assert sum(1 for a, b, h in got
+               if a < 10_000 and b < 10_000 and h == 0) == 20 * 19 // 2

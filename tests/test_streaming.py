@@ -1089,8 +1089,10 @@ def test_lsh_index_write_load_roundtrip_across_restart(spark, sf_small,
     write_lsh_corpus_index(fresh, path)
 
     import os
-    bands = sorted(d for d in os.listdir(path) if d.startswith("band="))
+    bands = sorted(d for d in os.listdir(f"{path}/buckets")
+                   if d.startswith("band="))
     assert len(bands) == 16
+    assert os.path.isdir(f"{path}/shingles")
 
     stored = load_lsh_corpus_index(spark, path)
     want = {(r["doc_id"], r["dup_of"], r["jaccard"])
@@ -1115,3 +1117,52 @@ def test_lsh_index_write_load_roundtrip_across_restart(spark, sf_small,
     got_stream = {(r["doc_id"], r["dup_of"], r["jaccard"])
                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got_stream == want
+
+
+def test_update_lsh_corpus_index_equals_rebuild(spark, sf_small):
+    """r08: incremental index maintenance. Apply a snapshot delta
+    (adds + changes + removes) to a built index and verify the result
+    is EXACTLY the index built from scratch on the new snapshot — both
+    as raw index rows and through probe flags."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, stream_near_dup_flags, update_lsh_corpus_index,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)          # evens
+    # new snapshot: drop doc_id % 10 == 0 (removes), change % 10 == 4
+    # (text edited), add the % 4 == 1 odds
+    changed = old.filter(F.col("doc_id") % 10 == 4) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" edited")))
+    kept = old.filter((F.col("doc_id") % 10 != 0)
+                      & (F.col("doc_id") % 10 != 4))
+    added = docs.filter(F.col("doc_id") % 4 == 1)
+    new = kept.unionByName(changed).unionByName(added)
+
+    idx_old = lsh_corpus_index(old, "doc_id", "text")
+    updated = update_lsh_corpus_index(idx_old, old, new, "doc_id", "text")
+    scratch = lsh_corpus_index(new, "doc_id", "text")
+
+    up_b = {(r["doc"], r["bb"]["band"], r["bb"]["bucket"])
+            for r in updated.buckets.collect()}
+    sc_b = {(r["doc"], r["bb"]["band"], r["bb"]["bucket"])
+            for r in scratch.buckets.collect()}
+    assert up_b == sc_b and len(sc_b) > 0
+    up_s = {(r["doc"], tuple(sorted(r["sh_h"])))
+            for r in updated.shingles.collect()}
+    sc_s = {(r["doc"], tuple(sorted(r["sh_h"])))
+            for r in scratch.shingles.collect()}
+    assert up_s == sc_s
+
+    arriving = docs.filter(F.col("doc_id") % 4 == 3)
+    got = {(r["doc_id"], r["dup_of"], r["jaccard"]) for r in
+           stream_near_dup_flags(arriving, updated).collect()}
+    want = {(r["doc_id"], r["dup_of"], r["jaccard"]) for r in
+            stream_near_dup_flags(arriving, scratch).collect()}
+    assert got == want and len(want) > 0
+    updated.unpersist()
+    idx_old.unpersist()
+    scratch.unpersist()
