@@ -129,12 +129,21 @@ def exact_duplicates(df: DataFrame, id_col: str, fingerprint: Column) -> DataFra
 
 
 def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            n: int = 3, threshold: float = 0.8) -> DataFrame:
+                            n: int = 3, threshold: float = 0.8,
+                            collapse_exact: bool = True) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold via inverted index.
 
     Plan: doc→shingles → explode → self-equi-join on shingle →
     per-pair shared count → jaccard. One wide shuffle on shingle, one
     on the pair key; no cartesian anywhere.
+
+    collapse_exact (r08): identical-shingle-set docs collapse to one
+    representative first — the SAME hot-group fix as the MinHash
+    spine, and the inverted index needs it just as much: a k-member
+    identical group puts all k members on every one of its shingles'
+    posting lists, so the shingle join alone emits |shingles|·k²/2
+    rows. Reps run the index; membership expands back (within at
+    jaccard 1.0, cross inheriting the rep pair) — output identical.
     """
     # Hash inside the MATERIALIZED projection and explode the plain
     # attribute: Generate re-evaluates an inlined non-cheap generator
@@ -143,12 +152,26 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     # decontamination.contamination_flags; measured 40× at 10^6 docs).
     # Join on the 64-bit shingle hash, not the string: ~4× smaller
     # shuffle, same counts (collision odds ≪ 1e-6 at corpus scale).
-    sh = with_shingles(df, id_col, text_col, n) \
+    sh_all = with_shingles(df, id_col, text_col, n) \
         .select("doc",
                 F.size("shingles").alias("n_sh"),
                 F.transform("shingles", lambda s: F.xxhash64(s))
-                .alias("sh_h")) \
-        .persist()  # caller releases via release_cached (r07 ADVICE)
+                .alias("sh_h"))
+    if collapse_exact:
+        from pyspark.sql import Window
+
+        members = (sh_all
+                   .withColumn("__fp", F.xxhash64(F.array_sort("sh_h")))
+                   .withColumn("rep", F.min("doc").over(
+                       Window.partitionBy("__fp")))
+                   .drop("__fp")
+                   .persist())  # caller releases via release_cached
+        sh = members.filter(F.col("doc") == F.col("rep")) \
+            .select("doc", "n_sh", "sh_h")
+        handles = [members]
+    else:
+        sh = sh_all.persist()
+        handles = [sh]
     posting = sh.select(
         "doc", "n_sh", F.explode("sh_h").alias("shingle"))
     left = posting.select(F.col("doc").alias("doc_a"),
@@ -162,10 +185,24 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return _carry_cached(
+    rep_pairs = (
         pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold),
-        [sh])
+        .filter(F.col("jaccard") >= threshold))
+    if not collapse_exact:
+        return _carry_cached(rep_pairs, handles)
+    m = handles[0]
+    ma = m.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__da"))
+    mb = m.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__db"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("__da", "__db").alias("doc_a"),
+                     F.greatest("__da", "__db").alias("doc_b"),
+                     "jaccard"))
+    wa = m.select("rep", F.col("doc").alias("doc_a"))
+    wb = m.select("rep", F.col("doc").alias("doc_b"))
+    within = (wa.join(wb, "rep")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard")))
+    return _carry_cached(cross.unionByName(within), handles)
 
 
 def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,

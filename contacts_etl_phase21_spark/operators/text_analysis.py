@@ -107,7 +107,8 @@ def train_char_ngram_lid(labeled, label_col: str, text_col: str,
 
 def language_id_model(df, id_col: str, text_col: str, labeled,
                       label_col: str = "lang", sent_col: str = "sent",
-                      n: int = 3, top_m: int | None = 1_000_000):
+                      n: int = 3, top_m: int | None = 1_000_000,
+                      hashed_keys: bool = False):
     """Score every document against the trained char-n-gram LID model
     and emit (id, predicted_lang, score_e9) — the model-based tier
     above the predict_language marker heuristic.
@@ -119,13 +120,25 @@ def language_id_model(df, id_col: str, text_col: str, labeled,
     shuffle keyed on anything unbounded. score(doc, lang) =
     Σ matched term + (n_grams − n_matched)·miss(lang), all int64;
     argmax ties break (score DESC, lang ASC); docs with no gram (< n
-    chars) predict 'und'."""
+    chars) predict 'und'.
+
+    hashed_keys=True is the production key tier (the DSIR dual-hash
+    precedent): after the model is trained AND capped on gram STRINGS
+    (so the cap's total order stays engine-portable), both the model
+    keys and the corpus-side grams collapse to xxhash64 — 8-byte join
+    keys instead of n-char strings through the corpus-scale explode
+    and broadcast join. Scores identical modulo 64-bit collisions
+    (the registry's accepted equivalence); tier equality is pinned in
+    tests. The oracle-twin tier (default) keeps strings."""
     from pyspark.sql import Window
 
     model, miss = train_char_ngram_lid(labeled, label_col, sent_col,
                                        n, top_m)
     dg = df.select(F.col(id_col),
                    F.explode(char_ngrams(F.col(text_col), n)).alias("g"))
+    if hashed_keys:
+        model = model.select(F.xxhash64("g").alias("g"), "lang", "term")
+        dg = dg.select(id_col, F.xxhash64("g").alias("g"))
     ng = dg.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
     hits = (dg.join(F.broadcast(model), "g")
             .groupBy(id_col, "lang")

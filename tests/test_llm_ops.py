@@ -2220,3 +2220,24 @@ def test_langid_model_beats_marker_tier_on_holdout(spark):
         spark.createDataFrame([(1, "ab")], "doc_id LONG, text STRING"),
         "doc_id", "text", labeled).collect()
     assert und[0]["predicted_lang"] == "und" and und[0]["score_e9"] == 0
+
+
+def test_langid_hashed_key_tier_matches_string_tier(spark, sf_small):
+    """r08: the xxhash64 production key tier (8-byte join keys through
+    the corpus-scale explode) must score identically to the
+    string-key oracle twin — the DSIR dual-tier contract."""
+    from contacts_etl_phase21_spark.functions.langid_fixture import (
+        LANGID_SENTENCES,
+    )
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        language_id_model,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    labeled = spark.createDataFrame(LANGID_SENTENCES,
+                                    "lang STRING, sent STRING")
+    s = sorted(map(tuple, language_id_model(
+        docs, "doc_id", "text", labeled).collect()))
+    h = sorted(map(tuple, language_id_model(
+        docs, "doc_id", "text", labeled, hashed_keys=True).collect()))
+    assert s == h and len(s) > 0

@@ -934,3 +934,26 @@ def test_simhash_collapse_output_identical(spark):
     assert got == want
     assert sum(1 for a, b, h in got
                if a < 10_000 and b < 10_000 and h == 0) == 20 * 19 // 2
+
+
+def test_jaccard_collapse_output_identical(spark):
+    """r08: the exact inverted-index tier's pre-collapse must emit
+    exactly the uncollapsed pair set (a k-member identical group puts
+    k members on every posting list — |shingles|·k²/2 joined rows —
+    so the exact tier needs the collapse as much as the LSH tier)."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        jaccard_near_duplicates, release_cached,
+    )
+
+    docs = _dup_heavy_docs(spark, k_dup=25, n_distinct=6)
+    fast = jaccard_near_duplicates(docs, "doc_id", "text",
+                                   collapse_exact=True)
+    slow = jaccard_near_duplicates(docs, "doc_id", "text",
+                                   collapse_exact=False)
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, slow.collect()))
+    release_cached(fast)
+    release_cached(slow)
+    assert got == want
+    assert sum(1 for a, b, j in got
+               if a < 10_000 and b < 10_000 and j == 1.0) == 25 * 24 // 2

@@ -1166,3 +1166,36 @@ def test_update_lsh_corpus_index_equals_rebuild(spark, sf_small):
     updated.unpersist()
     idx_old.unpersist()
     scratch.unpersist()
+
+
+def test_stored_lsh_index_prunes_band_and_pushes_bucket(spark, sf_small,
+                                                        tmp_path):
+    """r08: the stored index layout must actually buy scan pruning —
+    a band-restricted probe prunes 15/16 hive partitions
+    (PartitionFilters on band) and a bucket point-probe reaches the
+    parquet reader as a pushed filter (row-group min/max pruning on
+    the bucket-sorted files)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, write_lsh_corpus_index,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    idx = lsh_corpus_index(docs, "doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_lsh_corpus_index(idx, path)
+    idx.unpersist()
+
+    some = spark.read.parquet(f"{path}/buckets") \
+        .filter(F.col("band") == 3).limit(1).collect()
+    assert some, "band 3 must exist"
+    probe = spark.read.parquet(f"{path}/buckets").filter(
+        (F.col("band") == 3) & (F.col("bucket") == some[0]["bucket"]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "bucket" in pushed
+    assert probe.count() >= 1
