@@ -160,10 +160,14 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     if collapse_exact:
         from pyspark.sql import Window
 
+        # NULL shingle sets stay singletons — see _exact_collapse
         members = (sh_all
                    .withColumn("__fp", F.xxhash64(F.array_sort("sh_h")))
-                   .withColumn("rep", F.min("doc").over(
-                       Window.partitionBy("__fp")))
+                   .withColumn("rep",
+                               F.when(F.col("sh_h").isNotNull(),
+                                      F.min("doc").over(
+                                          Window.partitionBy("__fp")))
+                               .otherwise(F.col("doc")))
                    .drop("__fp")
                    .persist())  # caller releases via release_cached
         sh = members.filter(F.col("doc") == F.col("rep")) \
@@ -332,10 +336,22 @@ def _exact_collapse(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     a 10⁵-member group (the whole point)."""
     from pyspark.sql import Window
 
+    # A NULL shingle SET stays a SINGLETON: xxhash64(NULL) is a
+    # constant, so an unguarded fingerprint would fuse every NULL-set
+    # doc into one "identical" group and emit jaccard-1 pairs the
+    # uncollapsed path never produces (a NULL set's jaccard is NULL,
+    # filtered by ≥ threshold; the doc is also absent from buckets —
+    # explode(NULL) yields no rows). with_hashed_shingles itself never
+    # yields NULL (NULL text clamps to a one-element constant set, so
+    # NULL-text docs pair at jaccard 1 on BOTH paths — verified); the
+    # guard pins the equality contract for any upstream that does.
     w = Window.partitionBy("__fp")
     members = (sh
                .withColumn("__fp", F.xxhash64(F.array_sort("sh_h")))
-               .withColumn("rep", F.min("doc").over(w))
+               .withColumn("rep",
+                           F.when(F.col("sh_h").isNotNull(),
+                                  F.min("doc").over(w))
+                           .otherwise(F.col("doc")))
                .drop("__fp")
                .persist())
     rep_sh = members.filter(F.col("doc") == F.col("rep")) \
@@ -387,11 +403,16 @@ def _lsh_verified_pairs(sh: DataFrame, num_hashes: int, bands: int,
                 .alias("bucket"))).alias("bba")).persist()
     buckets = bba.select("doc", F.explode("bba").alias("bb"))
     if max_bucket is not None:
+        # No explicit broadcast hint on the over-cap list: it is tiny
+        # on real corpora but UNBOUNDED by construction (a tiny cap on
+        # a homogeneous corpus makes most buckets over-cap — the r06
+        # only-broadcast-what's-capped lesson); AQE broadcasts the
+        # anti-join side when runtime stats say it fits.
         wide = (buckets.groupBy("bb")
                 .agg(F.count(F.lit(1)).alias("__w"))
                 .filter(F.col("__w") > max_bucket)
                 .select("bb"))
-        buckets = buckets.join(F.broadcast(wide), "bb", "left_anti")
+        buckets = buckets.join(wide, "bb", "left_anti")
     l = buckets.select(F.col("doc").alias("doc_a"), "bb")
     r = buckets.select(F.col("doc").alias("doc_b"), "bb")
     candidates = (

@@ -130,8 +130,6 @@ def language_id_model(df, id_col: str, text_col: str, labeled,
     and broadcast join. Scores identical modulo 64-bit collisions
     (the registry's accepted equivalence); tier equality is pinned in
     tests. The oracle-twin tier (default) keeps strings."""
-    from pyspark.sql import Window
-
     model, miss = train_char_ngram_lid(labeled, label_col, sent_col,
                                        n, top_m)
     dg = df.select(F.col(id_col),
@@ -151,11 +149,14 @@ def language_id_model(df, id_col: str, text_col: str, labeled,
                        + (F.col("__n_grams")
                           - F.coalesce(F.col("__n_hit"), F.lit(0)))
                        * F.col("miss")).alias("score")))
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
-    pred = (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col(id_col), F.col("lang").alias("predicted_lang"),
-                    F.col("score").alias("score_e9")))
+    # argmax as a lexicographic struct-min groupBy (map-side combined;
+    # a row_number window over (doc × langs) would shuffle every row
+    # uncombined): min(-score, lang) ⇔ (score DESC, lang ASC).
+    pred = (scored.groupBy(id_col)
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("lang").alias("lg"))).alias("m"))
+            .select(F.col(id_col), F.col("m.lg").alias("predicted_lang"),
+                    (-F.col("m.ns")).alias("score_e9")))
     return (df.select(id_col).join(pred, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("predicted_lang", F.lit("und"))

@@ -957,3 +957,34 @@ def test_jaccard_collapse_output_identical(spark):
     assert got == want
     assert sum(1 for a, b, j in got
                if a < 10_000 and b < 10_000 and j == 1.0) == 25 * 24 // 2
+
+
+def test_collapse_null_and_empty_text_parity(spark):
+    """r08: degenerate inputs through the collapsed spine. NULL text
+    clamps to a one-element constant shingle set (so NULL-text docs
+    pair at jaccard 1 on BOTH paths — an engine fact, verified here),
+    empty text likewise; collapsed output must equal uncollapsed on a
+    corpus mixing NULL, empty, and real documents, and keep_first must
+    group each degenerate family under its min id."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        dedup_keep_first, jaccard_near_duplicates, minhash_lsh_pairs,
+        release_cached,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c d e f g"),
+         (4, "a b c d e f g"), (5, ""), (6, "")],
+        "doc_id LONG, text STRING")
+    for op in (minhash_lsh_pairs, jaccard_near_duplicates):
+        fast = op(docs, "doc_id", "text", collapse_exact=True)
+        slow = op(docs, "doc_id", "text", collapse_exact=False)
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(map(tuple, slow.collect()))
+        release_cached(fast)
+        release_cached(slow)
+        assert got == want, op.__name__
+    k = dedup_keep_first(docs, "doc_id", "text")
+    rows = {r["doc_id"]: (r["keep_id"], r["kept"]) for r in k.collect()}
+    release_cached(k)
+    assert rows == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (3, 0),
+                    5: (5, 1), 6: (5, 0)}
