@@ -126,6 +126,47 @@ def bpe_merges_local(word_counts: list[tuple[str, int]],
     return merges
 
 
+def bpe_encode_expr(word, merges: list[tuple[int, str, str, str, int]]):
+    """BPE-encode a word column with a LEARNED merge list as a pure
+    column expression (r08 — the apply half of the trainer; no UDF):
+
+    1. wrap every character in paired markers (\\x01c\\x02) with ONE
+       regexp_replace — '(?s)(.)' → '\\x01$1\\x02';
+    2. apply each merge in rank order as a literal replace of
+       '\\x01l\\x02\\x01r\\x02' with '\\x01lr\\x02' — string replace
+       scans left-to-right, skips overlaps, and resumes AFTER each
+       replacement, which is exactly BPE's greedy merge pass, and the
+       paired markers make cross-symbol false matches impossible
+       (the same encoding the DuckDB certificate oracle uses, so the
+       two engines execute the identical algorithm);
+    3. strip the outer markers and split on '\\x02\\x01'.
+
+    n_merges chained replaces stay inside whole-stage codegen (each is
+    a small expression — not the one-giant-expression janino trap).
+    Assumes words contain no \\x01/\\x02 bytes (whitespace-split text
+    never does). Returns an array<string> of subword tokens."""
+    o, c = "\x01", "\x02"
+    enc = F.regexp_replace(word, r"(?s)(.)", o + "$1" + c)
+    for _rank, lft, rgt, merged, _cnt in merges:
+        enc = F.replace(enc, F.lit(o + lft + c + o + rgt + c),
+                        F.lit(o + merged + c))
+    inner = enc.substr(F.lit(2), F.length(enc) - 2)
+    return F.split(inner, c + o)
+
+
+def encode_words(words: DataFrame,
+                 merges: list[tuple[int, str, str, str, int]]) -> DataFrame:
+    """(word, cnt) → (word, cnt, n_tokens, tokens): apply a learned
+    merge list to a word-frequency table (see bpe_encode_expr).
+    Tokens join with '|' so the output stays scalar (the registry's
+    no-array-cells rule)."""
+    toks = bpe_encode_expr(F.col("word"), merges)
+    return words.select(
+        "word", "cnt",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.array_join(toks, "|").alias("tokens"))
+
+
 def train_bpe_merges(spark: SparkSession, df: DataFrame,
                      text_col: str = "text", n_merges: int = 50,
                      top_v: int | None = 50_000) -> DataFrame:

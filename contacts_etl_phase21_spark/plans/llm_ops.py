@@ -2356,7 +2356,8 @@ def ta_language_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
 
 
-def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
+def _bpe_merges_oracle(n_merges: int, top_v: int,
+                       final: str = "merges", top_k: int = 20) -> str:
     """Certificate oracle for the iterative BPE merge loop (r08 — the
     registry's last oracle-less computation that could have one; the
     f16/er closed-form precedent). DuckDB cannot run the driver-side
@@ -2378,7 +2379,12 @@ def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
     immediately precede the 'a'). Assumes corpus tokens contain no
     \\x01/\\x02 bytes (control chars; whitespace-split text never
     does). Equality with the Python trainer is pinned exhaustively in
-    tests (same argmax, same tie order, same rewrite)."""
+    tests (same argmax, same tie order, same rewrite).
+
+    final='merges' emits the learned merge list; final='encode' emits
+    the top_k words' SEGMENTATIONS after all n_merges (the apply half
+    — tokenizer_train.bpe_encode_expr's twin, reading the chain's
+    final state instead of its argmax trail)."""
     o, c = chr(1), chr(2)
     ctes = [f"""
         w AS (SELECT unnest(string_split(trim(text), ' ')) AS word
@@ -2387,7 +2393,8 @@ def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
             SELECT word, COUNT(*) AS cnt FROM w WHERE word <> ''
             GROUP BY word ORDER BY cnt DESC, word LIMIT {top_v}),
         st0 AS MATERIALIZED (
-            SELECT [word[i] for i in range(1, len(word)+1)] AS syms, cnt
+            SELECT word,
+                   [word[i] for i in range(1, len(word)+1)] AS syms, cnt
             FROM wf)"""]
     for i in range(1, n_merges + 1):
         p = i - 1
@@ -2401,12 +2408,19 @@ def _bpe_merges_oracle(n_merges: int, top_v: int) -> str:
             SELECT lft, rgt, c FROM pc{i}
             ORDER BY c DESC, lft, rgt LIMIT 1),
         st{i} AS MATERIALIZED (
-            SELECT string_split(o[2:len(o)-1], '{c}{o}') AS syms, cnt
-            FROM (SELECT replace(
+            SELECT word, string_split(o[2:len(o)-1], '{c}{o}') AS syms,
+                   cnt
+            FROM (SELECT w.word, replace(
                       '{o}' || array_to_string(w.syms, '{c}{o}') || '{c}',
                       '{o}' || b.lft || '{c}{o}' || b.rgt || '{c}',
                       '{o}' || b.lft || b.rgt || '{c}') AS o, w.cnt
                   FROM st{p} w CROSS JOIN best{i} b))""")
+    if final == "encode":
+        return ("WITH " + ",".join(ctes) + f"""
+        SELECT word, CAST(cnt AS BIGINT) AS cnt,
+               CAST(len(syms) AS INT) AS n_tokens,
+               array_to_string(syms, '|') AS tokens
+        FROM st{n_merges} ORDER BY cnt DESC, word LIMIT {top_k}""")
     sel = "\n            UNION ALL ".join(
         f"SELECT {i} AS merge_rank, lft, rgt, lft || rgt AS merged, "
         f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
@@ -2438,6 +2452,34 @@ def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return train_bpe_merges(spark, docs, n_merges=30).orderBy("merge_rank")
+
+
+@query(
+    "ta_bpe_encode_words",
+    survey="LLM-text(bpe-encode)",
+    doc="BPE ENCODE — the apply half of the tokenizer (r08): the top-20 "
+        "corpus words segmented by the 30 learned merges, as pure "
+        "column expressions (tokenizer_train.bpe_encode_expr: one "
+        "regexp wraps chars in paired markers, then 30 codegen'd "
+        "literal replaces — string replace's left-to-right overlap-"
+        "skipping scan IS BPE's greedy merge pass). The oracle reuses "
+        "the unrolled certificate chain and reads its FINAL state, so "
+        "train and encode are checked against the same machinery.",
+    oracle=_bpe_merges_oracle(30, 50_000, final="encode", top_k=20),
+)
+def ta_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_merges_local, encode_words, word_frequencies,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, top_v=50_000)
+    pdf = wf.toPandas().sort_values(["cnt", "word"],
+                                    ascending=[False, True])
+    merges = bpe_merges_local(
+        list(zip(pdf["word"].tolist(), pdf["cnt"].tolist())), 30)
+    top = wf.orderBy(F.desc("cnt"), "word").limit(20)
+    return encode_words(top, merges).orderBy(F.desc("cnt"), "word")
 
 
 @query(

@@ -2241,3 +2241,41 @@ def test_langid_hashed_key_tier_matches_string_tier(spark, sf_small):
     h = sorted(map(tuple, language_id_model(
         docs, "doc_id", "text", labeled, hashed_keys=True).collect()))
     assert s == h and len(s) > 0
+
+
+def test_bpe_encode_expr_matches_python_reference(spark):
+    """r08: the column-expression BPE encoder (marker wrap + chained
+    literal replaces) must equal the scan-based greedy merge
+    application on adversarial words — overlapping runs ('aaaa'),
+    merged-token reuse across ranks, single chars, and words untouched
+    by any merge."""
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_encode_expr,
+    )
+
+    merges = [(1, "a", "a", "aa", 0), (2, "aa", "b", "aab", 0),
+              (3, "c", "d", "cd", 0)]
+
+    def py_encode(word: str) -> list[str]:
+        syms = list(word)
+        for _r, lft, rgt, merged, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lft
+                        and syms[i + 1] == rgt):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = ["aaaa", "aaab", "aab", "abab", "cdcd", "x", "bacada",
+             "aaaab", "dcba"]
+    df = spark.createDataFrame([(w,) for w in words], "word STRING")
+    got = {r["word"]: r["toks"] for r in df.select(
+        "word", F.array_join(bpe_encode_expr(F.col("word"), merges), "|")
+        .alias("toks")).collect()}
+    for w in words:
+        assert got[w] == "|".join(py_encode(w)), (w, got[w], py_encode(w))
