@@ -988,3 +988,25 @@ def test_collapse_null_and_empty_text_parity(spark):
     release_cached(k)
     assert rows == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (3, 0),
                     5: (5, 1), 6: (5, 0)}
+
+
+def test_cross_corpus_broadcast_setting_output_invariant(spark):
+    """r08: broadcast_new is a PERFORMANCE knob (batch-size dependent,
+    BASELINE r08) — both settings must emit the identical verified
+    pair set through the collapsed spine."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        cross_corpus_near_dups, release_cached,
+    )
+
+    docs = _dup_heavy_docs(spark, k_dup=30, n_distinct=10)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = docs.filter(F.col("doc_id") % 3 != 0)
+    on = cross_corpus_near_dups(new, idx, "doc_id", "text",
+                                broadcast_new=True)
+    off = cross_corpus_near_dups(new, idx, "doc_id", "text",
+                                 broadcast_new=False)
+    got = sorted(map(tuple, on.collect()))
+    want = sorted(map(tuple, off.collect()))
+    release_cached(on)
+    release_cached(off)
+    assert got == want and len(got) > 0
