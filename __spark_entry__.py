@@ -176,9 +176,18 @@ def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]
     its plain 1g session a 50-query window would otherwise accumulate
     up to ~50 MEMORY_AND_DISK entries. Each wrapped call clears the
     session cache first: at that point the previous result has been
-    fully collected and nothing live references the entries."""
+    fully collected and nothing live references the entries.
+
+    The clear is session-GLOBAL, so a consumer that builds several
+    query frames before collecting (or re-collects an earlier frame)
+    would silently lose the persisted barriers those plans rely on —
+    results stay correct but the documented Generate re-evaluation
+    blowups return. Such consumers set SPARK_GRAFT_FRESH_CACHE=0 to
+    opt out and manage cache lifetime themselves via
+    operators.dedup.release_cached (r08 ADVICE)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_FRESH_CACHE", "1") != "0":
+            spark.catalog.clearCache()
         return fn(spark, sf_dir)
     return run
 

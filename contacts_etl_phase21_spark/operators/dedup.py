@@ -448,11 +448,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     membership is expanded back afterwards: cross-group pairs inherit
     their representatives' verified jaccard (identical sets ⇒ identical
     jaccard); within-group pairs are emitted directly with jaccard 1.0
-    (identical sets ⇒ jaccard exactly 1, ≥ any threshold). The emitted
-    pair set is IDENTICAL to the uncollapsed path — pinned in tests —
-    but candidate/verify work scales with DISTINCT contents, not raw
-    rows, and the expansion is bounded by OUTPUT size with no shingle
-    arrays attached. (A pairs API is inherently output-quadratic in a
+    (identical sets ⇒ jaccard exactly 1, ≥ any threshold). With
+    max_bucket=None the emitted pair set is IDENTICAL to the
+    uncollapsed path — pinned in tests. With max_bucket set the two
+    paths legitimately diverge: bucket widths are counted over
+    REPRESENTATIVES (collapsed) vs raw docs (uncollapsed), and
+    within-group pairs bypass the cap entirely — so the collapsed
+    path KEEPS exact-duplicate recall that an uncollapsed cap would
+    drop (a hot bucket of k identical docs trips a raw-count cap but
+    is one representative after collapse). Either way candidate/
+    verify work scales with DISTINCT contents, not raw rows, and the
+    expansion is bounded by OUTPUT size with no shingle arrays
+    attached. (A pairs API is inherently output-quadratic in a
     k-member duplicate group; keep_first/keep_best/cross-corpus expand
     MEMBERSHIP instead and stay linear — use those for end-to-end
     dedup.)

@@ -155,8 +155,15 @@ def write_lsh_corpus_index(index: LshCorpusIndex, path: str,
         "doc",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"))
+    # Sort by (band, bucket), not bucket alone: a partitionBy("band")
+    # write requires its task input ordered by the partition column
+    # and inserts its OWN (unstable) sort when the child ordering
+    # doesn't already satisfy it — which would destroy the bucket
+    # ordering this layout exists for. With band as the sort prefix
+    # the writer's requirement is met and no extra sort appears
+    # (r08 ADVICE).
     (flat.repartition(n_files_per_band, "band", "bucket")
-     .sortWithinPartitions("bucket")
+     .sortWithinPartitions("band", "bucket")
      .write.mode(mode).partitionBy("band").parquet(f"{path}/buckets"))
     index.shingles.write.mode(mode).parquet(f"{path}/shingles")
 

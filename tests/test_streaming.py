@@ -1199,3 +1199,37 @@ def test_stored_lsh_index_prunes_band_and_pushes_bucket(spark, sf_small,
     pushed = plan.split("PushedFilters", 1)[1][:200]
     assert "bucket" in pushed
     assert probe.count() >= 1
+
+
+def test_stored_lsh_index_files_are_bucket_sorted_on_disk(spark, sf_small,
+                                                          tmp_path):
+    """r09 (r08 ADVICE): the row-group min/max pruning story requires
+    the rows to be PHYSICALLY bucket-sorted inside each band file —
+    and a partitionBy('band') write inserts its own (unstable) sort
+    when the task ordering doesn't satisfy the partition column, which
+    a bucket-only sortWithinPartitions did not. Pin the actual on-disk
+    property: every written parquet file's bucket column is
+    non-decreasing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, write_lsh_corpus_index,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    idx = lsh_corpus_index(docs, "doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_lsh_corpus_index(idx, path)
+    idx.unpersist()
+
+    files = glob.glob(f"{path}/buckets/band=*/*.parquet")
+    assert files
+    checked = 0
+    for f in files:
+        col = pq.read_table(f, columns=["bucket"])["bucket"].to_pylist()
+        assert col == sorted(col), f"bucket column not sorted in {f}"
+        checked += len(col)
+    assert checked > 0
