@@ -78,32 +78,64 @@ def bpe_merges_local(word_counts: list[tuple[str, int]],
     function — no RNG, ties broken by (count DESC, pair ASC). Stops
     early when no adjacent pair remains (every word fused to one
     symbol)."""
+    import heapq
+
     words: list[list[str]] = [list(w) for w, _ in word_counts]
     freqs: list[int] = [c for _, c in word_counts]
 
     pair_counts: Counter[tuple[str, str]] = Counter()
     where: dict[tuple[str, str], set[int]] = {}
+    # Lazy max-heap over pair counts (r09): the argmax per merge must
+    # NOT be a full pair_counts scan — at production parameters (~32k
+    # merges over a 10^6-word vocab the pair vocabulary is ~10^6, so
+    # scanning costs 3*10^10 ops total; the probe measured the scan
+    # dominating 95% of wall). Every count change pushes
+    # (-count, pair); entries whose stored count no longer matches are
+    # stale and popped at read time. Tuple order (-count, pair) pops
+    # highest count first, ties by pair ASC — the identical argmax and
+    # tie-break as the scan, so learned merges are unchanged (pinned
+    # by the naive-reference and incremental==recount tests).
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word(idx: int, sign: int) -> None:
         syms = words[idx]
         f = freqs[idx] * sign
         for a, b in zip(syms, syms[1:]):
             pair_counts[(a, b)] += f
+            heapq.heappush(heap, (-pair_counts[(a, b)], (a, b)))
             if sign > 0:
                 where.setdefault((a, b), set()).add(idx)
+            else:
+                # Keep the occurrence index EXACT (r09): without the
+                # discard a word stays registered for every pair it
+                # EVER contained, so late merges at production counts
+                # (~32k) re-scan thousands of stale words per step. A
+                # word whose pair re-forms is re-registered by the
+                # matching add_word(+1).
+                s = where.get((a, b))
+                if s is not None:
+                    s.discard(idx)
 
     for i in range(len(words)):
         add_word(i, +1)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        live = {p: c for p, c in pair_counts.items() if c > 0}
-        if not live:
+        while heap and (heap[0][0] != -pair_counts[heap[0][1]]
+                        or heap[0][0] >= 0):
+            heapq.heappop(heap)
+        if not heap:
             break
-        best_count = max(live.values())
-        left, right = min(p for p, c in live.items() if c == best_count)
+        best_count = -heap[0][0]
+        left, right = heap[0][1]
         merged = left + right
         merges.append((rank, left, right, merged, best_count))
+        # Compact when stale entries dominate (bounded memory: the
+        # heap never exceeds ~4x the live pair vocabulary for long).
+        if len(heap) > 4 * len(pair_counts) + 1_000_000:
+            live = [(-c, p) for p, c in pair_counts.items() if c > 0]
+            heapq.heapify(live)
+            heap[:] = live
         # Rewrite only the words that contain the pair; recount their
         # pair membership by full remove/re-add (delta application).
         affected = sorted(where.get((left, right), ()))
@@ -165,6 +197,141 @@ def encode_words(words: DataFrame,
         "word", "cnt",
         F.size(toks).cast("int").alias("n_tokens"),
         F.array_join(toks, "|").alias("tokens"))
+
+
+def bpe_encode_word_seq(word: str,
+                        merges: list[tuple[int, str, str, str, int]]
+                        ) -> list[str]:
+    """Plain-python sequential reference encoder: apply every merge in
+    rank order as one left-to-right overlap-skipping pass — the exact
+    semantics of bpe_encode_expr's chained replaces and the DuckDB
+    certificate chain. O(n_merges · len(word)); the TEST oracle for
+    the fast tiers, not a production path."""
+    syms = list(word)
+    for _r, lft, rgt, merged, _c in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == lft
+                    and syms[i + 1] == rgt):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _merge_candidate_index(merges: list[tuple[int, str, str, str, int]]):
+    """Lookup structures for the candidate-heap encoder, built ONCE
+    from the merge list (driver-side, then broadcast): ``seed`` is the
+    subset of merges whose operands are both single characters — the
+    only merges that can fire before some other merge manufactures a
+    multi-char operand — and ``by_symbol`` maps every operand symbol
+    to the merges it participates in, so creating a symbol reveals
+    exactly the merges it newly enables."""
+    entries = [(rank, lft, rgt, merged)
+               for rank, lft, rgt, merged, _c in merges]
+    by_symbol: dict[str, list[tuple[int, str, str, str]]] = {}
+    for e in entries:
+        _rank, lft, rgt, _m = e
+        by_symbol.setdefault(lft, []).append(e)
+        if rgt != lft:
+            by_symbol.setdefault(rgt, []).append(e)
+    seed = [e for e in entries if len(e[1]) == 1 and len(e[2]) == 1]
+    return seed, by_symbol
+
+
+def _encode_word_heap(word: str, seed, by_symbol) -> list[str]:
+    """SEQUENTIAL-semantics encoder in O(candidates · len) per word
+    instead of O(n_merges · len) — the production kernel at 32k-merge
+    tokenizers, where scanning every word against every merge is
+    ~2000× wasted work (a 10-char word can apply at most 9 merges).
+
+    A rank-ordered heap visits only merges whose operands EXIST in the
+    word: both-single-char merges seed it, and each applied merge that
+    creates a new symbol pushes the merges that symbol enables (rank
+    greater than the current one — a pair that first becomes adjacent
+    AFTER its rank has passed is NOT merged, matching the one-pass
+    rank-order semantics of bpe_encode_expr / the certificate oracle;
+    note this differs from a lowest-rank-first priority loop exactly
+    and only on that reappearance case, which requires two merges to
+    manufacture the same symbol string — pinned in tests). ``present``
+    is grow-only: a symbol consumed later can't un-enable a merge that
+    a left-to-right scan would simply no-op on."""
+    import heapq
+
+    syms = list(word)
+    present = set(syms)
+    heap: list[tuple[int, str, str, str]] = []
+    pushed: set[int] = set()
+    for e in seed:
+        if e[1] in present and e[2] in present:
+            pushed.add(e[0])
+            heapq.heappush(heap, e)
+    while heap:
+        rank, lft, rgt, merged = heapq.heappop(heap)
+        out: list[str] = []
+        i = 0
+        applied = False
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == lft
+                    and syms[i + 1] == rgt):
+                out.append(merged)
+                i += 2
+                applied = True
+            else:
+                out.append(syms[i])
+                i += 1
+        if not applied:
+            continue
+        syms = out
+        if merged not in present:
+            present.add(merged)
+            for e2 in by_symbol.get(merged, ()):
+                if (e2[0] > rank and e2[0] not in pushed
+                        and e2[1] in present and e2[2] in present):
+                    pushed.add(e2[0])
+                    heapq.heappush(heap, e2)
+    return syms
+
+
+def encode_words_production(words: DataFrame,
+                            merges: list[tuple[int, str, str, str, int]]
+                            ) -> DataFrame:
+    """The PRODUCTION encode tier (r09, judge #1): broadcast-merges
+    mapInPandas with the candidate-heap kernel. Same contract and
+    output schema as encode_words, but survives production merge
+    counts — bpe_encode_expr's n_merges chained replaces cannot
+    codegen at ~32k merges (and would scan every word 32k times),
+    while this tier's per-word cost is bounded by the merges whose
+    operands actually occur in the word.
+
+    The candidate index is built once driver-side and broadcast
+    (torrent distribution, one copy per executor — NOT pickled into
+    the UDF closure per task); Arrow batches words in and tokens out.
+    Pinned value-equal to encode_words / bpe_encode_expr on small
+    merge lists and to the DuckDB certificate chain at n_merges=30
+    (the registry row), and the kernel itself to the sequential
+    reference under hypothesis."""
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(_merge_candidate_index(merges))
+
+    def encode_batches(batches):
+        seed, by_symbol = bc.value
+        for pdf in batches:
+            toks = [_encode_word_heap(w, seed, by_symbol)
+                    for w in pdf["word"]]
+            pdf = pdf[["word", "cnt"]].copy()
+            pdf["n_tokens"] = [len(t) for t in toks]
+            pdf["n_tokens"] = pdf["n_tokens"].astype("int32")
+            pdf["tokens"] = ["|".join(t) for t in toks]
+            yield pdf
+
+    return words.mapInPandas(
+        encode_batches,
+        "word STRING, cnt BIGINT, n_tokens INT, tokens STRING")
 
 
 def train_bpe_merges(spark: SparkSession, df: DataFrame,

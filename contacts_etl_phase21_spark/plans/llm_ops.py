@@ -2381,6 +2381,14 @@ def _bpe_merges_oracle(n_merges: int, top_v: int,
     does). Equality with the Python trainer is pinned exhaustively in
     tests (same argmax, same tie order, same rewrite).
 
+    Degenerate corpora (every word fused to one symbol before
+    n_merges) are safe (r08 ADVICE): best_i joins in as LEFT JOIN ON
+    TRUE, and when it is empty the COALESCEd search pattern falls back
+    to '\\x01\\x01' — two adjacent open-markers, impossible in the
+    alternating marker encoding — so replace() is a no-op and st_i
+    carries st_{i-1} forward, matching bpe_merges_local's early break
+    (the merges UNION simply has no row for that rank).
+
     final='merges' emits the learned merge list; final='encode' emits
     the top_k words' SEGMENTATIONS after all n_merges (the apply half
     — tokenizer_train.bpe_encode_expr's twin, reading the chain's
@@ -2412,9 +2420,11 @@ def _bpe_merges_oracle(n_merges: int, top_v: int,
                    cnt
             FROM (SELECT w.word, replace(
                       '{o}' || array_to_string(w.syms, '{c}{o}') || '{c}',
-                      '{o}' || b.lft || '{c}{o}' || b.rgt || '{c}',
-                      '{o}' || b.lft || b.rgt || '{c}') AS o, w.cnt
-                  FROM st{p} w CROSS JOIN best{i} b))""")
+                      COALESCE('{o}' || b.lft || '{c}{o}' || b.rgt
+                               || '{c}', '{o}{o}'),
+                      COALESCE('{o}' || b.lft || b.rgt || '{c}', '')
+                      ) AS o, w.cnt
+                  FROM st{p} w LEFT JOIN best{i} b ON TRUE))""")
     if final == "encode":
         return ("WITH " + ",".join(ctes) + f"""
         SELECT word, CAST(cnt AS BIGINT) AS cnt,
@@ -2480,6 +2490,39 @@ def ta_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(zip(pdf["word"].tolist(), pdf["cnt"].tolist())), 30)
     top = wf.orderBy(F.desc("cnt"), "word").limit(20)
     return encode_words(top, merges).orderBy(F.desc("cnt"), "word")
+
+
+@query(
+    "ta_bpe_encode_production",
+    survey="LLM-text(bpe-encode-production)",
+    doc="BPE ENCODE, production tier (r09, judge #1): the same top-20 "
+        "segmentation as ta_bpe_encode_words but through the "
+        "broadcast-merges mapInPandas encoder "
+        "(tokenizer_train.encode_words_production) — the tier that "
+        "survives ~32k-merge tokenizers, where bpe_encode_expr's "
+        "chained replaces cannot codegen and scanning every word "
+        "against every merge is ~2000x wasted work. The candidate-"
+        "heap kernel visits only merges whose operand symbols occur "
+        "in the word, in rank order (exact sequential semantics). "
+        "Hash-checked against the SAME certificate-chain oracle as "
+        "the expression tier, so both tiers are pinned to one "
+        "ground truth.",
+    oracle=_bpe_merges_oracle(30, 50_000, final="encode", top_k=20),
+)
+def ta_bpe_encode_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_merges_local, encode_words_production, word_frequencies,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, top_v=50_000)
+    pdf = wf.toPandas().sort_values(["cnt", "word"],
+                                    ascending=[False, True])
+    merges = bpe_merges_local(
+        list(zip(pdf["word"].tolist(), pdf["cnt"].tolist())), 30)
+    top = wf.orderBy(F.desc("cnt"), "word").limit(20)
+    return encode_words_production(top, merges) \
+        .orderBy(F.desc("cnt"), "word")
 
 
 @query(

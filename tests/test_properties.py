@@ -202,3 +202,55 @@ def test_bpe_incremental_equals_recount(word_counts, n_merges):
         return out
 
     assert bpe_merges_local(wc, n_merges) == recount(wc, n_merges)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_bpe_heap_encoder_equals_sequential_reference(data):
+    """r09: the candidate-heap kernel (production encode tier) must
+    equal the O(n_merges*len) sequential reference on ARBITRARY merge
+    lists — including adversarial ones a trainer would never emit
+    (duplicate symbol-string creations, merges whose operands never
+    co-occur), which is exactly where a lowest-rank-first priority
+    loop diverges from sequential semantics."""
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        _encode_word_heap, _merge_candidate_index, bpe_encode_word_seq,
+    )
+
+    alphabet = "abc"
+    n_merges = data.draw(st.integers(min_value=0, max_value=12))
+    pool = list(alphabet)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        lft = data.draw(st.sampled_from(pool))
+        rgt = data.draw(st.sampled_from(pool))
+        merged = lft + rgt
+        merges.append((rank, lft, rgt, merged, 0))
+        pool.append(merged)  # later merges may reuse/recreate strings
+    words = data.draw(st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=10),
+        min_size=1, max_size=8))
+    seed, by_symbol = _merge_candidate_index(merges)
+    for w in words:
+        assert (_encode_word_heap(w, seed, by_symbol)
+                == bpe_encode_word_seq(w, merges)), (w, merges)
+
+
+def test_bpe_heap_encoder_is_sequential_not_priority_loop():
+    """Pin the semantic choice on the one case where sequential
+    rank-order application and a lowest-rank-first priority loop
+    genuinely differ: a pair that first becomes ADJACENT only after
+    its rank has passed (requires a later merge to recreate an
+    earlier symbol string). Sequential (= bpe_encode_expr = the
+    DuckDB certificate chain) does NOT merge it."""
+    from contacts_etl_phase21_spark.operators.tokenizer_train import (
+        _encode_word_heap, _merge_candidate_index, bpe_encode_word_seq,
+    )
+
+    merges = [(1, "a", "b", "ab", 0),
+              (2, "abc", "d", "abcd", 0),   # 'abc' doesn't exist yet
+              (3, "ab", "c", "abc", 0)]     # ...until after rank 2
+    seed, by_symbol = _merge_candidate_index(merges)
+    got = _encode_word_heap("abcd", seed, by_symbol)
+    assert got == ["abc", "d"]              # NOT ['abcd']
+    assert got == bpe_encode_word_seq("abcd", merges)
