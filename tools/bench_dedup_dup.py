@@ -13,10 +13,12 @@ quadratic; AQE can't split join OUTPUT). Measures:
                   rep-level LSH, membership expansion) at k up to 10⁵ —
                   must stay flat in k (the group costs ONE rep)
 
-Usage: python tools/bench_dedup_dup.py [n_distinct]
-       (default: 1e5 distinct docs; duplicate group sizes are fixed
-       ladders: uncollapsed k ∈ {1000, 2000, 4000},
-       collapsed k ∈ {10_000, 100_000})
+Usage: python tools/bench_dedup_dup.py [n_distinct] [dup|maxbucket]
+       (default: 1e5 distinct docs, mode dup; duplicate group sizes
+       are fixed ladders: uncollapsed k ∈ {1000, 2000, 4000},
+       collapsed k ∈ {10_000, 100_000}. Mode maxbucket runs the r09
+       cap-vs-recall-vs-wall curve on near-dup FAMILIES — see
+       maxbucket_recall_curve.)
 """
 
 from __future__ import annotations
@@ -61,10 +63,81 @@ def dup_heavy_corpus(spark: SparkSession, n_distinct: int,
         .otherwise(distinct_text).alias("text"))
 
 
+def near_dup_family_corpus(spark: SparkSession, n_distinct: int,
+                           n_fam: int, k_fam: int) -> DataFrame:
+    """NEAR-duplicate families the exact collapse cannot absorb: each
+    family shares a 100-token base, and every member REPLACES one
+    token (position member%100, replacement unique per member) — two
+    members differ in 2 tokens = 6 of ~98 3-gram shingles, pairwise
+    jaccard ~0.88: above threshold, below 1, so the exact collapse
+    keeps every member. Family members land in mostly the SAME band
+    buckets (bucket width ~k_fam), which is exactly the shape
+    max_bucket caps."""
+    base = spark.range(n_fam * k_fam)
+    fam = (F.col("id") / k_fam).cast("long")
+    member = F.col("id") % k_fam
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(99)),
+        lambda t: F.when(
+            t == (member % 100).cast("int"),
+            F.concat(F.lit("mut"), F.col("id").cast("string")))
+        .otherwise(F.concat(F.lit("fam"), fam.cast("string"),
+                            F.lit("w"), t.cast("string"))))
+    family_docs = base.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(tokens, " ").alias("text"))
+    distinct_text = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(29)),
+                    lambda t: F.concat(F.lit("bg"),
+                                       F.col("id").cast("string"),
+                                       F.lit("w"), t.cast("string"))), " ")
+    background = spark.range(n_fam * k_fam,
+                             n_fam * k_fam + n_distinct).select(
+        F.col("id").alias("doc_id"), distinct_text.alias("text"))
+    return family_docs.unionByName(background)
+
+
+def maxbucket_recall_curve(spark: SparkSession, n_distinct: int,
+                           n_fam: int = 10, k_fam: int = 512) -> list:
+    """r09 (judge #4): the residual max_bucket cap's recall-vs-wall
+    trade as NUMBERS. The corpus is near-dup families (see above) —
+    exact pre-collapse keeps every member (distinct contents), so the
+    cap is the only recall lever. Uncapped pairs are ground truth."""
+    docs = near_dup_family_corpus(spark, n_distinct, n_fam, k_fam)
+    curve = []
+    truth = None
+    for cap in (None, 1024, 256, 64):
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text",
+                                  max_bucket=cap)
+        n_pairs = pairs.count()
+        dt = round(time.perf_counter() - t0, 1)
+        release_cached(pairs)
+        if truth is None:
+            truth = n_pairs
+        curve.append({"max_bucket": cap, "sec": dt, "pairs": n_pairs,
+                      "recall": round(n_pairs / truth, 4)})
+        print(f"# max_bucket={cap}: {dt}s, {n_pairs} pairs, "
+              f"recall {n_pairs / truth:.4f}",
+              file=sys.stderr, flush=True)
+    return curve
+
+
 def main() -> None:
     n_distinct = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "dup"
     spark = get_spark("contacts-etl-phase21-dedup-dup-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if mode == "maxbucket":
+        curve = maxbucket_recall_curve(spark, n_distinct)
+        print(json.dumps({
+            "metric": "maxbucket_recall_curve",
+            "n_distinct": n_distinct,
+            "curve": curve,
+        }), flush=True)
+        spark.stop()
+        return
 
     runs = []
     for k in (1000, 2000, 4000):

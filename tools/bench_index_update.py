@@ -1,0 +1,219 @@
+"""Stored-index incremental-maintenance bench (BASELINE.md, r09).
+
+Both stored artifacts now have encode-only delta maintenance; this
+probe puts numbers on the claim that a nightly ~0.1% delta costs a
+small fraction of a rebuild at 10^6 corpus size:
+
+    ivfpq    build the relational IVF-PQ index on 10^6 synthetic
+             64-dim vectors (row-local hash-derived, no driver data),
+             store it partitionBy(cell), then time
+             update_ivfpq_index against the STORED frame for a
+             0.1% delta (500 removed / 500 changed / 1000 added)
+             vs ivfpq_encode_frame re-encoding the full new snapshot
+    lsh      same protocol for the MinHash-LSH corpus index at 10^6
+             synthetic 30-token docs: update_lsh_corpus_index vs
+             lsh_corpus_index rebuild
+
+Usage: python tools/bench_index_update.py [n] [ivfpq|lsh|both]
+       (default n=1_000_000, both)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+DIM = 64
+DELTA_REMOVED = 500
+DELTA_CHANGED = 500
+DELTA_ADDED = 1000
+
+
+def synth_vectors(spark: SparkSession, n: int) -> DataFrame:
+    """(vec_id, embedding): deterministic row-local pseudo-random
+    floats in [-1, 1) — xxhash64(id, j) derived, no driver transfer."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: ((F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000))
+                        .cast("double") / 500.0) - 1.0).cast("float"))
+        .alias("embedding"))
+
+
+def synth_docs(spark: SparkSession, n: int) -> DataFrame:
+    """(doc_id, text): 30 id-derived tokens, no cross-doc overlap."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(29)),
+                        lambda t: F.concat(F.lit("tok"),
+                                           F.col("id").cast("string"),
+                                           F.lit("w"),
+                                           t.cast("string"))), " ")
+        .alias("text"))
+
+
+def split_delta(old: DataFrame, id_col: str, n: int,
+                mutate) -> DataFrame:
+    """new snapshot: first DELTA_REMOVED ids dropped, next
+    DELTA_CHANGED mutated, DELTA_ADDED appended above n."""
+    kept = old.filter(F.col(id_col) >= DELTA_REMOVED + DELTA_CHANGED)
+    changed = mutate(old.filter(
+        (F.col(id_col) >= DELTA_REMOVED)
+        & (F.col(id_col) < DELTA_REMOVED + DELTA_CHANGED)))
+    spark = old.sparkSession
+    added = (synth_vectors(spark, n + DELTA_ADDED)
+             if id_col == "vec_id"
+             else synth_docs(spark, n + DELTA_ADDED)) \
+        .filter(F.col(id_col) >= n)
+    return kept.unionByName(changed).unionByName(added)
+
+
+def bench_ivfpq(spark: SparkSession, n: int, report: dict,
+                tmp: str) -> None:
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    old = synth_vectors(spark, n).persist()
+    old.count()
+    t0 = time.time()
+    cent_rows, codebooks, enc = ann.ivfpq_relational_index(
+        old, n_cells=16, m=8, n_codes=16)
+    store = f"{tmp}/ivfpq_store"
+    enc.repartition(16, "cell").write.partitionBy("cell").parquet(store)
+    report["ivfpq_build_store_sec"] = round(time.time() - t0, 2)
+
+    stored = spark.read.parquet(store)
+    new = split_delta(
+        old, "vec_id", n,
+        lambda d: d.withColumn(
+            "embedding",
+            F.transform("embedding",
+                        lambda x: (x * 0.5).cast("float")))).persist()
+    new.count()
+
+    t0 = time.time()
+    updated = ann.update_ivfpq_index(stored, cent_rows, codebooks,
+                                     old, new)
+    n_up = updated.count()
+    report["ivfpq_update_sec"] = round(time.time() - t0, 2)
+
+    # production shape: the nightly work-list (snapshot_delta) is
+    # computed ONCE and shared by every consumer — time it separately,
+    # then the index update given it
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+    t0 = time.time()
+    keyed = lambda d: d.select(  # noqa: E731
+        "vec_id",
+        F.concat_ws(",", F.col("embedding").cast("array<string>"))
+        .alias("__v"))
+    delta = snapshot_delta(keyed(old), keyed(new), "vec_id",
+                           "__v").persist()
+    delta.count()
+    report["ivfpq_delta_classify_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_upd = ann.update_ivfpq_index(stored, cent_rows, codebooks,
+                                   old, new, delta=delta).count()
+    report["ivfpq_update_shared_delta_sec"] = round(time.time() - t0, 2)
+    delta.unpersist()
+
+    t0 = time.time()
+    n_re = ann.ivfpq_encode_frame(new, cent_rows, codebooks).count()
+    report["ivfpq_reencode_sec"] = round(time.time() - t0, 2)
+    assert n_up == n_upd == n_re == n - DELTA_REMOVED + DELTA_ADDED
+    report["ivfpq_rows"] = n_up
+    old.unpersist()
+    new.unpersist()
+    print(f"ivfpq @ {n}: build+store "
+          f"{report['ivfpq_build_store_sec']}s, update "
+          f"{report['ivfpq_update_sec']}s, re-encode "
+          f"{report['ivfpq_reencode_sec']}s", file=sys.stderr)
+
+
+def bench_lsh(spark: SparkSession, n: int, report: dict) -> None:
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, update_lsh_corpus_index,
+    )
+
+    old = synth_docs(spark, n).persist()
+    old.count()
+    t0 = time.time()
+    idx = lsh_corpus_index(old, "doc_id", "text")
+    report["lsh_build_sec"] = round(time.time() - t0, 2)
+
+    new = split_delta(
+        old, "doc_id", n,
+        lambda d: d.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" edited")))).persist()
+    new.count()
+
+    t0 = time.time()
+    updated = update_lsh_corpus_index(idx, old, new, "doc_id", "text")
+    n_up = updated.buckets.count()
+    report["lsh_update_sec"] = round(time.time() - t0, 2)
+
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+    t0 = time.time()
+    delta = snapshot_delta(old, new, "doc_id", "text").persist()
+    delta.count()
+    report["lsh_delta_classify_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    upd2 = update_lsh_corpus_index(idx, old, new, "doc_id", "text",
+                                   delta=delta)
+    n_upd2 = upd2.buckets.count()
+    report["lsh_update_shared_delta_sec"] = round(time.time() - t0, 2)
+    assert n_upd2 == n_up
+    upd2.unpersist()
+    delta.unpersist()
+
+    t0 = time.time()
+    scratch = lsh_corpus_index(new, "doc_id", "text")
+    n_re = scratch.buckets.count()
+    report["lsh_rebuild_sec"] = round(time.time() - t0, 2)
+    assert n_up == n_re
+    report["lsh_bucket_rows"] = n_up
+    updated.unpersist()
+    idx.unpersist()
+    scratch.unpersist()
+    old.unpersist()
+    new.unpersist()
+    print(f"lsh @ {n}: build {report['lsh_build_sec']}s, update "
+          f"{report['lsh_update_sec']}s, rebuild "
+          f"{report['lsh_rebuild_sec']}s", file=sys.stderr)
+
+
+def main() -> int:
+    import tempfile
+
+    from contacts_etl_phase21_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    report: dict = {"bench": "index_update", "n": n,
+                    "delta": [DELTA_REMOVED, DELTA_CHANGED, DELTA_ADDED],
+                    "load_1m": os.getloadavg()[0]}
+    spark = get_spark()
+    with tempfile.TemporaryDirectory() as tmp:
+        if which in ("ivfpq", "both"):
+            bench_ivfpq(spark, n, report, tmp)
+        if which in ("lsh", "both"):
+            bench_lsh(spark, n, report)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
