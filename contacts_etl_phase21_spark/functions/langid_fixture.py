@@ -68,6 +68,30 @@ LANGID_SENTENCES: list[tuple[str, str]] = [(lang, s) for lang, ss in {
         "un bon petit dejeuner avec des oeufs rend le matin meilleur",
         "la maitresse a demande a chaque eleve une courte histoire",
     ],
+    "it": [
+        "il cane corre nel parco ogni giorno con il suo padrone",
+        "la ragazza ha comprato pane fresco e formaggio al mercato",
+        "stiamo aspettando il treno da questa mattina presto",
+        "ai bambini piace giocare fuori quando il tempo e bello",
+        "la vecchia biblioteca conserva migliaia di libri di scienza",
+        "per favore ricorda di chiudere le finestre prima della tempesta",
+        "mio fratello lavora in una piccola azienda che costruisce mobili",
+        "hanno viaggiato per tutto il paese per visitare i nonni",
+        "una buona colazione con uova e caffe rende la mattina migliore",
+        "la maestra ha chiesto a ogni studente di scrivere una storia",
+    ],
+    "pt": [
+        "o cachorro corre no parque todos os dias com seu dono",
+        "a menina comprou pao fresco e queijo no mercado da cidade",
+        "estamos esperando o trem desde cedo esta manha",
+        "as criancas adoram brincar fora quando o tempo esta bom",
+        "a biblioteca antiga guarda milhares de livros de ciencia",
+        "por favor lembre de fechar as janelas antes da tempestade",
+        "meu irmao trabalha em uma pequena empresa que faz moveis",
+        "eles viajaram pelo pais para visitar os avos no verao passado",
+        "um bom cafe da manha com ovos torna a manha melhor",
+        "a professora pediu a cada aluno para escrever uma historia",
+    ],
     "zh": [
         "今天天气很好我们一起去公园散步吧",
         "他每天早上喝一杯咖啡然后去上班",
@@ -92,6 +116,10 @@ LANGID_HOLDOUT: list[tuple[str, str]] = [
     ("de", "wir sollten wasser und essen fur die lange wanderung mitbringen"),
     ("fr", "le petit chat dort sur la chaise chaude de la cuisine"),
     ("fr", "nous devons apporter de l eau pour la longue marche de demain"),
+    ("it", "il piccolo gatto dorme sulla sedia calda della cucina"),
+    ("it", "dovremmo portare acqua e cibo per la lunga camminata di domani"),
+    ("pt", "o gato pequeno dorme na cadeira quente da cozinha"),
+    ("pt", "devemos levar agua e comida para a longa caminhada de amanha"),
     ("zh", "小猫在厨房温暖的椅子上睡觉"),
     ("zh", "我们明天远足应该带上水和食物"),
 ]

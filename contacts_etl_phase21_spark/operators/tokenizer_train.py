@@ -175,15 +175,23 @@ def bpe_encode_expr(word, merges: list[tuple[int, str, str, str, int]]):
 
     n_merges chained replaces stay inside whole-stage codegen (each is
     a small expression — not the one-giant-expression janino trap).
-    Assumes words contain no \\x01/\\x02 bytes (whitespace-split text
-    never does). Returns an array<string> of subword tokens."""
+    Marker bytes (\\x01/\\x02) are STRIPPED from the input first (r09
+    input guard — whitespace-split text never contains them, but a
+    violating byte would silently corrupt the marker encoding; the
+    production tier strips identically, so tier equality holds on any
+    input). Returns an array<string> of subword tokens."""
     o, c = "\x01", "\x02"
+    word = F.regexp_replace(word, "[" + o + c + "]", "")
     enc = F.regexp_replace(word, r"(?s)(.)", o + "$1" + c)
     for _rank, lft, rgt, merged, _cnt in merges:
         enc = F.replace(enc, F.lit(o + lft + c + o + rgt + c),
                         F.lit(o + merged + c))
     inner = enc.substr(F.lit(2), F.length(enc) - 2)
-    return F.split(inner, c + o)
+    # empty input → ZERO tokens (split('') would yield ['']): keeps
+    # the tiers value-equal on degenerate rows
+    return F.when(F.length(word) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(inner, c + o))
 
 
 def encode_words(words: DataFrame,
@@ -321,8 +329,12 @@ def encode_words_production(words: DataFrame,
     def encode_batches(batches):
         seed, by_symbol = bc.value
         for pdf in batches:
-            toks = [_encode_word_heap(w, seed, by_symbol)
-                    for w in pdf["word"]]
+            # same marker-byte input guard as bpe_encode_expr (the
+            # heap kernel itself has no markers, but tier equality is
+            # pinned on arbitrary input)
+            toks = [_encode_word_heap(
+                w.replace("\x01", "").replace("\x02", ""),
+                seed, by_symbol) for w in pdf["word"]]
             pdf = pdf[["word", "cnt"]].copy()
             pdf["n_tokens"] = [len(t) for t in toks]
             pdf["n_tokens"] = pdf["n_tokens"].astype("int32")
