@@ -61,9 +61,15 @@ _DRIVER_PRIORITY = [
     # UNROLLED into chained MATERIALIZED DuckDB CTEs (judge #2) — so
     # it re-enters the window as an oracle-bearing row.
     "ta_bpe_train_merges",
+    # ta_bpe_encode_production (r09, judge #1): the broadcast-merges
+    # mapInPandas encode tier that survives ~32k-merge tokenizers,
+    # hash-checked against the SAME certificate chain as the
+    # expression tier (ta_bpe_encode_words, covered by the
+    # full-registry artifact and the tier-equality test).
+    "ta_bpe_encode_production",
     # ta_language_id_model (r08, judge #5): char-3-gram NB langid
     # trained on the shipped fixture, integer-exact scoring; fixture
-    # travels into the oracle as a VALUES list.
+    # travels into the oracle as a VALUES list (7 languages since r09).
     "ta_language_id_model",
     # Rotated out for the two r08 rows (both long-green, siblings stay
     # in the window, full-registry artifact still covers them):

@@ -1325,6 +1325,55 @@ def ivfpq_encode_frame(corpus: DataFrame,
                     .cast("int")))))
 
 
+def write_ivfpq_index(enc: DataFrame,
+                      cent_rows: list[tuple[int, list[float]]],
+                      codebooks: Codebooks, path: str,
+                      mode: str = "error") -> None:
+    """Persist the relational IVF-PQ index as the PRODUCTION artifact
+    (r09 — the vector twin of write_lsh_corpus_index): the encoded
+    frame lands under {path}/enc partitioned by cell, so an n_probe
+    query scans n_probe/n_cells of the store via partition pruning
+    (plan-pinned in tests/test_scale_patterns.py), and the index
+    PARAMETERS (coarse centroids + residual codebooks — without which
+    the codes are meaningless bytes) travel beside it under
+    {path}/params as a tiny single-row JSON dataframe, written through
+    Spark so the artifact works on any Hadoop-compatible FS, not just
+    the driver's local disk."""
+    import json as _json
+
+    (enc.repartition(max(1, len(cent_rows)), "cell")
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/enc"))
+    params = _json.dumps({"cent_rows": cent_rows,
+                          "codebooks": codebooks})
+    spark = enc.sparkSession
+    spark.createDataFrame([(params,)], "params STRING") \
+        .coalesce(1).write.mode(mode).json(f"{path}/params")
+
+
+def load_ivfpq_index(spark, path: str
+                     ) -> tuple[list[tuple[int, list[float]]],
+                                Codebooks, DataFrame]:
+    """Read a stored IVF-PQ index back into exactly the
+    ivfpq_relational_index return shape, so query frames, the scoring
+    join, update_ivfpq_index and the streaming serving path are
+    drop-in (stored-vs-fresh probe equality across a 'restart' is
+    pinned in tests). The encoded frame is NOT persisted: the
+    artifact is already materialized on disk and a probed read is a
+    cell-pruned parquet scan."""
+    import json as _json
+
+    row = spark.read.json(f"{path}/params").collect()[0]
+    p = _json.loads(row["params"])
+    cent_rows = [(int(c), [float(x) for x in v])
+                 for c, v in p["cent_rows"]]
+    codebooks: Codebooks = [
+        [(int(code), [float(x) for x in cw]) for code, cw in sub]
+        for sub in p["codebooks"]]
+    enc = spark.read.parquet(f"{path}/enc") \
+        .withColumn("cell", F.col("cell").cast("int"))
+    return cent_rows, codebooks, enc
+
+
 def update_ivfpq_index(enc: DataFrame,
                        cent_rows: list[tuple[int, list[float]]],
                        codebooks: Codebooks, old_snapshot: DataFrame,

@@ -1108,3 +1108,51 @@ def test_ivfpq_pure_add_delta_appends_per_cell(spark, sf_small,
                 enc_old, cent_rows, codebooks, old, new)
             .select("vec_id", "cell", "codes", "rn2_e6").collect()}
     assert stored == want and len(want) > 0
+
+
+def test_ivfpq_index_write_load_roundtrip_across_restart(spark, sf_small,
+                                                         tmp_path):
+    """r09: the stored IVF-PQ artifact (write_ivfpq_index /
+    load_ivfpq_index). Parameters (centroids + codebooks) round-trip
+    exactly through the JSON sidecar, and a 'restarted session'
+    probing the STORED index scores exactly what the fresh in-memory
+    index scores — the drop-in contract the LSH index already pins."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    cent, cb, enc = ann.ivfpq_relational_index(emb, n_cells=8, m=8,
+                                               n_codes=8)
+    path = str(tmp_path / "ivfpq_artifact")
+    ann.write_ivfpq_index(enc, cent, cb, path)
+
+    cent2, cb2, enc2 = ann.load_ivfpq_index(spark, path)
+    assert cent2 == cent
+    assert cb2 == cb
+
+    queries = emb.filter(F.col("vec_id") % 7 == 3).limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qf = ann.ivfpq_relational_query_frame(queries, cent2, cb2,
+                                          n_probe=2)
+    got = {(r["query_id"], r["vec_id"], r["pq_cosine"]) for r in
+           ann.ivfpq_relational_scored(enc2, qf, cb2).collect()}
+    want = {(r["query_id"], r["vec_id"], r["pq_cosine"]) for r in
+            ann.ivfpq_relational_scored(enc, qf, cb).collect()}
+    assert got == want and len(want) > 0
+
+    # the loaded index is also a valid base for incremental updates
+    new = emb.unionByName(
+        emb.filter(F.col("vec_id") % 9 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    upd = ann.update_ivfpq_index(enc2, cent2, cb2, emb, new)
+    scratch = ann.ivfpq_encode_frame(new, cent, cb)
+    cols = ["vec_id", "cell", "codes", "rn2_e6", "cn2_e6", "cross_e6"]
+    u = {tuple(r[c] if c != "codes" else tuple(r[c]) for c in cols)
+         for r in upd.select(*cols).collect()}
+    s = {tuple(r[c] if c != "codes" else tuple(r[c]) for c in cols)
+         for r in scratch.select(*cols).collect()}
+    assert u == s
