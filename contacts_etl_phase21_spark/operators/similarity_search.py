@@ -1001,41 +1001,22 @@ def ivf_pq_encode(corpus: DataFrame,
     return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
-def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                n_cells: int = 32, n_probe: int = 4, m: int = 8,
-                n_codes: int = 32,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id",
-                coarse_quantizer: str = "kmeans",
-                pq_quantizer: str = "kmeans_local",
-                train_permille: int | None = None,
-                n_iter: int = 5,
-                rerank: int | None = None) -> DataFrame:
-    """IVF-PQ (IVFADC) top-k for cosine — the billion-scale layout:
-    coarse cells prune WHAT is read (n_probe/n_cells of the corpus,
-    written partitioned by cell), residual PQ shrinks WHAT EACH ROW
-    COSTS (~32×: m int8-range codes + a stored norm instead of the
-    vector).
-
-    Scoring stays cosine (not the classic L2 ADC): with x̂ = c + r̂,
-    cos(q, x) ≈ (⟨q, c⟩ + Σ_s ⟨q_s, cw_{s,code}⟩) / (|q| · |x̂|).
-    ⟨q, c⟩ is exact per probed cell (tiny), the Σ is m ADC table
-    lookups (the table depends only on the query — residual codebooks
-    are shared across cells), and |x̂|² is precomputed at encode
-    time. The candidate join is a broadcast equi-join on cell: the
-    corpus never shuffles, scans read only probed cells. Plain PQ
-    (pq_topk) ranks at cluster resolution on clustered data —
-    residuals are what restore within-cluster ranking (measured in
-    BASELINE.md r06).
-
-    rerank=R is the production 'refine' step (FAISS IndexRefineFlat):
-    keep the top R ADC candidates per query, fetch their EXACT
-    vectors (an equi-join on id — R rows per query, tiny I/O), and
-    re-rank by exact cosine for the final top-k. ADC noise then only
-    has to keep true neighbors inside the top R, not rank them —
-    recall@k ≈ recall@R of the ADC pass. Output scores are the exact
-    rounded cosines (column still named pq_cosine so the tiers stay
-    drop-in comparable)."""
+def train_ivfpq_params(corpus: DataFrame, n_cells: int = 32,
+                       m: int = 8, n_codes: int = 32,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       coarse_quantizer: str = "kmeans",
+                       pq_quantizer: str = "kmeans_local",
+                       train_permille: int | None = None,
+                       n_iter: int = 5
+                       ) -> tuple[list[tuple[int, list[float]]],
+                                  Codebooks]:
+    """Index PARAMETERS (coarse centroids + residual sub-codebooks)
+    with the production quantizers, in the (cent_rows, codebooks)
+    format every ivfpq_* artifact function takes — split out of
+    ivf_pq_topk (r09) so build → write_ivfpq_index → load →
+    update_ivfpq_index → ivfpq_recall_probe flows can use the
+    measured-recall quantizers rather than the first-n oracle tier."""
     if coarse_quantizer == "kmeans_local":
         # full-dim Lloyd on the driver-side hash sample — pq_codebooks
         # with m=1 subspace IS that (cent_rows format matches)
@@ -1088,6 +1069,47 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         codebooks = pq_codebooks(
             res.select(id_col, F.col("__res").alias(vec_col)),
             m, n_codes, id_col, vec_col, pq_quantizer, None, n_iter)
+    return cent_rows, codebooks
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_cells: int = 32, n_probe: int = 4, m: int = 8,
+                n_codes: int = 32,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id",
+                coarse_quantizer: str = "kmeans",
+                pq_quantizer: str = "kmeans_local",
+                train_permille: int | None = None,
+                n_iter: int = 5,
+                rerank: int | None = None) -> DataFrame:
+    """IVF-PQ (IVFADC) top-k for cosine — the billion-scale layout:
+    coarse cells prune WHAT is read (n_probe/n_cells of the corpus,
+    written partitioned by cell), residual PQ shrinks WHAT EACH ROW
+    COSTS (~32×: m int8-range codes + a stored norm instead of the
+    vector).
+
+    Scoring stays cosine (not the classic L2 ADC): with x̂ = c + r̂,
+    cos(q, x) ≈ (⟨q, c⟩ + Σ_s ⟨q_s, cw_{s,code}⟩) / (|q| · |x̂|).
+    ⟨q, c⟩ is exact per probed cell (tiny), the Σ is m ADC table
+    lookups (the table depends only on the query — residual codebooks
+    are shared across cells), and |x̂|² is precomputed at encode
+    time. The candidate join is a broadcast equi-join on cell: the
+    corpus never shuffles, scans read only probed cells. Plain PQ
+    (pq_topk) ranks at cluster resolution on clustered data —
+    residuals are what restore within-cluster ranking (measured in
+    BASELINE.md r06).
+
+    rerank=R is the production 'refine' step (FAISS IndexRefineFlat):
+    keep the top R ADC candidates per query, fetch their EXACT
+    vectors (an equi-join on id — R rows per query, tiny I/O), and
+    re-rank by exact cosine for the final top-k. ADC noise then only
+    has to keep true neighbors inside the top R, not rank them —
+    recall@k ≈ recall@R of the ADC pass. Output scores are the exact
+    rounded cosines (column still named pq_cosine so the tiers stay
+    drop-in comparable)."""
+    cent_rows, codebooks = train_ivfpq_params(
+        corpus, n_cells, m, n_codes, id_col, vec_col,
+        coarse_quantizer, pq_quantizer, train_permille, n_iter)
 
     enc = ivf_pq_encode(widen(corpus.select(id_col, vec_col)),
                         cent_rows, codebooks, id_col, vec_col)
@@ -1323,6 +1345,40 @@ def ivfpq_encode_frame(corpus: DataFrame,
                     ((F.col("cell").cast("int") * m + s) * n_codes
                      + F.element_at(F.col("codes"), s + 1))
                     .cast("int")))))
+
+
+def ivfpq_recall_probe(enc: DataFrame,
+                       cent_rows: list[tuple[int, list[float]]],
+                       codebooks: Codebooks, corpus: DataFrame,
+                       queries: DataFrame, k: int = 10,
+                       n_probe: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> float:
+    """The EXECUTABLE retrain trigger for the frozen-parameter update
+    policy (r09): recall@k of an index frame (fresh, loaded, or
+    incrementally updated through update_ivfpq_index) against exact
+    brute force on the CURRENT corpus, over a held-out probe query
+    set. update_ivfpq_index freezes centroids/codebooks across deltas;
+    as the corpus distribution drifts away from the parameters'
+    training snapshot, quantization error grows and THIS number falls
+    — rebuild with ivfpq_relational_index when it drops below the
+    build-time figure. One bounded driver-side set comparison;
+    ground truth from the BLAS exact tier (pinned equal to the
+    declarative brute force)."""
+    truth = {(r[query_id_col], r[id_col]) for r in brute_force_topk_blas(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col).collect()}
+    qf = broadcast(ivfpq_relational_query_frame(
+        queries, cent_rows, codebooks, n_probe, query_id_col, vec_col))
+    scored = ivfpq_relational_scored(enc, qf, codebooks, query_id_col,
+                                     id_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("pq_cosine"), F.asc(id_col))
+    got = {(r[query_id_col], r[id_col]) for r in
+           scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(query_id_col, id_col).collect()}
+    return len(got & truth) / len(truth) if truth else 1.0
 
 
 def write_ivfpq_index(enc: DataFrame,

@@ -1156,3 +1156,53 @@ def test_ivfpq_index_write_load_roundtrip_across_restart(spark, sf_small,
     s = {tuple(r[c] if c != "codes" else tuple(r[c]) for c in cols)
          for r in scratch.select(*cols).collect()}
     assert u == s
+
+
+def test_ivfpq_recall_probe_detects_codebook_drift(spark, sf_small):
+    """r09: the retrain trigger must actually FIRE. Recall@k of the
+    frozen-parameter index on its own training snapshot is the
+    build-time figure; after the corpus drifts (per-dimension
+    rescaling — the embedding model changed), an encode-only update
+    through the FROZEN parameters scores measurably lower, and
+    rebuilding the parameters on the drifted corpus recovers — the
+    exact decision rule update_ivfpq_index documents."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 7 == 3).limit(15).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    cent_a, cb_a = ann.train_ivfpq_params(emb, n_cells=8, m=8,
+                                          n_codes=16)
+    enc_a = ann.ivfpq_encode_frame(emb, cent_a, cb_a)
+    recall_build = ann.ivfpq_recall_probe(enc_a, cent_a, cb_a, emb,
+                                          queries, k=10, n_probe=2)
+
+    # drift: per-dimension rescale (same transform on corpus AND
+    # queries — the geometry changed, the frozen params didn't)
+    def drift(df, col="embedding"):
+        return df.withColumn(col, F.zip_with(
+            F.col(col),
+            F.array(*[F.lit(float(1 + (i % 5) * 2)) for i in range(64)]),
+            lambda x, s: (x * s).cast("float")))
+
+    emb_d = drift(emb)
+    queries_d = drift(queries)
+    enc_frozen = ann.update_ivfpq_index(enc_a, cent_a, cb_a, emb, emb_d)
+    recall_frozen = ann.ivfpq_recall_probe(enc_frozen, cent_a, cb_a,
+                                           emb_d, queries_d, k=10,
+                                           n_probe=2)
+
+    cent_b, cb_b = ann.train_ivfpq_params(emb_d, n_cells=8, m=8,
+                                          n_codes=16)
+    enc_b = ann.ivfpq_encode_frame(emb_d, cent_b, cb_b)
+    recall_rebuilt = ann.ivfpq_recall_probe(enc_b, cent_b, cb_b, emb_d,
+                                            queries_d, k=10, n_probe=2)
+
+    assert recall_frozen < recall_build, (recall_frozen, recall_build)
+    assert recall_rebuilt > recall_frozen, (recall_rebuilt, recall_frozen)

@@ -1284,3 +1284,52 @@ def test_batch_near_dup_probe_collapse_flag_equality(spark, sf_small):
     assert {(i, 0, 1.0) for i in range(10_000, 10_050)} <= got
     release_cached(collapsed)
     idx.unpersist()
+
+
+def test_stream_ann_topk_from_stored_index_across_restart(spark, sf_small,
+                                                          tmp_path):
+    """r09: the vector-side restart story (the LSH twin is pinned
+    above). Build the IVF-PQ index, persist it with write_ivfpq_index,
+    then serve a REAL query stream in a 'restarted session' from the
+    LOADED artifact — nothing recomputed from corpus embeddings, the
+    static side is a cell-pruned parquet scan — and the served top-k
+    must equal serving from the fresh in-memory index."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+    from contacts_etl_phase21_spark.streaming.ann_serving import (
+        ivfpq_serving_index, stream_ann_topk,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter((F.col("vec_id") % 2 == 1)
+                          & (F.col("vec_id") < 30)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    cent_rows, codebooks, enc = ivfpq_serving_index(corpus)
+    path = str(tmp_path / "ann_artifact")
+    try:
+        ann.write_ivfpq_index(enc, cent_rows, codebooks, path)
+        want = {tuple(r) for r in
+                stream_ann_topk(arriving, cent_rows, codebooks, enc,
+                                k=10, n_probe=2).collect()}
+    finally:
+        enc.unpersist()
+
+    cent2, cb2, enc2 = ann.load_ivfpq_index(spark, path)
+    staged = str(tmp_path / "queries")
+    arriving.coalesce(1).write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema).parquet(staged))
+    out = stream_ann_topk(stream, cent2, cb2, enc2, k=10, n_probe=2)
+    assert out.isStreaming
+    name = f"annstored_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == want and len({r[0] for r in got}) == 15
