@@ -80,6 +80,10 @@ _DRIVER_PRIORITY = [
     "j9_asof_forward_within",
     "ta_distinct_profile",
     "dd_duplicate_span_fraction",
+    # dd_remove_duplicate_spans (r09): the REMOVAL half of the Lee
+    # et al. span family — corpus rewriting with covered positions
+    # dropped, oracle rebuilds with string_agg ORDER BY pos.
+    "dd_remove_duplicate_spans",
     "ta_bigram_lm_scores",
     "sp_chunk_overlap",
     "ta_length_quantiles",
@@ -131,6 +135,12 @@ _DRIVER_PRIORITY = [
     "st_tumbling_window_counts",
     "st_incremental_er_assign",
     "st_stream_near_dup_flags",
+    # r09 rotation: the two new rows (ta_bpe_encode_production,
+    # dd_remove_duplicate_spans) push curate_corpus,
+    # dd_dedup_keep_first and dd_decontaminate_ngrams past the 50-row
+    # hash window — all three long-green since r05/r06 and still
+    # value-checked every round by the full-registry artifact
+    # (CORRECTNESS_FULL_r{N}.json).
     "curate_corpus",
     "dd_dedup_keep_first",
     "dd_decontaminate_ngrams",

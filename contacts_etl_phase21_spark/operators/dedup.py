@@ -1100,6 +1100,48 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
     return pairs
 
 
+def _span_coverage(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 8, max_df: int | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery of the Lee-et-al span family: (arrs, covered
+    positions). arrs is (doc, __arr, __n); covered is the DISTINCT
+    (doc, cov) position set lying under any k-gram that appears in
+    >= 2 distinct documents (optionally df-capped). Row-local gram
+    build; one map-side-combined gram groupBy and one equi-join back
+    are the only corpus-scale shuffles."""
+    arrs = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), " ").alias("__arr"))
+    arrs = arrs.withColumn("__n", F.size("__arr"))
+    gram_structs = F.when(
+        F.col("__n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(
+                    " ", F.slice("__arr", i, k))).alias("h")))
+    ).otherwise(F.array())
+    grams = (arrs.select("doc", "__n",
+                         F.explode(gram_structs).alias("g"))
+             .select("doc", "__n", F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+
+    docs_per_gram = grams.groupBy("h").agg(
+        F.countDistinct("doc").alias("__df"))
+    dup = docs_per_gram.filter(F.col("__df") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("__df") <= max_df)
+
+    cov_positions = (grams.join(dup.select("h"), "h")
+                     .select("doc",
+                             F.explode(F.sequence(
+                                 F.col("pos"),
+                                 F.col("pos") + (k - 1))).alias("cov"))
+                     .distinct())
+    return arrs, cov_positions
+
+
 def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
                             k: int = 8, max_df: int | None = None
                             ) -> DataFrame:
@@ -1129,38 +1171,10 @@ def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
     keys at scale); the DuckDB oracle joins on the strings themselves
     — identical output absent 64-bit collisions, the same accepted
     equivalence as minhash_lsh_pairs' shingle hashing."""
-    arrs = df.select(
-        F.col(id_col).alias("doc"),
-        F.split(F.trim(F.col(text_col)), " ").alias("__arr"))
-    arrs = arrs.withColumn("__n", F.size("__arr"))
-    gram_structs = F.when(
-        F.col("__n") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.col("__n") - (k - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.xxhash64(F.concat_ws(
-                    " ", F.slice("__arr", i, k))).alias("h")))
-    ).otherwise(F.array())
-    grams = (arrs.select("doc", "__n",
-                         F.explode(gram_structs).alias("g"))
-             .select("doc", "__n", F.col("g.pos").alias("pos"),
-                     F.col("g.h").alias("h")))
-
-    docs_per_gram = grams.groupBy("h").agg(
-        F.countDistinct("doc").alias("__df"))
-    dup = docs_per_gram.filter(F.col("__df") >= 2)
-    if max_df is not None:
-        dup = dup.filter(F.col("__df") <= max_df)
-
-    covered = (grams.join(dup.select("h"), "h")
-               .select("doc",
-                       F.explode(F.sequence(
-                           F.col("pos"),
-                           F.col("pos") + (k - 1))).alias("cov"))
-               .distinct()
-               .groupBy("doc")
-               .agg(F.count(F.lit(1)).alias("dup_positions")))
+    arrs, cov_positions = _span_coverage(df, id_col, text_col, k,
+                                         max_df)
+    covered = cov_positions.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("dup_positions"))
 
     base = arrs.select("doc", F.col("__n").alias("n_tokens"))
     return (base.join(covered, "doc", "left")
@@ -1170,6 +1184,58 @@ def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
                     .alias("dup_positions"),
                     F.round(F.coalesce("dup_positions", F.lit(0))
                             / F.col("n_tokens"), 6).alias("dup_frac")))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, max_df: int | None = None
+                           ) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022's exact-substring
+    deduplication (r09): duplicate_span_fraction measures the signal;
+    this operator REWRITES the corpus — every token position covered
+    by a cross-document duplicated k-gram is dropped and the remaining
+    tokens are re-joined in order. The canonical pre-training cleanup
+    the paper runs with a suffix array; re-expressed relationally so
+    it distributes (reference: the measurement twin's docstring covers
+    the gram/coverage plan; see scranton/contacts-etl-phase21 SURVEY
+    §2 note — span ops are extension-ring, no reference twin).
+
+    Scale shape: corpus REWRITING is inherently a corpus pass, so the
+    reconstruction accepts ONE shuffle keyed by doc — (doc, pos, tok)
+    posexplode → broadcast-free anti-join against the covered
+    positions → order-carrying re-aggregation (array_sort over
+    (pos, tok) structs; pos is the sort prefix, so the assembled text
+    is deterministic). Docs shorter than k, or with no duplicated
+    grams, pass through byte-identical; a FULLY-covered doc comes back
+    as an empty string with kept_tokens 0 (the paper drops such docs
+    downstream — that decision is the caller's filter, not hidden
+    here)."""
+    arrs, cov_positions = _span_coverage(df, id_col, text_col, k,
+                                         max_df)
+    toks = (arrs.select("doc", F.posexplode("__arr")
+                        .alias("pos0", "tok"))
+            .select("doc", (F.col("pos0") + 1).alias("pos"), "tok"))
+    cov = cov_positions.select(F.col("doc").alias("__cdoc"),
+                               F.col("cov").alias("__cpos"))
+    kept = toks.join(cov,
+                     (toks["doc"] == cov["__cdoc"])
+                     & (toks["pos"] == cov["__cpos"]),
+                     "left_anti")
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                    .alias("__kept"))
+               .select("doc",
+                       F.size("__kept").alias("kept_tokens"),
+                       F.array_join(F.transform("__kept",
+                                                lambda s: s["tok"]), " ")
+                       .alias("cleaned_text")))
+    base = arrs.select("doc", F.col("__n").alias("n_tokens"))
+    return (base.join(rebuilt, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.col("n_tokens").cast("int").alias("n_tokens"),
+                    F.coalesce("kept_tokens", F.lit(0)).cast("int")
+                    .alias("kept_tokens"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text")))
 
 
 def snapshot_delta(old: DataFrame, new: DataFrame, id_col: str,

@@ -2799,6 +2799,71 @@ def dd_duplicate_span_fraction(spark: SparkSession,
 
 
 @query(
+    "dd_remove_duplicate_spans",
+    survey="LLM-dedup(substring-removal)",
+    doc="The REMOVAL half of Lee et al. 2022's exact-substring "
+        "deduplication (r09): every token position covered by a "
+        "cross-document duplicated 8-gram is DROPPED and the text "
+        "reassembled in order — the corpus-rewriting step the paper "
+        "runs with a suffix array, distributed as the span family's "
+        "gram groupBy + coverage join plus ONE doc-keyed "
+        "reconstruction shuffle (rewriting is inherently a corpus "
+        "pass). Fully-covered docs come back as empty strings with "
+        "kept_tokens 0 (dropping them is the caller's filter). The "
+        "oracle rebuilds with string_agg ORDER BY position over "
+        "non-covered tokens.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i:i+7], ' ') AS g
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+                  FROM toks)
+        ),
+        dup AS (
+            SELECT g FROM grams
+            GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, cp FROM (
+                SELECT gr.doc_id,
+                       unnest(range(gr.pos, gr.pos + 8)) AS cp
+                FROM grams gr JOIN dup USING (g))
+        ),
+        tok_rows AS (
+            SELECT doc_id, i AS pos, w[i] AS tok
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tok_rows t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.pos = c.cp
+            WHERE c.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id, COUNT(*) AS kt,
+                   string_agg(tok, ' ' ORDER BY pos) AS ct
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
+               CAST(COALESCE(r.kt, 0) AS INT) AS kept_tokens,
+               COALESCE(r.ct, '') AS cleaned_text
+        FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+)
+def dd_remove_duplicate_spans(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dd.remove_duplicate_spans(docs, "doc_id", "text", k=8) \
+        .orderBy("doc_id")
+
+
+@query(
     "ta_bigram_lm_scores",
     survey="LLM-text(lm-quality)",
     doc="LM-based quality scoring (r06, the CCNet shape with a "

@@ -2336,3 +2336,40 @@ def test_bpe_encode_tiers_strip_marker_bytes_identically(spark):
     assert expr["a\x01bc"] == (1, "abc")  # scrub -> 'abc' -> one token
     assert expr["abc"] == (1, "abc")
     assert expr["\x01\x02"] == (0, "")     # fully scrubbed -> 0 tokens
+
+
+def test_remove_duplicate_spans_rewrites_covered_positions(spark):
+    """r09: the exact-substring REMOVAL operator on a hand-built
+    corpus — the shared 8-gram's positions vanish from both docs,
+    untouched docs pass through byte-identical, short docs (< k
+    tokens) are never grammed, and a fully-covered doc comes back
+    empty. kept_tokens must complement the measurement twin's
+    dup_positions exactly."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        duplicate_span_fraction, remove_duplicate_spans,
+    )
+
+    boiler = "one two three four five six seven eight"   # 8 tokens
+    rows = [
+        (1, boiler + " alpha beta"),        # covered prefix, keeps 2
+        (2, "x y " + boiler),               # covered suffix, keeps 2
+        (3, boiler),                        # fully covered -> empty
+        (4, "unique words that never repeat anywhere else at all"),
+        (5, "short doc"),                   # < k tokens, no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", k=8).collect()}
+
+    assert out[1]["cleaned_text"] == "alpha beta"
+    assert out[2]["cleaned_text"] == "x y"
+    assert out[3]["cleaned_text"] == "" and out[3]["kept_tokens"] == 0
+    assert out[4]["cleaned_text"] == rows[3][1]
+    assert out[5]["cleaned_text"] == "short doc"
+
+    frac = {r["doc_id"]: r for r in
+            duplicate_span_fraction(df, "doc_id", "text", k=8).collect()}
+    for d in out:
+        assert (out[d]["kept_tokens"]
+                == frac[d]["n_tokens"] - frac[d]["dup_positions"]), d
+        assert out[d]["n_tokens"] == frac[d]["n_tokens"]
