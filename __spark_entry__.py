@@ -135,12 +135,21 @@ _DRIVER_PRIORITY = [
     "st_tumbling_window_counts",
     "st_incremental_er_assign",
     "st_stream_near_dup_flags",
+    # r09 s2: the two structurally new rows — the IVF-blocked self-KNN
+    # graph (hash-checked against the exact oracle at full probe) and
+    # the embedding-cluster-balanced sampler (round-6 argmax + Knuth
+    # head). Their siblings ann_knn_graph (exact tier, same oracle)
+    # and ta_tfidf_top_terms register below the window, covered by the
+    # full-registry artifact.
+    "ann_knn_graph_blocked",
+    "sp_cluster_balanced_sample",
     # r09 rotation: the two new rows (ta_bpe_encode_production,
     # dd_remove_duplicate_spans) push curate_corpus,
     # dd_dedup_keep_first and dd_decontaminate_ngrams past the 50-row
     # hash window — all three long-green since r05/r06 and still
     # value-checked every round by the full-registry artifact
-    # (CORRECTNESS_FULL_r{N}.json).
+    # (CORRECTNESS_FULL_r{N}.json). The r09 s2 rows above push
+    # curate_corpus fully out as well.
     "curate_corpus",
     "dd_dedup_keep_first",
     "dd_decontaminate_ngrams",

@@ -56,6 +56,45 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     return df.filter(hash_bucket(F.col(id_col), modulus) < threshold)
 
 
+def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
+                            cent_rows: list[tuple[int, list[float]]],
+                            per_cluster: int = 10,
+                            rounded: bool = False) -> DataFrame:
+    """Embedding-cluster-balanced selection: assign every row to its
+    nearest centroid, keep a deterministic per_cluster-row sample from
+    EACH cluster — the mixture-balancing move (SemDeDup/DoReMi-style)
+    that stops one dense embedding region from dominating a training
+    mix the way stratified_sample stops one LANGUAGE from dominating,
+    with the strata discovered from the data instead of a column.
+
+    Centroids come from kmeans_centroids / train_ivfpq_params (both
+    deterministic) or any seed set; they are inlined as a literal, so
+    cluster assignment is ROW-LOCAL (assign_cells — zero exchanges).
+    Within a cluster, rows are ordered by the Knuth id hash (then id)
+    — the same no-RNG reproducibility contract as hash sampling — and
+    the per-cluster head is taken with a rank window that Spark
+    executes as WindowGroupLimit: per-partition heads before the
+    shuffle, so the single exchange moves at most
+    |clusters| × per_cluster × |partitions| rows, not the corpus.
+    Output (cell, rank, id) with rank 1..per_cluster.
+
+    rounded=True uses the round-6 cosine argmax (assign_cells) so a
+    SQL twin reproduces assignments exactly — the oracle-hashed
+    registry configuration; production runs keep the raw double."""
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        assign_cells,
+    )
+
+    assigned = assign_cells(df.select(id_col, vec_col), cent_rows, 1,
+                            vec_col, rounded=rounded)
+    w = Window.partitionBy("cell").orderBy(
+        hash_bucket(F.col(id_col), 1 << 32).asc(), F.col(id_col).asc())
+    return (assigned
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= per_cluster)
+            .select("cell", "rank", id_col))
+
+
 def chunk_uid(doc_id_col: Column, chunk_id_col: Column,
               chunk_bits: int = 20) -> Column:
     """Collision-free composite uid for a (doc, chunk) pair:

@@ -43,17 +43,26 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     exclude_self: bool = False) -> DataFrame:
     """Exact top-k neighbors per query. queries: (query_id, embedding).
     Plan: broadcast queries × stream corpus → per-partition partial
     top-k via window; deterministic tiebreak on (rounded sim desc, id).
+
+    exclude_self=True drops pairs where the corpus id equals the query
+    id BEFORE ranking (the self-KNN-graph contract: ranks count
+    neighbors only, and a duplicate vector sharing cosine 1.0 with
+    self can never push the self row into the result).
     """
     q = broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")))
     # widen: the interpreted zip_with/aggregate dot product is the
     # bottleneck; it must not run on a 1-task file layout.
     scored = widen(corpus.select(F.col(id_col), F.col(vec_col))) \
-        .crossJoin(q).select(
+        .crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
         query_id_col, id_col,
         F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
         .alias("cosine")).filter(F.col("cosine").isNotNull())
@@ -199,7 +208,8 @@ def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
 
 def assign_cells(df: DataFrame,
                  cent_rows: list[tuple[int, list[float]]],
-                 n: int, vec_col: str = "embedding") -> DataFrame:
+                 n: int, vec_col: str = "embedding",
+                 rounded: bool = False) -> DataFrame:
     """Row-local nearest-cell assignment: per row, score every inlined
     centroid (cosine), take the n best by (cosine desc, cell asc), and
     explode — a pure scan projection, zero exchanges regardless of
@@ -214,15 +224,27 @@ def assign_cells(df: DataFrame,
     prefer any finite-scored centroid over a broken one, which is the
     behavior we want, not an equivalence claim (r05 advisor finding).
     An all-undefined row (zero-norm INPUT vector) still resolves
-    deterministically to the min cell via the cell tie-break."""
+    deterministically to the min cell via the cell tie-break.
+
+    rounded=True ranks on round(cosine, 6) instead of the raw double —
+    the cross-engine argmax contract a DuckDB twin can reproduce
+    exactly (sub-ulp differences between the fold-order dot product
+    here and an oracle's list kernel would otherwise flip boundary
+    assignments). Production ANN tiers keep the raw double; the
+    oracle-hashed consumers (sp_cluster_balanced_sample) opt in."""
     cents = _centroid_literal(cent_rows)
+
+    def _ns(c):
+        cs = cosine_col(F.col(vec_col), c["c_vec"])
+        if rounded:
+            cs = F.round(cs, 6)
+        return F.coalesce(-cs, F.lit(float("inf")))
+
     ranked = F.slice(
         F.sort_array(F.transform(
             cents,
-            lambda c: F.struct(
-                F.coalesce(-cosine_col(F.col(vec_col), c["c_vec"]),
-                           F.lit(float("inf"))).alias("ns"),
-                c["cell"].alias("cell")))),
+            lambda c: F.struct(_ns(c).alias("ns"),
+                               c["cell"].alias("cell")))),
         1, n)
     return df.withColumn(
         "cell", F.explode(F.transform(ranked, lambda s: s["cell"])))
@@ -290,6 +312,96 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = 16,
         schema="cell long, c_vec array<double>")
 
 
+def _quantizer_rows(corpus: DataFrame, n_cells: int, id_col: str,
+                    vec_col: str, quantizer: str,
+                    train_permille: int | None
+                    ) -> list[tuple[int, list[float]]]:
+    """Resolve a coarse-quantizer choice to centroid rows (shared by
+    ivf_topk and knn_graph_ivf): 'first' = first n_cells vectors by id
+    (deterministic, oracle-checkable), 'kmeans' = distributed Lloyd,
+    'kmeans_local' = driver-side numpy Lloyd on a deterministic sample
+    (one Spark job — the default production trainer since r09)."""
+    if quantizer == "kmeans":
+        cents_df = kmeans_centroids(corpus, n_cells, id_col=id_col,
+                                    vec_col=vec_col,
+                                    train_permille=train_permille)
+        return [(int(r["cell"]), [float(x) for x in r["c_vec"]])
+                for r in cents_df.collect()]
+    if quantizer == "kmeans_local":
+        books = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
+                             "kmeans_local", train_permille)
+        return [(int(c), [float(x) for x in v])
+                for c, v in (books[0] if books else [])]
+    return _collect_first_centroids(corpus, n_cells, id_col, vec_col)
+
+
+def knn_graph(corpus: DataFrame, k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Exact corpus self-KNN graph: for EVERY vector, its k nearest
+    neighbors by cosine, self excluded — the adjacency list behind
+    SemDeDup-style graph pruning, embedding-cluster discovery, and
+    recall ground truth for the blocked tier below.
+
+    Columns (query_id, rank, vec_id, cosine); rank 1..k per query_id,
+    deterministic tiebreak (rounded cosine desc, vec_id asc).
+
+    This is the BOUNDED-corpus exact tier: it broadcasts the query
+    side, which here IS the corpus, so it holds to ~10⁶×~10² dims of
+    broadcast budget and O(n²) score work — run it on samples and as
+    the ground-truth probe. The corpus-scale plan is knn_graph_ivf
+    (shuffle join on cell, no corpus broadcast)."""
+    queries = corpus.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col))
+    return brute_force_topk(corpus, queries, k, id_col=id_col,
+                            vec_col=vec_col, exclude_self=True)
+
+
+def knn_graph_ivf(corpus: DataFrame, k: int = 5, n_cells: int = 16,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  quantizer: str = "kmeans_local",
+                  train_permille: int | None = None) -> DataFrame:
+    """Corpus-scale self-KNN graph, IVF-blocked: corpus vectors are
+    assigned to their 1 nearest cell (membership) AND to their n_probe
+    nearest cells (probe list); candidates are the cell-equi-join of
+    the two sides — each vector is scored only against members of the
+    cells it probes, n_probe/n_cells of the corpus instead of all of
+    it. Both assignment passes are ROW-LOCAL (centroids inlined as a
+    literal, assign_cells); the only corpus-scale exchange is the
+    equi-join shuffle on cell, which at 100 TB rides the same
+    cell-partitioned layout the stored IVF-PQ index uses — co-located,
+    no extra shuffle. A (query, member) candidate appears at most once
+    (membership is single-cell), so no dedup pass is needed. Skewed
+    cells (unbalanced quantizer) are AQE skew-join territory; the
+    kmeans quantizers keep cells near-uniform on real embeddings.
+
+    Recall < 1 at n_probe < n_cells by construction (neighbors whose
+    cell the query does not probe are missed) — the recall/scan-cost
+    trade is test-pinned against knn_graph; n_probe = n_cells makes
+    the candidate set complete and the output EXACTLY knn_graph's
+    (the registry's hash-checked configuration, proving the blocked
+    plan end-to-end)."""
+    cent_rows = _quantizer_rows(corpus, n_cells, id_col, vec_col,
+                                quantizer, train_permille)
+    members = assign_cells(widen(corpus.select(id_col, vec_col)),
+                           cent_rows, 1, vec_col)
+    probes = assign_cells(
+        widen(corpus.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("q_vec"))),
+        cent_rows, n_probe, "q_vec")
+    scored = members.join(probes, "cell") \
+        .filter(F.col(id_col) != F.col("query_id")) \
+        .select("query_id", id_col,
+                F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+                .alias("cosine")) \
+        .filter(F.col("cosine").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, "cosine"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -319,20 +431,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     selectivity win. Recall < 1 by construction; the bench pairs it
     with brute_force_topk.
     """
-    if quantizer == "kmeans":
-        cents_df = kmeans_centroids(corpus, n_cells, id_col=id_col,
-                                    vec_col=vec_col,
-                                    train_permille=train_permille)
-        cent_rows = [(int(r["cell"]), [float(x) for x in r["c_vec"]])
-                     for r in cents_df.collect()]
-    elif quantizer == "kmeans_local":
-        books = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
-                             "kmeans_local", train_permille)
-        cent_rows = [(int(c), [float(x) for x in v])
-                     for c, v in (books[0] if books else [])]
-    else:
-        cent_rows = _collect_first_centroids(corpus, n_cells, id_col,
-                                             vec_col)
+    cent_rows = _quantizer_rows(corpus, n_cells, id_col, vec_col,
+                                quantizer, train_permille)
 
     c = assign_cells(widen(corpus.select(id_col, vec_col)), cent_rows, 1,
                      vec_col)

@@ -209,6 +209,53 @@ def vocab_topk(df, id_col: str, text_col: str, k: int = 100):
             .select("rank", "token", "n_occurrences", "n_docs"))
 
 
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document TF-IDF keyword extraction: the k highest-scoring
+    whitespace tokens per document — the standard "what is this doc
+    about" signal feeding topic routing / domain tagging in a
+    training-data pipeline.
+
+    Scoring is the INTEGER-EXACT rational form
+
+        score_e6 = (tf * 1_000_000) div doc_freq
+
+    (div = floor integer division; tf = occurrences of the term in
+    the doc, doc_freq = number of corpus documents containing it) —
+    monotone in tf/df like the textbook tf·ln(N/df) for a fixed N,
+    but free of libm: ln's last-ulp value is engine-specific, while
+    BIGINT div is bit-identical everywhere, so the DuckDB oracle
+    hash-checks the scores exactly. Same trade the langid NB scorer
+    makes (train_char_ngram_lid's floor(1e9·…) terms). Rank ties
+    break (score desc, term asc) — fully deterministic output.
+
+    Plan shape: explode tokens → groupBy(doc, term) count [one
+    shuffle, map-side combined] → df = groupBy(term) count over the
+    ALREADY per-doc-distinct tf frame [second shuffle, input is one
+    row per (doc, term)] → tf ⋈ df on term → per-doc row_number
+    window. At corpus scale the term join is zipf-skewed on
+    stopwords — AQE skew-join territory; the df side is |vocab|-sized
+    (can be broadcast when a vocab cap is enforced, not blindly at
+    web scale). The final window partitions on doc id, which is
+    uniform — no funnel.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_e6",
+        F.expr("CAST(tf * 1000000L DIV doc_freq AS BIGINT)"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e6"),
+                                           F.asc("term"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "tf", "doc_freq", "score_e6"))
+
+
 def quality_raw_counts(text: Column) -> dict[str, Column]:
     """The five raw integer counts every quality gate derives from —
     exposed separately so the corpus diagnostics (ta_corpus_parts)

@@ -3856,3 +3856,154 @@ def sp_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_chars",
         ta.whitespace_token_count(F.col("text")),
         budget=12_000).orderBy("doc_id")
+
+
+# Corpus self-KNN ground truth at k=5, shared by the exact and blocked
+# tiers (n_probe = n_cells makes the blocked candidate set complete, so
+# both hash against the same SQL).
+_DUCK_KNN5 = """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id
+        )
+        SELECT query_id, rank, vec_id, cosine FROM (
+            SELECT query_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+"""
+
+
+@query(
+    "ta_tfidf_top_terms",
+    survey="LLM-text-analysis(tfidf)",
+    doc="Per-document TF-IDF keyword extraction: top-3 whitespace "
+        "tokens per doc by the integer-exact rational score "
+        "(tf * 1e6) div doc_freq — ln-free so the cross-engine hash "
+        "is exact (the langid-NB trade). Explode → two map-side-"
+        "combined groupBys → term join (zipf skew = AQE territory at "
+        "corpus scale) → per-doc WindowGroupLimit.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+                   CAST(t.tf * 1000000 // d.doc_freq AS BIGINT) AS score_e6
+            FROM tf t JOIN dfreq d USING (term)
+        )
+        SELECT doc_id, rank, term, tf, doc_freq, score_e6 FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score_e6 DESC, term ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+)
+def ta_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return ta.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "sp_cluster_balanced_sample",
+    survey="LLM-sampling(cluster-balanced)",
+    doc="Embedding-cluster-balanced selection: nearest-centroid "
+        "assignment (row-local, centroids inlined as a literal; "
+        "round-6 cosine argmax so the SQL twin reproduces it exactly) "
+        "then a deterministic Knuth-hash head of 10 rows per cluster "
+        "(WindowGroupLimit) — the discovered-strata counterpart of "
+        "sp_hash_sample_stratified. Seed centroids here are the first "
+        "8 vectors by id so the oracle can rebuild them; production "
+        "passes kmeans_centroids / train_ivfpq_params rows.",
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c_vec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        CAST(e.embedding AS DOUBLE[]),
+                                        c.c_vec), 6) DESC,
+                                    c.cell ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        )
+        SELECT cell, rank, vec_id FROM (
+            SELECT cell, vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY cell
+                       ORDER BY ((vec_id % 2147483648) * 2654435761)
+                                % 4294967296 ASC,
+                                vec_id ASC) AS INT) AS rank
+            FROM assigned
+        ) WHERE rank <= 10
+    """,
+)
+def sp_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8) \
+        .select("vec_id", "embedding").collect()
+    cent_rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in seeds]
+    return cluster_balanced_sample(emb, "vec_id", "embedding", cent_rows,
+                                   per_cluster=10, rounded=True)
+
+
+@query(
+    "ann_knn_graph",
+    survey="LLM-similarity-search(knn-graph)",
+    doc="Exact corpus self-KNN graph (k=5 neighbors per vector, self "
+        "excluded) — the adjacency list behind SemDeDup-style graph "
+        "pruning and the recall ground truth for the blocked tier. "
+        "Bounded-corpus tier: broadcasts the query side (which IS the "
+        "corpus); the 100 TB plan is ann_knn_graph_blocked.",
+    oracle=e6_oracle(_DUCK_KNN5, "cosine"),
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.knn_graph(emb, k=5).withColumn(
+            "rank", F.col("rank").cast("int")),
+        "cosine")
+
+
+@query(
+    "ann_knn_graph_blocked",
+    survey="LLM-similarity-search(knn-graph)",
+    doc="Self-KNN through the IVF-blocked plan (cell equi-join of "
+        "membership × probe lists — no corpus broadcast, the shape "
+        "that rides the cell-partitioned index layout at 100 TB), "
+        "run here at n_probe = n_cells so the candidate set is "
+        "complete and the output hash-checks against the SAME exact "
+        "oracle as ann_knn_graph; the n_probe < n_cells recall trade "
+        "is test-pinned (tests/test_scale_patterns.py).",
+    oracle=e6_oracle(_DUCK_KNN5, "cosine"),
+)
+def ann_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.knn_graph_ivf(emb, k=5, n_cells=8, n_probe=8,
+                          quantizer="first").withColumn(
+            "rank", F.col("rank").cast("int")),
+        "cosine")

@@ -2373,3 +2373,122 @@ def test_remove_duplicate_spans_rewrites_covered_positions(spark):
         assert (out[d]["kept_tokens"]
                 == frac[d]["n_tokens"] - frac[d]["dup_positions"]), d
         assert out[d]["n_tokens"] == frac[d]["n_tokens"]
+
+
+# --- r09 s2: self-KNN graph, cluster-balanced sampling, TF-IDF -------------
+
+
+def test_knn_graph_excludes_self_even_with_duplicate_vectors(spark):
+    """The self row ties any duplicate at cosine 1.0; exclude_self
+    filters BEFORE ranking, so ranks count neighbors only and a
+    lower-id duplicate can never push self into the result."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.6, 0.8])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = ann.knn_graph(emb, k=2)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in g.collect()}
+    # no self edges anywhere
+    assert all(q != v for (q, _), v in got.items())
+    # the duplicate pair are each other's rank-1 neighbor
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0
+    # every vector got exactly k ranked neighbors 1..k
+    assert sorted(k for k in got) == [(q, r) for q in range(4)
+                                     for r in (1, 2)]
+
+
+def test_knn_graph_ivf_full_probe_equals_exact(spark, sf_small):
+    """n_probe = n_cells makes the blocked candidate set complete, so
+    the IVF-joined plan must reproduce the exact graph row-for-row —
+    the registry's hash-checked configuration (ann_knn_graph_blocked),
+    pinned here with the kmeans_local quantizer too (the oracle row
+    uses 'first')."""
+    emb = load(spark, sf_small, "embeddings")
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])  # noqa: E731
+    exact = sorted(map(key, ann.knn_graph(emb, k=5).collect()))
+    for quant in ("first", "kmeans_local"):
+        blocked = sorted(map(key, ann.knn_graph_ivf(
+            emb, k=5, n_cells=8, n_probe=8, quantizer=quant).collect()))
+        assert blocked == exact, quant
+
+
+def test_knn_graph_ivf_recall_tradeoff(spark, sf_small):
+    """Probing fewer cells trades recall for scan cost, monotonically:
+    measured 0.51 @ 2/8 and 0.77 @ 4/8 on the sf0.001 embeddings —
+    pinned with slack as >0.3 / >0.5, and 4-probe >= 2-probe."""
+    emb = load(spark, sf_small, "embeddings")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in ann.knn_graph(emb, k=5).collect()}
+    recalls = {}
+    for n_probe in (2, 4):
+        got = {(r["query_id"], r["vec_id"]) for r in ann.knn_graph_ivf(
+            emb, k=5, n_cells=8, n_probe=n_probe,
+            quantizer="kmeans_local").collect()}
+        recalls[n_probe] = len(exact & got) / len(exact)
+    assert recalls[2] > 0.3 and recalls[4] > 0.5
+    assert recalls[4] >= recalls[2]
+
+
+def test_cluster_balanced_sample_balance_determinism_and_plan(spark, sf_small):
+    from contacts_etl_phase21_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    cents = ann._collect_first_centroids(emb, 8, "vec_id", "embedding")
+    samp = cluster_balanced_sample(emb, "vec_id", "embedding", cents,
+                                   per_cluster=5)
+    rows = samp.collect()
+    # balance: exactly per_cluster from every (non-empty) cluster,
+    # ranks 1..per_cluster
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["rank"])
+    assert all(sorted(ranks) == [1, 2, 3, 4, 5]
+               for ranks in by_cell.values())
+    # selected ids are corpus ids
+    ids = {r["vec_id"] for r in rows}
+    assert ids <= {r["vec_id"] for r in emb.select("vec_id").collect()}
+    # deterministic under repartitioning (the no-RNG contract)
+    rep = cluster_balanced_sample(emb.repartition(7), "vec_id",
+                                  "embedding", cents, per_cluster=5)
+    assert sorted(map(tuple, rep.collect())) == sorted(map(tuple, rows))
+    # plan: row-local assignment + ONE exchange (the rank window),
+    # executed as WindowGroupLimit (per-partition heads pre-shuffle).
+    # After execution AdaptiveSparkPlan.toString appends the Initial
+    # Plan section (its own Exchange line) — count the final plan only.
+    p = samp._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in final and "Join" not in final
+    # production path: trained centroids (kmeans) keep the contract
+    trained = [(int(r["cell"]), [float(x) for x in r["c_vec"]])
+               for r in ann.kmeans_centroids(emb, 8, n_iter=2).collect()]
+    t_rows = cluster_balanced_sample(emb, "vec_id", "embedding",
+                                     trained, per_cluster=5).collect()
+    assert all(1 <= r["rank"] <= 5 for r in t_rows)
+
+
+def test_tfidf_top_terms_hand_expected(spark):
+    from contacts_etl_phase21_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"),
+         (1, "banana cherry"),
+         (2, "cherry cherry cherry durian")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"],
+                                      r["score_e6"])
+           for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()}
+    # doc 0: apple tf=2 df=1 -> 2_000_000 beats banana tf=1 df=2 -> 500_000
+    assert out[(0, 1)] == ("apple", 2, 1, 2_000_000)
+    assert out[(0, 2)] == ("banana", 1, 2, 500_000)
+    # doc 2: cherry tf=3 df=2 -> 1_500_000 beats durian tf=1 df=1 -> 1_000_000
+    assert out[(2, 1)] == ("cherry", 3, 2, 1_500_000)
+    assert out[(2, 2)] == ("durian", 1, 1, 1_000_000)
+    # doc 1: tie scores impossible here, but rank ties break on term asc:
+    # banana (500_000) vs cherry (1_500_000 -> tf=1 df=2 = 500_000) — both
+    # tf=1 df=2, equal score, banana < cherry lexicographically
+    assert out[(1, 1)][0] == "banana" and out[(1, 2)][0] == "cherry"
+    assert out[(1, 1)][3] == out[(1, 2)][3] == 500_000
