@@ -402,6 +402,150 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, n_cells: int = 16,
             .select("query_id", "rank", id_col, "cosine"))
 
 
+def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
+                       n_probe: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       quantizer: str = "kmeans_local",
+                       train_permille: int | None = None,
+                       block: int = 2048) -> DataFrame:
+    """knn_graph_ivf's PRODUCTION physical plan (the r09 s2 probe
+    showed why it exists: the relational tier's cell equi-join routes
+    every candidate pair through the interpreted zip_with cosine and
+    the shuffle — Σ|cell|·|probes| joined rows each carrying two full
+    vectors). Same candidate semantics, three physical changes, all
+    borrowed from proven kernels in this repo:
+
+    1. Assignment: centroids ship ONCE as a broadcast matrix; each
+       Arrow batch ranks cells by one GEMM with assign_cells' exact
+       NaN/tie semantics (semantic_near_duplicates_blas' kernel). One
+       emitted row per (vector, probed cell), j==0 flagged as the
+       membership cell — members ⊆ probes by construction, so ONE
+       corpus shuffle keyed on cell carries both roles.
+    2. Within-cell scoring: per cell, a blocked GEMM of probers ×
+       members; self masked; per prober only the rows tied-or-above
+       the k-th ROUNDED score survive (brute_force_topk_blas'
+       keep-ties rule, HALF_UP at 6 decimals; non-finite scores —
+       zero-norm side — rank last like the declarative tier's NULL
+       drop). The shuffle into the final window therefore carries
+       ~n × n_probe × k candidate rows, not candidate PAIRS.
+    3. Global rank: the usual (cosine desc, id asc) window over that
+       bounded candidate set.
+
+    At n_probe = n_cells the candidate set is complete and the output
+    equals knn_graph / knn_graph_ivf up to the documented brute-BLAS
+    measure-zero rounding caveat (test-pinned on the driver tables).
+    Degenerate cells (probed but nobody's nearest) emit nothing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+        StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField(id_col, LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+    ranked_schema = StructType(
+        [out_schema.fields[0], StructField("rank", IntegerType())]
+        + out_schema.fields[1:])
+
+    books = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
+                         quantizer, train_permille)
+    if not books:  # empty corpus (pq_codebooks returns [])
+        return corpus.sparkSession.createDataFrame([], ranked_schema)
+    cent_rows = books[0]
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    n_probe = min(n_probe, len(cells))
+    bc = corpus.sparkSession.sparkContext.broadcast((cells, cmat))
+
+    assign_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("__id", LongType()),
+        StructField("__v", ArrayType(DoubleType())),
+        StructField("__member", BooleanType()),
+    ])
+
+    def assign_kernel(batches):
+        cells_, cmat_ = bc.value
+        cn2 = np.sqrt((cmat_ * cmat_).sum(1))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            sim = (mat @ cmat_.T) / np.outer(
+                np.sqrt((mat * mat).sum(1)), cn2)
+            order = np.argsort(np.nan_to_num(-sim, nan=np.inf),
+                               axis=1, kind="stable")[:, :n_probe]
+            out = []
+            for j in range(order.shape[1]):
+                out.append(pd.DataFrame({
+                    "cell": cells_[order[:, j]],
+                    "__id": ids,
+                    "__v": list(mat),
+                    "__member": j == 0,
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    def cell_kernel(pdf):
+        empty = pd.DataFrame({"query_id": [], id_col: [],
+                              "cosine": []}).astype(
+            {"query_id": "int64", id_col: "int64", "cosine": "float64"})
+        mem = pdf[pdf["__member"]]
+        if mem.empty:
+            return empty
+        m_ids = mem["__id"].to_numpy(dtype=np.int64)
+        m_mat = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in mem["__v"]])
+        m_norm = np.sqrt((m_mat * m_mat).sum(1))
+        q_ids = pdf["__id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__v"]])
+        q_norm = np.sqrt((q_mat * q_mat).sum(1))
+        outs = []
+        for lo in range(0, len(q_ids), block):
+            hi = min(lo + block, len(q_ids))
+            sim = (q_mat[lo:hi] @ m_mat.T) / np.outer(
+                q_norm[lo:hi], m_norm)
+            sim = _round_half_up6_np(sim)
+            # non-finite (zero-norm side) ranks last = the declarative
+            # tier's NULL drop; self masked out entirely
+            sim = np.where(np.isfinite(sim), sim, -np.inf)
+            sim[q_ids[lo:hi, None] == m_ids[None, :]] = -np.inf
+            top = min(k, sim.shape[1])
+            if top == 0:
+                continue
+            kth = np.partition(sim, sim.shape[1] - top, axis=1)[
+                :, sim.shape[1] - top]
+            qi, mi = np.nonzero(sim >= kth[:, None])
+            keep = np.isfinite(sim[qi, mi])
+            outs.append(pd.DataFrame({
+                "query_id": q_ids[lo + qi[keep]],
+                id_col: m_ids[mi[keep]],
+                "cosine": sim[qi, mi][keep]}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    assigned = (widen(corpus.select(id_col, vec_col))
+                .mapInPandas(assign_kernel, assign_schema))
+    candidates = assigned.groupBy("cell").applyInPandas(cell_kernel,
+                                                        out_schema)
+    # a (query, member) candidate can repeat across shared probe cells
+    # only if the member's cell is probed twice — impossible (probe
+    # lists are distinct cells) — so no distinct() pass is needed.
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (candidates.withColumn("rank", F.row_number().over(w)
+                                  .cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", id_col, "cosine"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -4007,3 +4007,24 @@ def ann_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                           quantizer="first").withColumn(
             "rank", F.col("rank").cast("int")),
         "cosine")
+
+
+@query(
+    "ann_knn_graph_blas",
+    survey="LLM-similarity-search(knn-graph)",
+    doc="Self-KNN through the production per-cell blocked-GEMM kernel "
+        "(knn_graph_ivf_blas: broadcast-matrix assignment, within-cell "
+        "BLAS scoring with keep-ties top-k, only ~n*probe*k candidate "
+        "rows reach the final window), at full probe on the 'first' "
+        "quantizer so it hash-checks against the SAME exact oracle as "
+        "the declarative tiers — the dd_semantic_blas_tier move: the "
+        "physical plan you would run at 100 TB, certified on the "
+        "oracle configuration.",
+    oracle=e6_oracle(_DUCK_KNN5, "cosine"),
+)
+def ann_knn_graph_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.knn_graph_ivf_blas(emb, k=5, n_cells=8, n_probe=8,
+                               quantizer="first"),
+        "cosine")

@@ -2492,3 +2492,40 @@ def test_tfidf_top_terms_hand_expected(spark):
     # tf=1 df=2, equal score, banana < cherry lexicographically
     assert out[(1, 1)][0] == "banana" and out[(1, 2)][0] == "cherry"
     assert out[(1, 1)][3] == out[(1, 2)][3] == 500_000
+
+
+def test_knn_graph_ivf_blas_equals_relational(spark, sf_small):
+    """The per-cell BLAS tier must reproduce the relational tier's
+    graph row-for-row at the same quantizer/probe settings: identical
+    candidate sets by construction (same pq_codebooks centroids, same
+    assignment semantics), identical scoring up to the documented
+    brute-BLAS measure-zero rounding caveat — pinned here at partial
+    AND full probe, and transitively equal to the exact graph at full
+    probe via test_knn_graph_ivf_full_probe_equals_exact."""
+    emb = load(spark, sf_small, "embeddings")
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])  # noqa: E731
+    for n_probe in (2, 8):
+        rel = sorted(map(key, ann.knn_graph_ivf(
+            emb, k=5, n_cells=8, n_probe=n_probe,
+            quantizer="kmeans_local").collect()))
+        blas = sorted(map(key, ann.knn_graph_ivf_blas(
+            emb, k=5, n_cells=8, n_probe=n_probe,
+            quantizer="kmeans_local").collect()))
+        assert blas == rel, f"n_probe={n_probe}"
+
+
+def test_knn_graph_ivf_blas_empty_and_degenerate(spark):
+    """Empty corpus short-circuits; a 1-vector corpus has no neighbor
+    rows (self masked); duplicate vectors pair up."""
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    assert ann.knn_graph_ivf_blas(empty, k=3, n_cells=4).count() == 0
+    one = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    assert ann.knn_graph_ivf_blas(one, k=3, n_cells=4,
+                                  quantizer="first").count() == 0
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])], schema)
+    got = {(r["query_id"], r["vec_id"], r["cosine"])
+           for r in ann.knn_graph_ivf_blas(
+               dup, k=3, n_cells=2, quantizer="first").collect()}
+    assert got == {(0, 1, 1.0), (1, 0, 1.0)}

@@ -1,0 +1,119 @@
+"""Self-KNN-graph scale probe (r09 s2).
+
+The registered ann_knn_graph_blocked proves the IVF-blocked self-KNN
+plan at full probe against the exact oracle; this probe answers the
+questions that matter when the graph is built over a real store:
+
+1. Wall-clock of the blocked build at 10⁵ (and optionally 10⁶)
+   clustered vectors, where the exact all-pairs tier (10¹⁰ / 10¹²
+   cosine evals) is already uncomputable — the whole point of
+   blocking. BOTH physical tiers are timed: the relational cell
+   equi-join (knn_graph_ivf — every candidate pair crosses the
+   interpreted zip_with cosine) and the per-cell blocked-GEMM kernel
+   (knn_graph_ivf_blas — candidates scored inside BLAS, only
+   ~n × n_probe × k rows reach the final window). The relational
+   tier is measured at n_probe=2 only — its cost is candidate-pair
+   count, and one point establishes the gap.
+2. Recall vs EXACT ground truth at n_probe ∈ {2, 4, 8} of 64 cells,
+   measured on a 200-query sample (brute_force_topk with exclude_self
+   against the FULL corpus — 200 × n pairs is computable at any n
+   here, so the ground truth is exact for the sampled queries even
+   when the full exact graph is not).
+3. The n_probe scan-fraction → recall curve an operator sets the knob
+   by (same contract as the max_bucket and IVF-PQ probe tables in
+   BASELINE.md).
+
+Geometry: clustered_embeddings at sigma 0.35 (the ANN probes'
+setting) — within-cluster cosine ≈ 0.89 vs ~0 across, so true
+neighbors are overwhelmingly intra-cluster and recall measures how
+well kmeans cells recover the latent clusters.
+
+Usage: python tools/bench_knn_graph.py [N[:n_cells] ...]
+(default: 1e5:64 — cells should scale ~√n / with n: pair work is
+n_probe·n²/n_cells, so a fixed cell count quadratically penalizes
+larger corpora). The relational tier is timed only at the default
+64-cell 10⁵ config (REL_TIER=1 opts in elsewhere).
+One JSON line per argument.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from contacts_etl_phase21_spark.operators import (  # noqa: E402
+    similarity_search as ann,
+)
+from contacts_etl_phase21_spark.session import get_spark  # noqa: E402
+from tools.bench_corpus import clustered_embeddings  # noqa: E402
+
+K = 5
+N_CELLS = 64
+N_QUERIES = 200
+
+
+def _measure(graph, sample_ids, truth):
+    """Materialize the full graph once (persist → count), read the
+    sampled queries' edges off the materialized frame, unpersist."""
+    graph = graph.persist()
+    try:
+        t0 = time.time()
+        n_edges = graph.count()
+        wall = round(time.time() - t0, 1)
+        got = {(r["query_id"], r["vec_id"])
+               for r in graph.filter(
+                   F.col("query_id").isin(list(sample_ids))).collect()}
+        return {"wall_s": wall, "edges": n_edges,
+                "recall": round(len(truth & got) / len(truth), 3)}
+    finally:
+        graph.unpersist()
+
+
+def main() -> None:
+    specs = []
+    for a in sys.argv[1:] or ["1e5:64"]:
+        n_s, _, c_s = a.partition(":")
+        specs.append((int(float(n_s)), int(c_s) if c_s else N_CELLS))
+    spark = get_spark(app_name="bench-knn-graph")
+    for n, n_cells in specs:
+        emb = clustered_embeddings(spark, n).select("vec_id", "embedding") \
+            .persist()
+        emb.count()
+
+        # exact ground truth on a deterministic query sample
+        step = max(1, n // N_QUERIES)
+        sample = emb.filter(F.col("vec_id") % step == 1) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        truth = {(r["query_id"], r["vec_id"])
+                 for r in ann.brute_force_topk(
+                     emb, sample, K, exclude_self=True).collect()}
+        sample_ids = {q for q, _ in truth}
+
+        out = {"n": n, "k": K, "n_cells": n_cells,
+               "n_queries": len(sample_ids)}
+        for n_probe in (2, 4, 8):
+            r = _measure(ann.knn_graph_ivf_blas(
+                emb, K, n_cells, n_probe, quantizer="kmeans_local"),
+                sample_ids, truth)
+            r["scan_frac"] = round(n_probe / n_cells, 3)
+            out[f"blas_probe{n_probe}"] = r
+        if os.environ.get("REL_TIER") == "1":
+            out["rel_probe2"] = _measure(ann.knn_graph_ivf(
+                emb, K, n_cells, 2, quantizer="kmeans_local"),
+                sample_ids, truth)
+        emb.unpersist()
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
