@@ -407,7 +407,10 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                        vec_col: str = "embedding",
                        quantizer: str = "kmeans_local",
                        train_permille: int | None = None,
-                       block: int = 2048) -> DataFrame:
+                       block: int = 2048,
+                       cent_rows: list[tuple[int, list[float]]]
+                       | None = None,
+                       query_ids=None) -> DataFrame:
     """knn_graph_ivf's PRODUCTION physical plan (the r09 s2 probe
     showed why it exists: the relational tier's cell equi-join routes
     every candidate pair through the interpreted zip_with cosine and
@@ -434,7 +437,16 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
     At n_probe = n_cells the candidate set is complete and the output
     equals knn_graph / knn_graph_ivf up to the documented brute-BLAS
     measure-zero rounding caveat (test-pinned on the driver tables).
-    Degenerate cells (probed but nobody's nearest) emit nothing."""
+    Degenerate cells (probed but nobody's nearest) emit nothing.
+
+    cent_rows: inject FROZEN centroids (skip training) — the
+    update_knn_graph / update_ivfpq_index encode-only policy, and how
+    a rebuild is made comparable to an incremental update.
+    query_ids: restrict the PROBE role to this id collection (members
+    stay the full corpus) — neighbor lists are computed only for the
+    restricted queries, the delta-repair move. The set is broadcast
+    into the kernel, so keep it nightly-sized (a corpus-scale repair
+    is a rebuild)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -451,25 +463,31 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
         [out_schema.fields[0], StructField("rank", IntegerType())]
         + out_schema.fields[1:])
 
-    books = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
-                         quantizer, train_permille)
-    if not books:  # empty corpus (pq_codebooks returns [])
+    if cent_rows is None:
+        books = pq_codebooks(corpus, 1, n_cells, id_col, vec_col,
+                             quantizer, train_permille)
+        if not books:  # empty corpus (pq_codebooks returns [])
+            return corpus.sparkSession.createDataFrame([], ranked_schema)
+        cent_rows = books[0]
+    if not cent_rows:
         return corpus.sparkSession.createDataFrame([], ranked_schema)
-    cent_rows = books[0]
     cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
     cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
     n_probe = min(n_probe, len(cells))
-    bc = corpus.sparkSession.sparkContext.broadcast((cells, cmat))
+    qset = None if query_ids is None else frozenset(
+        int(q) for q in query_ids)
+    bc = corpus.sparkSession.sparkContext.broadcast((cells, cmat, qset))
 
     assign_schema = StructType([
         StructField("cell", LongType()),
         StructField("__id", LongType()),
         StructField("__v", ArrayType(DoubleType())),
         StructField("__member", BooleanType()),
+        StructField("__probe", BooleanType()),
     ])
 
     def assign_kernel(batches):
-        cells_, cmat_ = bc.value
+        cells_, cmat_, qset_ = bc.value
         cn2 = np.sqrt((cmat_ * cmat_).sum(1))
         for pdf in batches:
             if pdf.empty:
@@ -481,30 +499,43 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                 np.sqrt((mat * mat).sum(1)), cn2)
             order = np.argsort(np.nan_to_num(-sim, nan=np.inf),
                                axis=1, kind="stable")[:, :n_probe]
+            probing = (np.ones(len(ids), dtype=bool) if qset_ is None
+                       else np.fromiter((int(i) in qset_ for i in ids),
+                                        dtype=bool, count=len(ids)))
             out = []
             for j in range(order.shape[1]):
+                # j==0 rows carry membership for EVERYONE; probe rows
+                # exist only for the restricted query set
+                take = probing if j > 0 else np.ones(len(ids),
+                                                     dtype=bool)
+                if not take.any():
+                    continue
                 out.append(pd.DataFrame({
-                    "cell": cells_[order[:, j]],
-                    "__id": ids,
-                    "__v": list(mat),
+                    "cell": cells_[order[take, j]],
+                    "__id": ids[take],
+                    "__v": [m for m, t in zip(mat, take) if t],
                     "__member": j == 0,
+                    "__probe": probing[take] if j == 0
+                    else np.ones(int(take.sum()), dtype=bool),
                 }))
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     def cell_kernel(pdf):
         empty = pd.DataFrame({"query_id": [], id_col: [],
                               "cosine": []}).astype(
             {"query_id": "int64", id_col: "int64", "cosine": "float64"})
         mem = pdf[pdf["__member"]]
-        if mem.empty:
+        prb = pdf[pdf["__probe"]]
+        if mem.empty or prb.empty:
             return empty
         m_ids = mem["__id"].to_numpy(dtype=np.int64)
         m_mat = np.stack([np.asarray(v, dtype=np.float64)
                           for v in mem["__v"]])
         m_norm = np.sqrt((m_mat * m_mat).sum(1))
-        q_ids = pdf["__id"].to_numpy(dtype=np.int64)
+        q_ids = prb["__id"].to_numpy(dtype=np.int64)
         q_mat = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf["__v"]])
+                          for v in prb["__v"]])
         q_norm = np.sqrt((q_mat * q_mat).sum(1))
         outs = []
         for lo in range(0, len(q_ids), block):
@@ -544,6 +575,187 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                                   .cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", id_col, "cosine"))
+
+
+def update_knn_graph(graph: DataFrame, old_snapshot: DataFrame,
+                     new_snapshot: DataFrame,
+                     cent_rows: list[tuple[int, list[float]]],
+                     k: int = 5, n_cells: int = 64, n_probe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     delta: DataFrame | None = None,
+                     block: int = 2048) -> DataFrame:
+    """Incremental maintenance for a stored self-KNN graph — the third
+    leg of the artifact-maintenance triad (update_lsh_corpus_index for
+    the text index, update_ivfpq_index for the vector index, this for
+    the neighbor graph). A graph build is the expensive ANN artifact
+    (n·probe/cells of the corpus scored per build); tonight's 0.1%
+    delta must not pay it again.
+
+    Correctness rests on one lemma. Call a query STABLE if none of its
+    current edges point at a removed/changed id and its own vector is
+    unchanged. For a stable query q, the rebuilt top-k over the new
+    corpus ⊆ (q's current top-k) ∪ (fresh vectors landing in q's
+    probed cells): any old vector x newly entering q's top-k would
+    need k of q's current candidates to disappear above it, but none
+    of q's current TOP-k were removed (that is stability), and those
+    k rows still precede x in the (score desc, id asc) total order.
+    So stable queries are repaired by UNIONING their current edges
+    with their fresh-candidate edges and re-ranking — no corpus-scale
+    scoring. Everything else (fresh/changed vectors needing new
+    lists, queries that LOST a neighbor) is recomputed exactly via
+    knn_graph_ivf_blas restricted to that query set over the new
+    corpus.
+
+    Plan: delta classification shares the nightly work-list (pass
+    ``delta`` to skip it — same contract as update_ivfpq_index);
+    dead/fresh/affected id sets are delta-sized driver collects
+    (affected grows with the IN-DEGREE of removed nodes — a hub
+    vector in many top-k lists forces that many repairs; if the
+    affected set approaches corpus scale, rebuild instead). The
+    fresh-candidate pass is a row-local probe assignment of the
+    stable corpus joined to a BROADCAST of fresh members — zero
+    corpus shuffle; the restricted rebuild scores |affected ∪ fresh|
+    probe lists only.
+
+    Centroids are FROZEN (caller passes the build's cent_rows; the
+    rebuild equality pin injects the same rows) — the
+    update_ivfpq_index encode-only policy, same measured-recall-drop
+    retrain trigger. Updated ≡ rebuilt-with-the-same-centroids is
+    test-pinned row-for-row."""
+    from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
+
+    if delta is None:
+        def keyed(d: DataFrame) -> DataFrame:
+            return d.select(
+                F.col(id_col),
+                F.concat_ws(",", F.col(vec_col).cast("array<string>"))
+                .alias("__vec_str"))
+
+        delta = snapshot_delta(keyed(old_snapshot), keyed(new_snapshot),
+                               id_col, "__vec_str")
+    dead = {int(r[id_col]) for r in delta.filter(
+        F.col("status").isin("removed", "changed"))
+        .select(id_col).collect()}
+    fresh = {int(r[id_col]) for r in delta.filter(
+        F.col("status").isin("added", "changed"))
+        .select(id_col).collect()}
+    if not dead and not fresh:
+        return graph
+    # queries that lost a neighbor (edge target in dead)
+    affected = {int(r["query_id"]) for r in graph.filter(
+        F.col(id_col).isin(list(dead)) if dead else F.lit(False))
+        .select("query_id").distinct().collect()}
+    recompute = affected | fresh
+    invalid = list(recompute | dead)
+
+    stable = graph.filter(~F.col("query_id").isin(invalid)) \
+        .select("query_id", id_col, "cosine")
+
+    # fresh-candidate edges for stable queries: ONE row-local corpus
+    # scan — each Arrow batch ranks its probe cells by the broadcast
+    # centroid GEMM (the build kernel's exact semantics) and scores
+    # against a BROADCAST per-cell map of the fresh members, keep-ties
+    # top-k per row. Zero shuffle, zero join; the first cut of this
+    # pass (interpreted literal-centroid assignment + cell join)
+    # measured SLOWER than a full rebuild at 10^6 (467s vs 227s,
+    # tools/bench_index_update.py) — this kernel is why the update
+    # beats the rebuild.
+    if fresh:
+        import numpy as np
+
+        fresh_rows = assign_cells(
+            new_snapshot.filter(F.col(id_col).isin(list(fresh)))
+            .select(id_col, vec_col), cent_rows, 1, vec_col).collect()
+        freshmap: dict[int, tuple] = {}
+        for r in fresh_rows:
+            freshmap.setdefault(int(r["cell"]), []).append(
+                (int(r[id_col]),
+                 np.asarray(r[vec_col], dtype=np.float64)))
+        freshmap = {
+            c: (np.array([i for i, _ in rows], dtype=np.int64),
+                np.stack([v for _, v in rows]))
+            for c, rows in freshmap.items()}
+        cells_arr = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        np_eff = min(n_probe, len(cells_arr))
+        excl = frozenset(int(i) for i in invalid)
+        bcf = new_snapshot.sparkSession.sparkContext.broadcast(
+            (cells_arr, cmat, freshmap, excl))
+
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+        cand_schema = StructType([
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("cosine", DoubleType()),
+        ])
+
+        def fresh_kernel(batches):
+            import pandas as pd
+            cells_, cmat_, fmap_, excl_ = bcf.value
+            cn2 = np.sqrt((cmat_ * cmat_).sum(1))
+            fnorms = {c: np.sqrt((m * m).sum(1))
+                      for c, (_, m) in fmap_.items()}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keep_rows = ~pdf[id_col].map(
+                    lambda i: int(i) in excl_).to_numpy()
+                if not keep_rows.any():
+                    continue
+                pdf = pdf[keep_rows]
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                mat = np.stack([np.asarray(v, dtype=np.float64)
+                                for v in pdf[vec_col]])
+                norms = np.sqrt((mat * mat).sum(1))
+                csim = (mat @ cmat_.T) / np.outer(norms, cn2)
+                order = np.argsort(np.nan_to_num(-csim, nan=np.inf),
+                                   axis=1, kind="stable")[:, :np_eff]
+                rows = []
+                for j in range(order.shape[1]):
+                    pc = cells_[order[:, j]]
+                    for cell in np.unique(pc):
+                        if int(cell) not in fmap_:
+                            continue
+                        sel = np.flatnonzero(pc == cell)
+                        f_ids, f_mat = fmap_[int(cell)]
+                        sim = (mat[sel] @ f_mat.T) / np.outer(
+                            norms[sel], fnorms[int(cell)])
+                        sim = _round_half_up6_np(sim)
+                        sim = np.where(np.isfinite(sim), sim, -np.inf)
+                        top = min(k, sim.shape[1])
+                        kth = np.partition(
+                            sim, sim.shape[1] - top, axis=1)[
+                            :, sim.shape[1] - top]
+                        qi, fi = np.nonzero(sim >= kth[:, None])
+                        ok = np.isfinite(sim[qi, fi])
+                        rows.append(pd.DataFrame({
+                            "query_id": ids[sel[qi[ok]]],
+                            id_col: f_ids[fi[ok]],
+                            "cosine": sim[qi, fi][ok]}))
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+        cand = widen(new_snapshot.select(id_col, vec_col)) \
+            .mapInPandas(fresh_kernel, cand_schema)
+        stable = stable.unionByName(cand)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    repaired = (stable.withColumn("rank", F.row_number().over(w)
+                                  .cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", id_col, "cosine"))
+
+    if not recompute:
+        return repaired
+    rebuilt = knn_graph_ivf_blas(new_snapshot, k, n_cells, n_probe,
+                                 id_col, vec_col, block=block,
+                                 cent_rows=cent_rows,
+                                 query_ids=recompute)
+    return repaired.unionByName(rebuilt)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

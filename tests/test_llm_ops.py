@@ -2529,3 +2529,45 @@ def test_knn_graph_ivf_blas_empty_and_degenerate(spark):
            for r in ann.knn_graph_ivf_blas(
                dup, k=3, n_cells=2, quantizer="first").collect()}
     assert got == {(0, 1, 1.0), (1, 0, 1.0)}
+
+
+def test_update_knn_graph_equals_rebuild(spark, sf_small):
+    """The incremental graph repair must reproduce a full rebuild
+    through the SAME frozen centroids row-for-row, across all four
+    delta classes at once: removed (ids 10-14), changed (ids 20-24,
+    vectors reversed — scale-invariant cosine means a scalar change
+    would be invisible), added (ids 1000-1009 carrying other rows'
+    vectors). Also: the no-op delta returns the graph unchanged."""
+    import pyspark.sql.functions as F
+
+    emb = load(spark, sf_small, "embeddings").select("vec_id",
+                                                     "embedding")
+    cents = ann._quantizer_rows(emb, 8, "vec_id", "embedding",
+                                "kmeans_local", None)
+    k, n_cells, n_probe = 5, 8, 3
+    graph = ann.knn_graph_ivf_blas(emb, k, n_cells, n_probe,
+                                   cent_rows=cents).persist()
+    graph.count()
+
+    changed = emb.filter(F.col("vec_id").between(20, 24)) \
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+    added = emb.filter(F.col("vec_id").between(100, 109)) \
+        .select((F.col("vec_id") + 900).alias("vec_id"), "embedding")
+    new = emb.filter(~F.col("vec_id").between(10, 14)) \
+        .filter(~F.col("vec_id").between(20, 24)) \
+        .unionByName(changed).unionByName(added)
+
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])  # noqa: E731
+    updated = sorted(map(key, ann.update_knn_graph(
+        graph, emb, new, cents, k, n_cells, n_probe).collect()))
+    rebuilt = sorted(map(key, ann.knn_graph_ivf_blas(
+        new, k, n_cells, n_probe, cent_rows=cents).collect()))
+    assert updated == rebuilt
+    # sanity: the delta actually exercised every repair path
+    upd_q = {q for q, *_ in updated}
+    assert not upd_q & set(range(10, 15))          # removed queries gone
+    assert set(range(1000, 1010)) <= upd_q         # added got lists
+    # no-op delta short-circuits to the same frame
+    assert ann.update_knn_graph(graph, emb, emb, cents, k, n_cells,
+                                n_probe) is graph
+    graph.unpersist()

@@ -195,6 +195,63 @@ def bench_lsh(spark: SparkSession, n: int, report: dict) -> None:
           f"{report['lsh_rebuild_sec']}s", file=sys.stderr)
 
 
+def bench_knn(spark: SparkSession, n: int, report: dict) -> None:
+    """r09 s2: the KNN-graph leg of the maintenance triad. Clustered
+    vectors (the graph probe's geometry), frozen kmeans_local
+    centroids, 0.1% delta; update_knn_graph vs a rebuild through the
+    SAME centroids (the comparable rebuild per the frozen-quantizer
+    policy)."""
+    from contacts_etl_phase21_spark.operators import (
+        similarity_search as ann,
+    )
+    from tools.bench_corpus import clustered_embeddings
+
+    n_cells = 64 if n <= 200_000 else 256
+    k, n_probe = 5, 4
+    old = clustered_embeddings(spark, n) \
+        .select("vec_id", "embedding").persist()
+    old.count()
+    cents = ann._quantizer_rows(old, n_cells, "vec_id", "embedding",
+                                "kmeans_local", None)
+    t0 = time.time()
+    graph = ann.knn_graph_ivf_blas(old, k, n_cells, n_probe,
+                                   cent_rows=cents).persist()
+    n_edges = graph.count()
+    report["knn_build_sec"] = round(time.time() - t0, 2)
+
+    kept = old.filter(
+        F.col("vec_id") >= DELTA_REMOVED + DELTA_CHANGED)
+    changed = old.filter(
+        (F.col("vec_id") >= DELTA_REMOVED)
+        & (F.col("vec_id") < DELTA_REMOVED + DELTA_CHANGED)) \
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+    added = clustered_embeddings(spark, n + DELTA_ADDED) \
+        .select("vec_id", "embedding").filter(F.col("vec_id") >= n)
+    new = kept.unionByName(changed).unionByName(added).persist()
+    new.count()
+
+    t0 = time.time()
+    updated = ann.update_knn_graph(graph, old, new, cents, k,
+                                   n_cells, n_probe)
+    n_up = updated.count()
+    report["knn_update_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rebuilt = ann.knn_graph_ivf_blas(new, k, n_cells, n_probe,
+                                     cent_rows=cents)
+    n_re = rebuilt.count()
+    report["knn_rebuild_sec"] = round(time.time() - t0, 2)
+    assert n_up == n_re, (n_up, n_re)
+    report["knn_edges"] = n_edges
+    report["knn_cells"] = n_cells
+    graph.unpersist()
+    old.unpersist()
+    new.unpersist()
+    print(f"knn @ {n}: build {report['knn_build_sec']}s, update "
+          f"{report['knn_update_sec']}s, rebuild "
+          f"{report['knn_rebuild_sec']}s", file=sys.stderr)
+
+
 def main() -> int:
     import tempfile
 
@@ -211,6 +268,8 @@ def main() -> int:
             bench_ivfpq(spark, n, report, tmp)
         if which in ("lsh", "both"):
             bench_lsh(spark, n, report)
+        if which == "knn":
+            bench_knn(spark, n, report)
     print(json.dumps(report))
     return 0
 
