@@ -49,7 +49,10 @@ _DRIVER_PRIORITY = [
     "ta_corpus_report",
     "ta_corpus_stats",
     "ta_corpus_parts",
-    "ta_corpus_report_nore",
+    # ta_corpus_report_nore rotated out in r09 s2 (its HUGEINT-era
+    # bisection job is long done; report/stats/parts siblings stay) to
+    # keep BOTH s2 window rows inside the 50 — still value-checked by
+    # the full-registry artifact every round.
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "st_stream_ann_topk",
