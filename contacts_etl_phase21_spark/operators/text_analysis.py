@@ -237,6 +237,13 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     (can be broadcast when a vocab cap is enforced, not blindly at
     web scale). The final window partitions on doc id, which is
     uniform — no funnel.
+
+    Tokenization is ``\\s+`` (any whitespace run), the repo-wide
+    convention. NOTE for oracle consumers: the registered DuckDB twin
+    splits on a SINGLE space — identical only on single-space-
+    delimited corpora like the driver tables; a corpus with tabs /
+    newlines / double spaces diverges (r09 advisory). General keyword
+    extraction should treat the \\s+ Spark side as normative.
     """
     from pyspark.sql import Window
 

@@ -3886,7 +3886,9 @@ _DUCK_KNN5 = """
         "(tf * 1e6) div doc_freq — ln-free so the cross-engine hash "
         "is exact (the langid-NB trade). Explode → two map-side-"
         "combined groupBys → term join (zipf skew = AQE territory at "
-        "corpus scale) → per-doc WindowGroupLimit.",
+        "corpus scale) → per-doc WindowGroupLimit. Oracle splits on "
+        "a single space vs Spark's \\s+ — identical on the single-"
+        "space driver corpus only (see tfidf_top_terms docstring).",
     oracle="""
         WITH toks AS (
             SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term

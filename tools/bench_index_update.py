@@ -13,9 +13,21 @@ small fraction of a rebuild at 10^6 corpus size:
     lsh      same protocol for the MinHash-LSH corpus index at 10^6
              synthetic 30-token docs: update_lsh_corpus_index vs
              lsh_corpus_index rebuild
+    knn      the self-KNN-graph leg: update_knn_graph vs a rebuild
+             through the same frozen centroids
 
-Usage: python tools/bench_index_update.py [n] [ivfpq|lsh|both]
-       (default n=1_000_000, both)
+Usage: python tools/bench_index_update.py [n] [ivfpq|lsh|knn|both|all]
+           [--hub] [--delta-permille P]
+       (default n=1_000_000, all; 'both' is a legacy alias for 'all'
+        — it runs ALL THREE legs, r09 advisory)
+       --hub (knn leg): remove the DELTA_REMOVED highest-IN-DEGREE
+           graph nodes instead of ids 0..499 — the adversarial case
+           where `affected` (queries needing repair) is maximal; the
+           report records the affected-set size so the update-vs-
+           rebuild crossover gets a measured rule, not a guess.
+       --delta-permille P: scale the whole delta to P‰ of n
+           (default 1 ⇒ the standing 0.1% protocol; 10 ⇒ the 1%
+           BASELINE line).
 """
 
 from __future__ import annotations
@@ -195,17 +207,24 @@ def bench_lsh(spark: SparkSession, n: int, report: dict) -> None:
           f"{report['lsh_rebuild_sec']}s", file=sys.stderr)
 
 
-def bench_knn(spark: SparkSession, n: int, report: dict) -> None:
+def bench_knn(spark: SparkSession, n: int, report: dict,
+              hub: bool = False, scale: int = 1) -> None:
     """r09 s2: the KNN-graph leg of the maintenance triad. Clustered
     vectors (the graph probe's geometry), frozen kmeans_local
-    centroids, 0.1% delta; update_knn_graph vs a rebuild through the
-    SAME centroids (the comparable rebuild per the frozen-quantizer
-    policy)."""
+    centroids; update_knn_graph vs a rebuild through the SAME
+    centroids (the comparable rebuild per the frozen-quantizer
+    policy). `scale` multiplies the 0.1% delta (scale=10 ⇒ 1%);
+    `hub` removes the highest-in-degree nodes instead of ids 0..,
+    maximizing the affected (repair) set — the documented
+    "affected grows with in-degree" caveat, measured."""
     from contacts_etl_phase21_spark.operators import (
         similarity_search as ann,
     )
     from tools.bench_corpus import clustered_embeddings
 
+    d_rem = DELTA_REMOVED * scale
+    d_chg = DELTA_CHANGED * scale
+    d_add = DELTA_ADDED * scale
     n_cells = 64 if n <= 200_000 else 256
     k, n_probe = 5, 4
     old = clustered_embeddings(spark, n) \
@@ -219,16 +238,53 @@ def bench_knn(spark: SparkSession, n: int, report: dict) -> None:
     n_edges = graph.count()
     report["knn_build_sec"] = round(time.time() - t0, 2)
 
-    kept = old.filter(
-        F.col("vec_id") >= DELTA_REMOVED + DELTA_CHANGED)
-    changed = old.filter(
-        (F.col("vec_id") >= DELTA_REMOVED)
-        & (F.col("vec_id") < DELTA_REMOVED + DELTA_CHANGED)) \
-        .select("vec_id", F.reverse("embedding").alias("embedding"))
-    added = clustered_embeddings(spark, n + DELTA_ADDED) \
+    if hub:
+        # remove the d_rem nodes sitting in the MOST top-k lists:
+        # every one of those lists loses a neighbor and must repair
+        hub_rows = graph.groupBy("vec_id").count() \
+            .orderBy(F.desc("count"), F.asc("vec_id")) \
+            .limit(d_rem).collect()
+        removed_df = spark.createDataFrame(
+            [(int(r["vec_id"]),) for r in hub_rows],
+            schema="vec_id long").persist()
+        report["knn_hub_in_degree_sum"] = int(
+            sum(r["count"] for r in hub_rows))
+        removed_set = {int(r["vec_id"]) for r in hub_rows}
+        chg_lo = 0
+        while chg_lo in removed_set:
+            chg_lo += 1
+        chg_ids = []
+        i = chg_lo
+        while len(chg_ids) < d_chg:
+            if i not in removed_set:
+                chg_ids.append(i)
+            i += 1
+        changed_df = spark.createDataFrame(
+            [(c,) for c in chg_ids], schema="vec_id long").persist()
+        kept = old.join(F.broadcast(removed_df), "vec_id", "left_anti") \
+            .join(F.broadcast(changed_df), "vec_id", "left_anti")
+        changed = old.join(F.broadcast(changed_df), "vec_id", "semi") \
+            .select("vec_id", F.reverse("embedding").alias("embedding"))
+    else:
+        kept = old.filter(F.col("vec_id") >= d_rem + d_chg)
+        changed = old.filter(
+            (F.col("vec_id") >= d_rem)
+            & (F.col("vec_id") < d_rem + d_chg)) \
+            .select("vec_id", F.reverse("embedding").alias("embedding"))
+    added = clustered_embeddings(spark, n + d_add) \
         .select("vec_id", "embedding").filter(F.col("vec_id") >= n)
     new = kept.unionByName(changed).unionByName(added).persist()
     new.count()
+
+    # size of the repair set the delta induces (queries that lost a
+    # neighbor) — the crossover variable for the rebuild-instead rule
+    dead_ids = (removed_df.unionByName(changed_df) if hub
+                else old.select("vec_id")
+                .filter(F.col("vec_id") < d_rem + d_chg))
+    n_affected = graph.join(F.broadcast(dead_ids), "vec_id", "semi") \
+        .select("query_id").distinct().count()
+    report["knn_affected_queries"] = n_affected
+    report["knn_affected_frac"] = round(n_affected / n, 4)
 
     t0 = time.time()
     updated = ann.update_knn_graph(graph, old, new, cents, k,
@@ -244,12 +300,15 @@ def bench_knn(spark: SparkSession, n: int, report: dict) -> None:
     assert n_up == n_re, (n_up, n_re)
     report["knn_edges"] = n_edges
     report["knn_cells"] = n_cells
+    report["knn_delta_scale"] = scale
+    report["knn_hub_mode"] = hub
     graph.unpersist()
     old.unpersist()
     new.unpersist()
-    print(f"knn @ {n}: build {report['knn_build_sec']}s, update "
-          f"{report['knn_update_sec']}s, rebuild "
-          f"{report['knn_rebuild_sec']}s", file=sys.stderr)
+    print(f"knn @ {n} (hub={hub}, scale={scale}): build "
+          f"{report['knn_build_sec']}s, update "
+          f"{report['knn_update_sec']}s (affected {n_affected}), "
+          f"rebuild {report['knn_rebuild_sec']}s", file=sys.stderr)
 
 
 def main() -> int:
@@ -257,19 +316,27 @@ def main() -> int:
 
     from contacts_etl_phase21_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hub = "--hub" in sys.argv
+    scale = 1
+    if "--delta-permille" in sys.argv:
+        scale = int(sys.argv[sys.argv.index("--delta-permille") + 1])
+    n = int(argv[0]) if argv else 1_000_000
+    which = argv[1] if len(argv) > 1 else "all"
+    run_all = which in ("both", "all")  # 'both' = legacy alias, runs ALL
+    # NOTE: --delta-permille scales the knn leg only (its report rows
+    # carry knn_delta_scale); ivfpq/lsh stay on the standing 0.1%.
     report: dict = {"bench": "index_update", "n": n,
                     "delta": [DELTA_REMOVED, DELTA_CHANGED, DELTA_ADDED],
                     "load_1m": os.getloadavg()[0]}
     spark = get_spark()
     with tempfile.TemporaryDirectory() as tmp:
-        if which in ("ivfpq", "both"):
+        if which == "ivfpq" or run_all:
             bench_ivfpq(spark, n, report, tmp)
-        if which in ("lsh", "both"):
+        if which == "lsh" or run_all:
             bench_lsh(spark, n, report)
-        if which == "knn":
-            bench_knn(spark, n, report)
+        if which == "knn" or run_all:
+            bench_knn(spark, n, report, hub=hub, scale=scale)
     print(json.dumps(report))
     return 0
 
