@@ -1271,3 +1271,127 @@ def snapshot_delta(old: DataFrame, new: DataFrame, id_col: str,
               .otherwise(F.lit("changed")))
     return joined.select(id_col, status.alias("status"),
                          "old_fp", "new_fp")
+
+
+def semdedup_prune(graph: DataFrame, eps: float,
+                   vertices: DataFrame | None = None,
+                   id_col: str = "vec_id",
+                   max_iter: int = 25) -> DataFrame:
+    """SemDeDup keep/drop decisions CONSUMING a stored self-KNN graph
+    (r10 — the graph family's first decision consumer): threshold the
+    graph's edges at cosine >= eps, take connected components of the
+    eps-graph, keep exactly the MIN id of each component and drop the
+    rest — every dropped doc has a >= eps PATH (usually a direct
+    edge) to its kept representative. This is the canonical
+    SemDeDup pruning shape (Abbas et al. 2023: within-cluster
+    semantic duplicates keep one representative), expressed over the
+    already-built KNN graph so the expensive similarity work is paid
+    once at graph-build time and every eps sweep afterwards is a
+    filter + min-label propagation.
+
+    Plan: edges = one filter over the graph (no similarity recompute);
+    components via entity_resolution.connected_components (iterative
+    min-label propagation, O(log diameter) rounds, loop-invariant
+    edges localCheckpointed once — the e5 machinery). Semantic-dup
+    families are near-cliques, so rounds stay small. Output
+    (id_col, component, keep), one row per graph vertex.
+
+    The transitive-closure keep rule drops CHAIN members too (a-b and
+    b-c >= eps but a-c < eps drops both b AND c): standard SemDeDup
+    behavior. For the literal "drop only when a KEPT neighbor is
+    >= eps" gate, use semdedup_prune_greedy.
+
+    vertices: the full corpus id frame (one column id_col) — pass it
+    when the graph might not mention isolated vectors as queries
+    (e.g. a restricted / filtered graph); default derives vertices
+    from the graph's query side, which for a full self-KNN build IS
+    the corpus."""
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    edges = graph.filter(F.col("cosine") >= eps).select(
+        F.col("query_id").alias("src"), F.col(id_col).alias("dst"))
+    verts = (vertices.select(F.col(id_col).alias("id"))
+             if vertices is not None
+             else graph.select(F.col("query_id").alias("id"))
+             .distinct())
+    cc = connected_components(verts, edges, max_iter)
+    return cc.select(F.col("id").alias(id_col),
+                     F.col("component"),
+                     (F.col("id") == F.col("component")).alias("keep"))
+
+
+def semdedup_prune_greedy(graph: DataFrame, eps: float,
+                          vertices: DataFrame | None = None,
+                          id_col: str = "vec_id",
+                          max_iter: int = 50) -> DataFrame:
+    """The LITERAL greedy keep rule, distributed: scan docs in id
+    order; DROP a doc iff some already-KEPT neighbor has cosine >=
+    eps, else KEEP it. Unlike semdedup_prune's component rule this
+    never drops a doc without a kept DIRECT neighbor (a 3-chain
+    a-b-c keeps a AND c) — it computes the lexicographically-first
+    maximal independent set of the eps-graph.
+
+    The sequential rule parallelizes because resolution only flows
+    from smaller to larger ids: a vertex resolves KEEP once ALL its
+    smaller-id eps-neighbors have resolved DROP (vacuously, when it
+    has none), and resolves DROP the moment ANY smaller-id neighbor
+    resolves KEEP. Each round resolves every vertex whose
+    predecessors are settled, so rounds = the longest monotone
+    dependency chain in the eps-graph — near-clique duplicate
+    families settle in 2 rounds (min keeps, rest drop), and greedy-
+    MIS dependency depth is O(log n) w.h.p. on hash-distributed ids
+    (Blelloch-Fineman-Shun 2012). Per round: one join of the
+    predecessor edge list against resolved statuses + one map-side-
+    combined aggregate; the edge list is loop-invariant and
+    localCheckpointed once (the connected_components discipline).
+
+    Output (id_col, keep). max_iter bounds adversarial chains (a
+    sorted path graph resolves one vertex per round); unresolved
+    vertices after max_iter raise rather than emit wrong decisions."""
+    edges = graph.filter(F.col("cosine") >= eps).select(
+        F.col("query_id").alias("src"), F.col(id_col).alias("dst")) \
+        .localCheckpoint(eager=False)
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    # predecessor edges: (v, u) with u < v — the only direction
+    # decisions flow; distinct because both graph directions of a
+    # mutual top-k pair collapse onto the same (v, u)
+    pred = sym.filter(F.col("src") > F.col("dst")) \
+        .select(F.col("src").alias("v"), F.col("dst").alias("u")) \
+        .distinct().localCheckpoint()
+    verts = (vertices.select(F.col(id_col).alias("id"))
+             if vertices is not None
+             else graph.select(F.col("query_id").alias("id"))
+             .distinct())
+    # vertices with NO predecessor resolve KEEP in round 0
+    resolved = verts.join(pred, verts["id"] == pred["v"], "left_anti") \
+        .select("id", F.lit(True).alias("keep")).localCheckpoint()
+    pending = verts.join(resolved, "id", "left_anti") \
+        .select("id").localCheckpoint()
+    for _ in range(max_iter):
+        if pending.isEmpty():
+            break
+        # per pending vertex: did any predecessor resolve KEEP, and
+        # are ALL predecessors resolved?
+        st = pred.join(pending, pred["v"] == pending["id"], "semi") \
+            .join(resolved, pred["u"] == resolved["id"], "left") \
+            .groupBy("v").agg(
+                F.max(F.coalesce(F.col("keep"), F.lit(False)))
+                .alias("any_kept"),
+                F.min(F.col("keep").isNotNull()).alias("all_resolved"))
+        newly = st.filter(F.col("any_kept") | F.col("all_resolved")) \
+            .select(F.col("v").alias("id"),
+                    (~F.col("any_kept")).alias("keep"))
+        if newly.isEmpty():
+            break
+        resolved = resolved.unionByName(newly).localCheckpoint()
+        pending = pending.join(newly, "id", "left_anti") \
+            .localCheckpoint()
+    if not pending.isEmpty():
+        raise RuntimeError(
+            "semdedup_prune_greedy: unresolved vertices after "
+            f"max_iter={max_iter} rounds (dependency chain longer "
+            "than max_iter — raise it or use semdedup_prune)")
+    return resolved.select(F.col("id").alias(id_col), "keep")

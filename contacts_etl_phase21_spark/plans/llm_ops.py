@@ -261,6 +261,90 @@ def dd_semantic_blas_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_semdedup_prune",
+    survey="LLM-dedup(semdedup-prune)",
+    doc="Graph→decision consumer (r10): keep/drop decisions from the "
+        "self-KNN graph — threshold the graph's edges at cosine >= "
+        "0.45, connected components of the eps-graph (min-label "
+        "propagation, the e5 machinery), keep the MIN id per "
+        "component. The graph here is knn_graph_ivf at n_probe=1 on "
+        "the oracle's first-8 cells, whose eps-edges are EXACTLY "
+        "dd_semantic_near_dups' pair set (k=16 ≫ the measured max "
+        "eps-degree of 2, so top-k never truncates an eps-edge — "
+        "test-asserted); the DuckDB twin rebuilds cells, pairs, and "
+        "components with the e5-style recursive CTE. Every eps "
+        "re-sweep after a graph build is a filter + propagation — "
+        "no similarity recompute.",
+    oracle="""
+        WITH RECURSIVE
+        emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+        ),
+        cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cell ASC) AS cr
+                FROM emb e CROSS JOIN cents c
+            ) WHERE cr = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM cassign a JOIN cassign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        ),
+        sym AS (SELECT va AS src, vb AS dst FROM pairs
+                UNION SELECT vb, va FROM pairs),
+        reach(id, root) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id)
+        SELECT id AS vec_id, component, (id = component) AS keep
+        FROM comp ORDER BY vec_id
+    """,
+)
+def dd_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_ivf(emb, k=16, n_cells=8, n_probe=1,
+                              quantizer="first")
+    return dd.semdedup_prune(graph, 0.45,
+                             vertices=emb.select("vec_id")) \
+        .orderBy("vec_id")
+
+
+@query(
+    "dd_semdedup_prune_greedy",
+    survey="LLM-dedup(semdedup-prune-greedy)",
+    doc="The literal greedy keep rule over the same eps-graph: scan "
+        "ids ascending, drop a doc iff an already-KEPT neighbor is "
+        ">= eps (lexicographically-first maximal independent set — "
+        "keeps BOTH ends of a 3-chain where the component rule keeps "
+        "one). Distributed as monotone status propagation (decisions "
+        "flow small→large id only). Greedy MIS is non-monotone "
+        "recursion (kept(v) = NOT EXISTS kept smaller neighbor), "
+        "which recursive SQL cannot express — rows-only here by "
+        "necessity; the decision set is pinned row-for-row against a "
+        "sequential Python reference in tests "
+        "(test_semdedup_prune_greedy_matches_sequential).",
+    oracle=None,
+)
+def dd_semdedup_prune_greedy(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_ivf(emb, k=16, n_cells=8, n_probe=1,
+                              quantizer="first")
+    return dd.semdedup_prune_greedy(graph, 0.45,
+                                    vertices=emb.select("vec_id")) \
+        .orderBy("vec_id")
+
+
+@query(
     "ta_rolling_fingerprint",
     survey="LLM-text(fingerprint)",
     doc="Order-sensitive document fingerprint: Rabin-Karp polynomial "

@@ -28,11 +28,20 @@ setting) — within-cluster cosine ≈ 0.89 vs ~0 across, so true
 neighbors are overwhelmingly intra-cluster and recall measures how
 well kmeans cells recover the latent clusters.
 
+4. (r10) The SOAR-style spill knob: recall at the same probe with
+   boundary vectors double-assigned (spill_margin), plus the measured
+   spill fraction (extra member rows) so scan cost is reported as
+   (probe/cells)·(1+spill_frac), not just probe/cells. This is the
+   answer to the r09 finding that fixed-probe recall decays as cells
+   grow (0.511 @ 2/256 at 10⁶).
+
 Usage: python tools/bench_knn_graph.py [N[:n_cells] ...]
 (default: 1e5:64 — cells should scale ~√n / with n: pair work is
 n_probe·n²/n_cells, so a fixed cell count quadratically penalizes
 larger corpora). The relational tier is timed only at the default
 64-cell 10⁵ config (REL_TIER=1 opts in elsewhere).
+PROBES / SPILLS env override the swept values
+(default PROBES=2,4,8 SPILLS=0.05).
 One JSON line per argument.
 """
 
@@ -101,12 +110,45 @@ def main() -> None:
 
         out = {"n": n, "k": K, "n_cells": n_cells,
                "n_queries": len(sample_ids)}
-        for n_probe in (2, 4, 8):
+        probes = [int(p) for p in
+                  os.environ.get("PROBES", "2,4,8").split(",")]
+        spills = [float(s) for s in
+                  os.environ.get("SPILLS", "0.05").split(",") if s]
+
+        # spill fraction per margin, measured on a 10k-vector sample
+        # with the kernel's exact margin rule (sim to 1st − 2nd
+        # centroid < τ) — sizes the index inflation / scan premium
+        import numpy as np
+        cents = ann._quantizer_rows(emb, n_cells, "vec_id",
+                                    "embedding", "kmeans_local", None)
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        samp = np.stack([
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") % max(1, n // 10_000)
+                                == 0).collect()])
+        sim = (samp @ cmat.T) / np.outer(
+            np.sqrt((samp * samp).sum(1)),
+            np.sqrt((cmat * cmat).sum(1)))
+        top2 = -np.sort(-sim, axis=1)[:, :2]
+        margins = top2[:, 0] - top2[:, 1]
+        spill_frac = {s: round(float((margins < s).mean()), 4)
+                      for s in spills}
+        out["spill_frac"] = spill_frac
+
+        for n_probe in probes:
             r = _measure(ann.knn_graph_ivf_blas(
-                emb, K, n_cells, n_probe, quantizer="kmeans_local"),
-                sample_ids, truth)
+                emb, K, n_cells, n_probe, quantizer="kmeans_local",
+                cent_rows=cents), sample_ids, truth)
             r["scan_frac"] = round(n_probe / n_cells, 3)
             out[f"blas_probe{n_probe}"] = r
+            for s in spills:
+                rs = _measure(ann.knn_graph_ivf_blas(
+                    emb, K, n_cells, n_probe,
+                    quantizer="kmeans_local", cent_rows=cents,
+                    spill_margin=s), sample_ids, truth)
+                rs["scan_frac"] = round(
+                    n_probe / n_cells * (1 + spill_frac[s]), 3)
+                out[f"blas_probe{n_probe}_spill{s}"] = rs
         if os.environ.get("REL_TIER") == "1":
             out["rel_probe2"] = _measure(ann.knn_graph_ivf(
                 emb, K, n_cells, 2, quantizer="kmeans_local"),
