@@ -266,6 +266,41 @@ def ann_clustered_metrics(spark, n: int = 10_000, n_queries: int = 50,
     return out
 
 
+def ivfpq_drift_probe(spark, sf_dir: str, k: int = 10,
+                      n_queries: int = 50) -> float:
+    """ivfpq_recall_probe on a fresh relational index over the bench
+    embeddings — the per-round wiring of the frozen-params retrain
+    trigger (see similarity_search.ivfpq_recall_probe)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.operators import similarity_search as ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cent_rows, codebooks, enc = ann.ivfpq_relational_index(
+        emb, n_cells=16, m=8, n_codes=16)
+    return round(ann.ivfpq_recall_probe(enc, cent_rows, codebooks,
+                                        emb, queries, k=k, n_probe=4), 4)
+
+
+def _page_cache_gb() -> float:
+    """Buffers+Cached from /proc/meminfo, GB — the r09 s2 page-cache
+    lesson: a 'quiet' box with an evicted cache reads 2× slower cold,
+    so cache state must travel with the capture."""
+    try:
+        vals = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                key, _, rest = line.partition(":")
+                vals[key] = int(rest.strip().split()[0])
+        return round((vals.get("Buffers", 0) + vals.get("Cached", 0))
+                     / 1048576, 2)
+    except OSError:  # non-Linux fallback — field reads -1, not absent
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("contacts-etl-phase21-bench")
@@ -307,6 +342,13 @@ def main() -> None:
               file=sys.stderr)
 
     recall = ann_recall_metrics(spark, sf_dir)
+    # r10 (judge #7c): the stored-index drift trigger, tracked
+    # per-round — recall@10 of a fresh relational IVF-PQ index on the
+    # bench corpus via the executable retrain probe. A falling number
+    # across rounds on identical data means the INDEX CODE drifted;
+    # in production the same probe falls when the CORPUS drifts away
+    # from frozen centroids/codebooks (the rebuild trigger).
+    recall["ivfpq_recall_probe"] = ivfpq_drift_probe(spark, sf_dir)
     for name, r in recall.items():
         print(f"# {name}: {r}", file=sys.stderr)
     frontier = lsh_frontier_metrics(spark, sf_dir)
@@ -338,7 +380,22 @@ def main() -> None:
         # the number so round-over-round comparisons can spot a
         # contended capture without a re-run.
         "load_1m_at_capture": round(os.getloadavg()[0], 2),
+        # r10 (judge #6): fully self-qualifying captures — page-cache
+        # state (cold-IO vs warm-cache runs differ 2×, r09 s2 lesson)
+        # plus an in-band contended flag so a capture taken on a busy
+        # box is LABELED wrong-to-compare rather than silently read
+        # as a regression (the r09 driver capture at load 16 overread
+        # 66%). Threshold: load > 1/4 of the cores.
+        "page_cache_gb_at_capture": _page_cache_gb(),
+        "capture_contended": os.getloadavg()[0]
+        > (os.cpu_count() or 32) / 4,
     }
+    if headline["capture_contended"]:
+        print(f"# WARNING: capture taken at load "
+              f"{headline['load_1m_at_capture']} on "
+              f"{os.cpu_count()} cores — timings overstate; "
+              "re-run on a quiet box before comparing across rounds",
+              file=sys.stderr)
     # r07 (judge task #3): BENCH_r06.json came back `parsed: null`
     # because the driver's tail capture truncated the single stdout
     # JSON line once the frontier/clustered_ann sections grew past the

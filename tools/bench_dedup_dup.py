@@ -123,6 +123,83 @@ def maxbucket_recall_curve(spark: SparkSession, n_distinct: int,
     return curve
 
 
+def stream_backfill_bench(spark: SparkSession, n_distinct: int,
+                          k_dup: int = 100_000,
+                          n_files: int = 8) -> dict:
+    """r10 (judge #4): the dup-heavy STREAMED backfill line. k_dup
+    identical arrivals (+ n_distinct/10 unique fillers) staged as
+    n_files parquet files, flagged against an n_distinct-doc stored
+    index two ways: the direct streaming per-doc plan (signs every
+    copy) vs the near_dup_flags_foreach_batch recipe (each
+    micro-batch through the batch path = per-batch exact collapse).
+    Both run availableNow, one file per trigger; flag sets asserted
+    equal."""
+    import tempfile
+    import uuid
+
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        lsh_corpus_index, near_dup_flags_foreach_batch,
+        stream_near_dup_flags,
+    )
+
+    corpus = dup_heavy_corpus(spark, n_distinct, 1).persist()
+    idx = lsh_corpus_index(corpus, "doc_id", "text")
+    idx.buckets.count()
+
+    n_fill = n_distinct // 10
+    arriving = spark.range(10_000_000,
+                           10_000_000 + k_dup + n_fill).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10_000_000 + k_dup, F.lit(BOILER))
+        .otherwise(F.concat(F.lit("arr"), F.col("id").cast("string"),
+                            F.lit(" unique filler text payload one "
+                                  "two three four five six seven")))
+        .alias("text"))
+    report: dict = {"metric": "stream_backfill_dup_heavy",
+                    "n_distinct": n_distinct, "k_dup": k_dup,
+                    "n_files": n_files,
+                    "load_1m": os.getloadavg()[0]}
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = f"{tmp}/staged"
+        arriving.repartition(n_files).write.parquet(staged)
+        schema = spark.read.parquet(staged).schema
+
+        def reader():
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1").parquet(staged))
+
+        t0 = time.time()
+        name = f"bf_{uuid.uuid4().hex[:8]}"
+        q = (stream_near_dup_flags(reader(), idx)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(3600)
+        direct = {(r["doc_id"], r["dup_of"])
+                  for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        report["direct_stream_sec"] = round(time.time() - t0, 1)
+
+        fb: set = set()
+        t0 = time.time()
+        q = near_dup_flags_foreach_batch(
+            reader(), idx,
+            lambda flags, _b: fb.update(
+                (r["doc_id"], r["dup_of"]) for r in flags.collect()),
+            f"{tmp}/ckpt").trigger(availableNow=True).start()
+        q.awaitTermination(3600)
+        report["foreach_batch_sec"] = round(time.time() - t0, 1)
+
+    assert fb == direct, (len(fb), len(direct))
+    report["flag_pairs"] = len(fb)
+    report["speedup"] = round(report["direct_stream_sec"]
+                              / report["foreach_batch_sec"], 2)
+    corpus.unpersist()
+    idx.unpersist()
+    print(f"# stream backfill: direct {report['direct_stream_sec']}s, "
+          f"foreachBatch {report['foreach_batch_sec']}s "
+          f"({report['speedup']}x)", file=sys.stderr, flush=True)
+    return report
+
+
 def main() -> None:
     n_distinct = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "dup"
@@ -136,6 +213,12 @@ def main() -> None:
             "n_distinct": n_distinct,
             "curve": curve,
         }), flush=True)
+        spark.stop()
+        return
+
+    if mode == "stream":
+        print(json.dumps(stream_backfill_bench(spark, n_distinct)),
+              flush=True)
         spark.stop()
         return
 
