@@ -966,7 +966,8 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
                                   n_assign: int = 1,
                                   train_permille: int | None = None,
                                   block: int = 2048,
-                                  quantizer: str = "kmeans_local"
+                                  quantizer: str = "kmeans_local",
+                                  max_cell: int | None = None
                                   ) -> DataFrame:
     """SemDeDup at a PRODUCTION cell count (r07, judge task #5). Same
     semantics as semantic_near_duplicates(quantizer='kmeans_local'),
@@ -1006,6 +1007,17 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
     tier share the relational oracle's cell assignment exactly — the
     registered dd_semantic_blas_tier row hash-checks this physical
     plan against the same SQL the relational tier answers.
+
+    max_cell (r10): the same degenerate-quantizer guard as
+    knn_graph_ivf_blas — without it one hot cell materializes whole
+    in a single pandas task. Oversized cells salt their members into
+    hash blocks and each unordered block pair (lo, hi) is scored as
+    its own task (triangle when lo == hi, cross-block otherwise), so
+    every pair is scored exactly once and every task holds
+    <= ~2·max_cell vectors; replication factor = the oversize
+    factor. Output identical with/without the guard (test-pinned on
+    a one-hot quantizer). Costs one counting aggregate (assignment
+    GEMM runs twice). Default None keeps the r07 single-group plan.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -1066,12 +1078,45 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
                 }))
             yield pd.concat(out, ignore_index=True)
 
+    _empty_pairs = {"vec_a": "int64", "vec_b": "int64",
+                    "cosine": "float64"}
+
     def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [],
-                                 "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+            return pd.DataFrame({c: [] for c in _empty_pairs}).astype(
+                _empty_pairs)
+        # guarded CROSS sub-group (max_cell salting, __lo != __hi):
+        # score block-lo members against block-hi members only —
+        # within-block pairs belong to the (b, b) triangle group
+        if "__lo" in pdf.columns and pdf["__lo"].iat[0] != \
+                pdf["__hi"].iat[0]:
+            left = pdf[pdf["__b"] == pdf["__lo"].iat[0]]
+            right = pdf[pdf["__b"] == pdf["__hi"].iat[0]]
+            if left.empty or right.empty:
+                return pd.DataFrame(
+                    {c: [] for c in _empty_pairs}).astype(_empty_pairs)
+            l_ids = left["vec_a"].to_numpy(dtype=np.int64)
+            l_mat = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in left["__v"]])
+            r_ids = right["vec_a"].to_numpy(dtype=np.int64)
+            r_mat = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in right["__v"]])
+            l_norm = np.sqrt((l_mat * l_mat).sum(1))
+            r_norm = np.sqrt((r_mat * r_mat).sum(1))
+            outs = []
+            for lo in range(0, len(l_ids), block):
+                hi = min(lo + block, len(l_ids))
+                sim = (l_mat[lo:hi] @ r_mat.T) / np.outer(
+                    l_norm[lo:hi], r_norm)
+                sim = np.floor(sim * 1e6 + 0.5) / 1e6
+                ia, ib = np.nonzero(sim >= threshold)
+                ga, gb = l_ids[lo + ia], r_ids[ib]
+                outs.append(pd.DataFrame({
+                    "vec_a": np.minimum(ga, gb),
+                    "vec_b": np.maximum(ga, gb),
+                    "cosine": sim[ia, ib]}))
+            return pd.concat(outs, ignore_index=True)
         ids = pdf["vec_a"].to_numpy(dtype=np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64)
                         for v in pdf["__v"]])
@@ -1093,8 +1138,42 @@ def semantic_near_duplicates_blas(emb: DataFrame, id_col: str = "vec_id",
 
     assigned = (widen(emb.select(id_col, vec_col))
                 .mapInPandas(assign_kernel, assign_schema))
-    pairs = assigned.groupBy("cell").applyInPandas(pair_kernel,
-                                                   pair_schema)
+
+    group_keys = ["cell"]
+    if max_cell is not None:
+        # one counting aggregate sizes every cell (assignment GEMM
+        # runs twice on the guarded path — the knn_graph_ivf_blas
+        # max_cell trade); only oversized cells fan out
+        counts = assigned.groupBy("cell").count().collect()
+        subs = {int(r["cell"]): max(1, -(-int(r["count"]) // max_cell))
+                for r in counts}
+        if any(s > 1 for s in subs.values()):
+            smap = F.create_map(*[x for c, s in subs.items()
+                                  for x in (F.lit(c), F.lit(s))])
+            nsub = F.coalesce(F.element_at(smap, F.col("cell")),
+                              F.lit(1))
+            # upper-triangle cover over hash blocks: a vector in
+            # block b meets every partner block p once, in the
+            # unordered group (min(b,p), max(b,p)) — each pair is
+            # scored in EXACTLY one sub-group (its blocks' group),
+            # every task holds <= ~2*max_cell vectors. Replication
+            # factor = nsub, i.e. the oversize factor — the memory
+            # bound costs one extra copy per sub-block, while the
+            # pair WORK was always quadratic in the cell.
+            tagged = assigned.withColumn(
+                "__b", F.pmod(F.xxhash64("vec_a"), nsub).cast("int")) \
+                .withColumn("__p", F.explode(
+                    F.sequence(F.lit(0), nsub - 1)))
+            assigned = tagged.withColumn(
+                "__lo", F.least("__b", "__p")) \
+                .withColumn("__hi", F.greatest("__b", "__p")) \
+                .drop("__p")
+            group_keys = ["cell", "__lo", "__hi"]
+
+    pairs = assigned.groupBy(*group_keys).applyInPandas(pair_kernel,
+                                                        pair_schema)
+    # guard alone never duplicates (each pair is scored in exactly one
+    # sub-group of its cell); only multi-assignment crosses cells
     if n_assign > 1:
         pairs = pairs.distinct()
     return pairs

@@ -683,6 +683,91 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
             .select("query_id", "rank", id_col, "cosine"))
 
 
+def suggest_probe(corpus: DataFrame,
+                  cent_rows: list[tuple[int, list[float]]],
+                  target_recall: float = 0.9, k: int = 5,
+                  n_sample: int = 1000,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  spill_margin: float | None = None
+                  ) -> tuple[int, list[float]]:
+    """Auto-probe: the smallest n_probe whose EXPECTED self-KNN
+    recall meets target_recall, estimated from the measured
+    centroid-distance geometry of a deterministic corpus sample —
+    the r09 finding's other remedy (fixed-probe defaults mislead as
+    cells grow: recall 0.938 @ 2/64 at 10⁵ fell to 0.511 @ 2/256 at
+    10⁶ for the SAME knob value).
+
+    Estimator: collect a hash-deterministic sample, compute its
+    exact within-sample top-k (one n_sample² GEMM), and for every
+    (query, true-neighbor) pair record the PROBE RANK at which the
+    query's cell ranking reaches the neighbor's membership cell
+    (with spill_margin, the better rank of the neighbor's primary or
+    spill cell). recall(p) = fraction of pairs with rank <= p — the
+    exact recall the blocked build would score on the sample, and an
+    estimate of the corpus recall because rank depth is a property
+    of the quantizer geometry (within-cluster neighbors vs cell
+    boundaries), not of corpus size. Within-sample top-k skews
+    slightly FARTHER than corpus top-k (fewer candidates), which
+    skews ranks DEEPER — the estimate errs conservative.
+
+    Returns (probe, curve) where curve[p-1] = estimated recall at
+    probe p — callers can log the whole operating curve, not just
+    the pick. Driver-side numpy on n_sample×dim doubles; O(n_sample²)
+    flops — milliseconds at the default, never a corpus scan."""
+    import numpy as np
+
+    cent_rows = sorted(cent_rows, key=lambda cv: cv[0])
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    n_cells_eff = len(cent_rows)
+    total = corpus.count()
+    step = max(1, total // n_sample)
+    rows = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                F.lit(step)) == 0) \
+        .select(id_col, vec_col).collect()
+    if len(rows) < k + 1:
+        return n_cells_eff, [1.0] * n_cells_eff
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                    for r in rows])
+    norms = np.sqrt((mat * mat).sum(1))
+    csim = (mat @ cmat.T) / np.outer(norms,
+                                     np.sqrt((cmat * cmat).sum(1)))
+    order = np.argsort(np.nan_to_num(-csim, nan=np.inf), axis=1,
+                       kind="stable")
+    # probe rank of each cell for each sample vector: rank_of[i, c]
+    rank_of = np.empty_like(order)
+    np.put_along_axis(rank_of, order,
+                      np.broadcast_to(np.arange(order.shape[1]),
+                                      order.shape), axis=1)
+    member = order[:, 0]
+    if spill_margin is not None and order.shape[1] > 1:
+        m0 = csim[np.arange(len(mat)), order[:, 0]]
+        m1 = csim[np.arange(len(mat)), order[:, 1]]
+        with np.errstate(invalid="ignore"):
+            spilled = ((m0 - m1) < spill_margin) \
+                & np.isfinite(m0) & np.isfinite(m1)
+        spill_cell = order[:, 1]
+    else:
+        spilled = np.zeros(len(mat), dtype=bool)
+        spill_cell = member
+    sim = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sim, -np.inf)
+    sim = np.nan_to_num(sim, nan=-np.inf)
+    kk = min(k, len(mat) - 1)
+    nbrs = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+    q_idx = np.repeat(np.arange(len(mat)), kk)
+    n_idx = nbrs.ravel()
+    r_primary = rank_of[q_idx, member[n_idx]]
+    r_spill = np.where(spilled[n_idx],
+                       rank_of[q_idx, spill_cell[n_idx]], r_primary)
+    reach = np.minimum(r_primary, r_spill) + 1  # 1-based probe depth
+    curve = [float((reach <= p).mean())
+             for p in range(1, n_cells_eff + 1)]
+    for p, r in enumerate(curve, start=1):
+        if r >= target_recall:
+            return p, curve
+    return n_cells_eff, curve
+
+
 def update_knn_graph(graph: DataFrame, old_snapshot: DataFrame,
                      new_snapshot: DataFrame,
                      cent_rows: list[tuple[int, list[float]]],
@@ -746,7 +831,13 @@ def update_knn_graph(graph: DataFrame, old_snapshot: DataFrame,
     rebuild equality pin injects the same rows) — the
     update_ivfpq_index encode-only policy, same measured-recall-drop
     retrain trigger. Updated ≡ rebuilt-with-the-same-centroids is
-    test-pinned row-for-row."""
+    test-pinned row-for-row.
+
+    Scope: repairs graphs built with SINGLE-assignment membership
+    (spill_margin=None). A spill-built graph's fresh-candidate pass
+    would also need the spilled second cells; rebuild those graphs
+    (they trade index size for recall precisely because their builds
+    are cheap at low probe)."""
     from contacts_etl_phase21_spark.operators.dedup import snapshot_delta
 
     cent_rows = sorted(cent_rows, key=lambda cv: cv[0])

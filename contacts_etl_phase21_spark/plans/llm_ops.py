@@ -4114,3 +4114,44 @@ def ann_knn_graph_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.knn_graph_ivf_blas(emb, k=5, n_cells=8, n_probe=8,
                                quantizer="first"),
         "cosine")
+
+
+@query(
+    "ann_knn_graph_spill",
+    survey="LLM-similarity-search(knn-graph)",
+    doc="r10: the SOAR-style spill path (boundary vectors enrolled in "
+        "their 2nd-nearest cell when the cosine margin < 0.3, "
+        "candidate distinct() before the global window) at FULL "
+        "probe, where the spilled candidate set is a superset that "
+        "dedups back to the complete set — so it hash-checks against "
+        "the SAME exact oracle. The recall-vs-scan payoff at partial "
+        "probe is measured in BASELINE (10⁶: 0.511 → ~1.0 at probe 2 "
+        "of 256) and test-pinned monotone.",
+    oracle=e6_oracle(_DUCK_KNN5, "cosine"),
+)
+def ann_knn_graph_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.knn_graph_ivf_blas(emb, k=5, n_cells=8, n_probe=8,
+                               quantizer="first", spill_margin=0.3),
+        "cosine")
+
+
+@query(
+    "ann_knn_graph_guarded",
+    survey="LLM-similarity-search(knn-graph)",
+    doc="r10: the max_cell degenerate-quantizer guard active (cells "
+        "above 32 members/probers salt into hash sub-blocks, every "
+        "pandas task bounded) on the same full-probe config — the "
+        "first-8 cells of the driver corpus all exceed the cap, so "
+        "every cell takes the salted (cell, mb, pb) path and the "
+        "output still hash-checks against the exact oracle.",
+    oracle=e6_oracle(_DUCK_KNN5, "cosine"),
+)
+def ann_knn_graph_guarded(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.knn_graph_ivf_blas(emb, k=5, n_cells=8, n_probe=8,
+                               quantizer="first", max_cell=32),
+        "cosine")

@@ -2601,6 +2601,49 @@ def test_knn_graph_blas_max_cell_one_hot(spark, sf_small):
     assert msub > 1 and mx <= 2 * 64, (msub, mx)
 
 
+def test_semantic_blas_max_cell_one_hot(spark, sf_small):
+    """r10: the pair kernel's degenerate-quantizer guard. n_cells=1
+    ('first' quantizer) drives the WHOLE corpus into one cell — the
+    one-task hazard; with max_cell=64 the cell salts into hash
+    blocks scored as triangle/cross sub-groups, and the pair set
+    must be IDENTICAL to the unguarded single-group plan (which at 1
+    cell is the exact all-pairs set at the threshold). Lower
+    threshold (0.3) so cross-block pairs actually exist."""
+    emb = load(spark, sf_small, "embeddings")
+    key = lambda r: (r["vec_a"], r["vec_b"], r["cosine"])  # noqa: E731
+    plain = sorted(map(key, dd.semantic_near_duplicates_blas(
+        emb, threshold=0.3, n_cells=1, quantizer="first").collect()))
+    guarded = sorted(map(key, dd.semantic_near_duplicates_blas(
+        emb, threshold=0.3, n_cells=1, quantizer="first",
+        max_cell=64).collect()))
+    assert guarded == plain and len(plain) > 0
+
+
+def test_suggest_probe_meets_target(spark, sf_small):
+    """Auto-probe: the suggested n_probe's MEASURED recall (blocked
+    tier vs exact graph, same centroids) must meet the target; the
+    estimated curve is monotone; a higher target never suggests a
+    smaller probe; spill enrollment can only shallow the suggestion
+    (boundary neighbors become reachable earlier)."""
+    emb = load(spark, sf_small, "embeddings").select("vec_id",
+                                                     "embedding")
+    cents = ann._quantizer_rows(emb, 8, "vec_id", "embedding",
+                                "kmeans_local", None)
+    p90, curve = ann.suggest_probe(emb, cents, target_recall=0.9, k=5)
+    assert curve == sorted(curve) and curve[-1] == 1.0
+    p50, _ = ann.suggest_probe(emb, cents, target_recall=0.5, k=5)
+    assert p50 <= p90
+    ps, _ = ann.suggest_probe(emb, cents, target_recall=0.9, k=5,
+                              spill_margin=0.3)
+    assert ps <= p90
+    exact = {(r["query_id"], r["vec_id"])
+             for r in ann.knn_graph(emb, k=5).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in ann.knn_graph_ivf_blas(
+               emb, k=5, n_probe=p90, cent_rows=cents).collect()}
+    assert len(exact & got) / len(exact) >= 0.9 - 0.02
+
+
 def test_semdedup_prune_edges_equal_semantic_pairs(spark, sf_small):
     """The registry config's premise: the n_probe=1 KNN graph's
     eps-edges are EXACTLY dd_semantic_near_dups' within-cell pair set
