@@ -303,6 +303,13 @@ def _page_cache_gb() -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sample load BEFORE any Spark work: the bench's own 32 executor
+    # threads push the 1-minute average past the contention threshold
+    # by the time the capture ends, which would flag every healthy
+    # run as contended (observed on the r10 median runs: start load
+    # ~1, end load ~9-12 from the bench itself)
+    load_at_start = os.getloadavg()[0]
+    cache_at_start = _page_cache_gb()
     spark = get_spark("contacts-etl-phase21-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -379,15 +386,16 @@ def main() -> None:
         # code). The capture-time 1-minute load average travels WITH
         # the number so round-over-round comparisons can spot a
         # contended capture without a re-run.
-        "load_1m_at_capture": round(os.getloadavg()[0], 2),
+        "load_1m_at_capture": round(load_at_start, 2),
         # r10 (judge #6): fully self-qualifying captures — page-cache
         # state (cold-IO vs warm-cache runs differ 2×, r09 s2 lesson)
         # plus an in-band contended flag so a capture taken on a busy
         # box is LABELED wrong-to-compare rather than silently read
         # as a regression (the r09 driver capture at load 16 overread
-        # 66%). Threshold: load > 1/4 of the cores.
-        "page_cache_gb_at_capture": _page_cache_gb(),
-        "capture_contended": os.getloadavg()[0]
+        # 66%). Both sampled BEFORE the bench's own threads count
+        # against them. Threshold: load > 1/4 of the cores.
+        "page_cache_gb_at_capture": cache_at_start,
+        "capture_contended": load_at_start
         > (os.cpu_count() or 32) / 4,
     }
     if headline["capture_contended"]:

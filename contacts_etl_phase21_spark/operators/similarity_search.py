@@ -464,6 +464,12 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
     global window — at full probe the output still equals the exact
     graph (test-pinned). Curves: tools/bench_knn_graph.py / BASELINE.
     The default None keeps r09's exact single-assignment plan.
+    Selectivity caveat (measured, BASELINE r10): the margin only
+    discriminates while cells ≲ 2× the latent clusters (10⁵/64:
+    spill_frac 0.64, recall 0.938→1.0 at probe 2); at cells ≫
+    clusters every vector is boundary (10⁶/256: spill_frac 1.0 —
+    blanket double-assignment) and suggest_probe is the better knob.
+    Check the bench's spill_frac before enabling.
 
     max_cell (r10): degenerate-quantizer guard — the per-cell kernel
     otherwise materializes an ENTIRE cell (members + probers, full

@@ -4125,8 +4125,10 @@ def ann_knn_graph_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe, where the spilled candidate set is a superset that "
         "dedups back to the complete set — so it hash-checks against "
         "the SAME exact oracle. The recall-vs-scan payoff at partial "
-        "probe is measured in BASELINE (10⁶: 0.511 → ~1.0 at probe 2 "
-        "of 256) and test-pinned monotone.",
+        "probe is measured in BASELINE r10 (10⁵/64: 0.938 → 1.0 at "
+        "probe 2; 10⁶/256: 0.511 → 0.722 at probe 2, with the "
+        "measured cells-per-cluster selectivity lesson) and "
+        "test-pinned monotone.",
     oracle=e6_oracle(_DUCK_KNN5, "cosine"),
 )
 def ann_knn_graph_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
