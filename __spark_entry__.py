@@ -48,7 +48,10 @@ _DRIVER_PRIORITY = [
     #    tests/test_oracle_types.py pins the registry HUGEINT-free. --
     "ta_corpus_report",
     "ta_corpus_stats",
-    "ta_corpus_parts",
+    # ta_corpus_parts rotated out in r10 s2 (the HUGEINT-era bisection
+    # block's job is long done; report/stats stay as the regression
+    # canary) to admit the r10 s2 rows below — still value-checked by
+    # the full-registry artifact every round.
     # ta_corpus_report_nore rotated out in r09 s2 (its HUGEINT-era
     # bisection job is long done; report/stats/parts siblings stay) to
     # keep BOTH s2 window rows inside the 50 — still value-checked by
@@ -87,6 +90,11 @@ _DRIVER_PRIORITY = [
     # et al. span family — corpus rewriting with covered positions
     # dropped, oracle rebuilds with string_agg ORDER BY pos.
     "dd_remove_duplicate_spans",
+    # dd_dedup_lines (r10 s2): CCNet-style cross-document line dedup
+    # with keep-first semantics — min-struct groupBy on the trimmed
+    # line hash, order-preserving reassembly; the boilerplate killer
+    # whole-doc near-dedup cannot express.
+    "dd_dedup_lines",
     "ta_bigram_lm_scores",
     "sp_chunk_overlap",
     "ta_length_quantiles",
@@ -111,9 +119,16 @@ _DRIVER_PRIORITY = [
     #    artifact still covers them): sp_epoch_mix, sp_shard_assign,
     #    ann_quantized_topk, st_sliding_window_counts. --
     "ta_gopher_quality_flags",
-    "dd_dedup_keep_best",
+    # dd_dedup_keep_best rotated out in r10 s2 (driver-green since
+    # r07; the survivorship family keeps e6/e8 and the full-registry
+    # artifact covers it) to admit the r10 s2 rows.
     "dd_cross_corpus_near_dups",
     "sp_token_budget_select",
+    # sp_leakage_safe_split (r10 s2): group-aware train/val/test split
+    # — near-dup components (the certified dedup spine) hashed to
+    # 8/1/1 buckets, so a near-copy can never leak into eval; oracle
+    # recomputes the recursive-CTE closure + identical md5 bucketing.
+    "sp_leakage_safe_split",
     # j10 completes the temporal-join family (as-of/range/overlap);
     # st_session_window_counts rotated out for it (sliding/tumbling/
     # stateful siblings keep the streaming family visible).
@@ -135,7 +150,8 @@ _DRIVER_PRIORITY = [
     "e5_connected_components",
     "e8_channel_union_survivorship",
     "a2_presence_summary",
-    "st_tumbling_window_counts",
+    # st_tumbling_window_counts rotated out in r10 s2 (long-green; the
+    # streaming family keeps six other window rows) for the new rows.
     "st_incremental_er_assign",
     "st_stream_near_dup_flags",
     # r09 s2: the two structurally new rows — the IVF-blocked self-KNN
@@ -145,6 +161,10 @@ _DRIVER_PRIORITY = [
     # and ta_tfidf_top_terms register below the window, covered by the
     # full-registry artifact.
     "ann_knn_graph_blocked",
+    # ann_hard_negatives (r10 s2): contrastive hard-negative mining —
+    # the KNN plan with label-mismatch + false-negative band filters,
+    # full probe against the brute-force labeled oracle.
+    "ann_hard_negatives",
     "sp_cluster_balanced_sample",
     # r09 rotation: the two new rows (ta_bpe_encode_production,
     # dd_remove_duplicate_spans) push curate_corpus,

@@ -1317,6 +1317,71 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                     .alias("cleaned_text")))
 
 
+def dedup_lines_keep_first(df: DataFrame, id_col: str, text_col: str,
+                           sep: str = "\n",
+                           joiner: str = "\n") -> DataFrame:
+    """Cross-document line/paragraph deduplication with keep-first
+    semantics — the CCNet move (Wenzek et al. 2020 dedupe paragraphs by
+    hash across shards before anything else runs) and the cousin of
+    C4's duplicated-span rule: a line (trimmed) that occurs anywhere
+    else in the corpus survives ONLY at its first occurrence by
+    (doc id, position); every later copy is removed and the documents
+    are reassembled in order. This is the boilerplate killer (nav bars,
+    licence headers, cookie banners) that whole-doc near-dedup cannot
+    touch because the surrounding text differs.
+
+    Returns one row per input doc: (id, n_lines, kept_lines,
+    cleaned_text). A doc whose every line is a later copy comes back
+    as an empty string with kept_lines 0 — dropping it is the caller's
+    filter, as with remove_duplicate_spans.
+
+    Scale shape (the span family's, at line granularity): lines are
+    split ROW-LOCALLY (posexplode over one split — `sep` is a Java
+    regex); the first-occurrence winner per line key is ONE
+    map-side-combined min-struct groupBy on xxhash64(trim(line)) —
+    8-byte shuffle keys, the line text never rides the corpus-scale
+    shuffle; winners equi-join back on the hash; reconstruction pays
+    exactly one doc-keyed shuffle (array_sort over (pos, line) structs,
+    pos is the sort prefix so assembly is deterministic). Nothing is
+    pairwise — a 10⁶-copy boilerplate line costs 10⁶ input rows and
+    ONE group, which is why this runs where pair-based dedup chokes.
+    xxhash64 stands in for the line string Spark-side; the DuckDB
+    oracle keys on the trimmed strings themselves — identical output
+    absent 64-bit collisions, minhash shingle hashing's accepted
+    equivalence. Keying on trim() means indentation variants collapse
+    (CCNet normalizes harder — case/digits — which would slot in here
+    as the key expression); the KEPT text is the raw line."""
+    lines = (df.select(F.col(id_col).alias("doc"),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("pos0", "line"))
+             .select("doc", (F.col("pos0") + 1).alias("pos"), "line",
+                     F.xxhash64(F.trim(F.col("line"))).alias("__h")))
+    first = lines.groupBy("__h").agg(
+        F.min(F.struct("doc", "pos")).alias("__first"))
+    kept = (lines.join(first, "__h")
+            .filter((F.col("doc") == F.col("__first.doc"))
+                    & (F.col("pos") == F.col("__first.pos")))
+            .select("doc", "pos", "line"))
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+                    .alias("__kept"))
+               .select("doc",
+                       F.size("__kept").alias("kept_lines"),
+                       F.array_join(F.transform("__kept",
+                                                lambda s: s["line"]),
+                                    joiner).alias("cleaned_text")))
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.size(F.split(F.col(text_col), sep))
+                     .alias("n_lines"))
+    return (base.join(rebuilt, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.coalesce("kept_lines", F.lit(0)).cast("int")
+                    .alias("kept_lines"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                    .alias("cleaned_text")))
+
+
 def snapshot_delta(old: DataFrame, new: DataFrame, id_col: str,
                    text_col: str) -> DataFrame:
     """Incremental-crawl snapshot diff: classify every document id

@@ -150,6 +150,62 @@ def _md5_order(id_col: Column) -> Column:
                   10).cast("long")
 
 
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
+                       weights: tuple[int, int, int] = (8, 1, 1),
+                       n: int = 3, num_hashes: int = 64, bands: int = 16,
+                       threshold: float = 0.8,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate documents land
+    in the SAME split, always. Splitting by a per-doc hash leaks — a
+    near-copy of a training document in the eval split scores as
+    generalization — so the split key must be the near-dup GROUP, not
+    the doc. This is the eval-integrity guard every training pipeline
+    needs next to decontamination (that one guards against an OUTSIDE
+    benchmark; this one against the corpus's own held-out split).
+
+    Pipeline (all existing certified machinery): dedup's duplicate-safe
+    component spine (_collapsed_doc_components: exact-set pre-collapse
+    → MinHash+LSH verified pairs over representatives → connected
+    components → linear membership expansion) labels every doc with its
+    near-dup component (= min member id, singleton docs label
+    themselves); the split is then a pure projection on the COMPONENT:
+    bucket = ('0x'||md5('split:'||component)[1:8]) % sum(weights),
+    train/val/test by cumulative weight. The 'split:' prefix
+    decorrelates this md5 use from shard_id's (window 1-8 on the bare
+    id) and _md5_order's (window 9-16): a singleton doc's component IS
+    its id, and an unprefixed hash would correlate split with shard.
+
+    Returns one row per doc: (id, group_id, bucket, split). Scale: the
+    only additions over dedup_keep_first are scan-side hash arithmetic
+    — the component computation dominates and is the certified
+    LSH-equi-join + O(log d) components path, never pairwise in a
+    duplicate family's size.
+
+    weights are INTEGER bucket counts (8,1,1 → 80/10/10 expected);
+    exact per-group assignment, fractions concentrate by the usual
+    hash-uniformity argument as groups grow."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        _carry_cached, _collapsed_doc_components,
+    )
+
+    total = sum(weights)
+    doc_cc, handles = _collapsed_doc_components(
+        df, id_col, text_col, n, num_hashes, bands, threshold, max_bucket)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"),
+                                   F.col("component").cast("string"))),
+                    1, 8), 16, 10).cast("long") % total
+    split = (F.when(bucket < weights[0], F.lit("train"))
+             .when(bucket < weights[0] + weights[1], F.lit("val"))
+             .otherwise(F.lit("test")))
+    return _carry_cached(
+        doc_cc.select(F.col("doc").alias(id_col),
+                      F.col("component").alias("group_id"),
+                      bucket.cast("int").alias("bucket"),
+                      split.alias("split")),
+        handles)
+
+
 def cap_per_source(df: DataFrame, id_col: str, source_col: str,
                    cap: int, over_permille: int = 1500) -> DataFrame:
     """Per-source quota enforcement — the crawl-curation step that caps

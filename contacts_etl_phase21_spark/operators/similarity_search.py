@@ -402,6 +402,69 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, n_cells: int = 16,
             .select("query_id", "rank", id_col, "cosine"))
 
 
+def hard_negatives(corpus: DataFrame, m: int = 5, n_cells: int = 16,
+                   n_probe: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   max_cos: float | None = None,
+                   quantizer: str = "kmeans_local",
+                   train_permille: int | None = None) -> DataFrame:
+    """Hard-negative mining for metric/contrastive training: per
+    anchor, the top-m highest-cosine vectors carrying a DIFFERENT
+    label — the examples the model most confuses, the standard triplet/
+    InfoNCE negative source. `max_cos` optionally excludes the extreme
+    top of the band (cosine >= max_cos suggests a mislabeled duplicate,
+    not a hard negative — the 'false negative' filter in SimCSE-style
+    pipelines); the filter applies BEFORE ranking so rank 1..m is the
+    band's own order.
+
+    Columns (query_id, rank, <id_col>, <label_col>, cosine); rank 1..m
+    per anchor, (rounded cosine desc, id asc) tiebreak — knn_graph's
+    contract with the label dimension added.
+
+    Scale shape = knn_graph_ivf's (this is deliberately the same
+    blocked plan, so the stored cell-partitioned index layout serves
+    both): row-local centroid assignment on both roles (labels ride
+    along — assign_cells preserves input columns), one cell equi-join,
+    label-mismatch + self filters evaluated IN the join projection so
+    same-label candidates never reach the score, window top-m over the
+    surviving candidates. At n_probe = n_cells the candidate set is
+    complete and the output is exact (the registry's hash-checked
+    configuration); at partial probe the same recall trade as
+    knn_graph_ivf applies. For the GEMM tier at 100 TB, the per-cell
+    kernel masks same-label columns before its top-m heap — the
+    knn_graph_ivf_blas move; certify it on this oracle config if the
+    kernel path is ever hot enough to matter.
+
+    NULL-label rows neither emit nor receive negatives (SQL <>
+    semantics) — document labels upstream if that matters."""
+    n_probe = n_cells if n_probe is None else n_probe
+    cent_rows = _quantizer_rows(corpus, n_cells, id_col, vec_col,
+                                quantizer, train_permille)
+    members = assign_cells(
+        widen(corpus.select(id_col, vec_col, label_col)),
+        cent_rows, 1, vec_col)
+    probes = assign_cells(
+        widen(corpus.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("q_vec"),
+                            F.col(label_col).alias("q_label"))),
+        cent_rows, n_probe, "q_vec")
+    scored = members.join(probes, "cell") \
+        .filter((F.col(id_col) != F.col("query_id"))
+                & (F.col(label_col) != F.col("q_label"))) \
+        .select("query_id", id_col, label_col,
+                F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+                .alias("cosine")) \
+        .filter(F.col("cosine").isNotNull())
+    if max_cos is not None:
+        scored = scored.filter(F.col("cosine") < max_cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("int"))
+            .filter(F.col("rank") <= m)
+            .select("query_id", "rank", id_col, label_col, "cosine"))
+
+
 def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                        n_probe: int = 4, id_col: str = "vec_id",
                        vec_col: str = "embedding",

@@ -1240,6 +1240,79 @@ def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keep_first(docs, "doc_id", "text").orderBy("doc_id")
 
 
+@query(
+    "sp_leakage_safe_split",
+    survey="LLM-sampling(leakage-safe-split),E5",
+    doc="Group-aware train/val/test split (r10, operators/sampling."
+        "leakage_safe_split): near-duplicate documents are forced into "
+        "the SAME split — the eval-integrity guard against the "
+        "corpus's own held-out set (decontamination's sibling). "
+        "Components come from the certified dedup spine (exact-set "
+        "pre-collapse → LSH verified pairs → connected components → "
+        "linear expansion); the split is a pure projection on the "
+        "component: ('0x'||md5('split:'||group)[1:8]) % 10 buckets, "
+        "8/1/1. The 'split:' prefix decorrelates from shard_id's bare "
+        "md5 window (a singleton's group IS its doc id). The oracle "
+        "recomputes exact-Jaccard pairs + recursive-CTE closure + the "
+        "identical md5 arithmetic — the components ITERATION is "
+        "value-checked, not just the bucket math.",
+    oracle="""
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS s
+            FROM toks
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                        / len(list_distinct(list_concat(a.s, b.s))), 6)
+                  >= 0.8
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        grp AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id)
+                        AS BIGINT) AS group_id
+            FROM documents d LEFT JOIN rep r USING (doc_id)
+        ),
+        bkt AS (
+            SELECT doc_id, group_id,
+                   CAST(CAST(('0x' || substr(md5('split:'
+                            || CAST(group_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10 AS INT) AS bucket
+            FROM grp
+        )
+        SELECT doc_id, group_id, bucket,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bkt ORDER BY doc_id
+    """,
+)
+def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "doc_id", "text").orderBy("doc_id")
+
+
 # Decontamination -------------------------------------------------------------
 
 
@@ -2948,6 +3021,73 @@ def dd_remove_duplicate_spans(spark: SparkSession,
 
 
 @query(
+    "dd_dedup_lines",
+    survey="LLM-dedup(line-keep-first)",
+    doc="Cross-document line/paragraph dedup with keep-first semantics "
+        "(r10, operators/dedup.dedup_lines_keep_first — the CCNet "
+        "paragraph-hash move): a line occurring anywhere else in the "
+        "corpus survives only at its first (doc, pos) occurrence; "
+        "documents are reassembled in order. One map-side-combined "
+        "min-struct groupBy on xxhash64(trim(line)) picks winners "
+        "(8-byte shuffle keys — the line text never rides the "
+        "corpus-scale shuffle), one equi-join back, one doc-keyed "
+        "reconstruction shuffle. The driver corpus is single-spaced, "
+        "so the row derives a newline-structured corpus first "
+        "(non-overlapping 8-token chunks as lines) — identically on "
+        "both engines; the oracle keys on the line STRINGS with a "
+        "first-occurrence window and rebuilds via string_agg ORDER BY "
+        "pos.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i + 1 AS pos,
+                   array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+            FROM (SELECT doc_id, w,
+                         unnest(range(0, GREATEST(
+                             CAST(ceil(len(w) / 8.0) AS INT), 1))) AS i
+                  FROM toks)
+        ),
+        flags AS (
+            SELECT doc_id, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM lines
+        ),
+        rebuilt AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS kept_lines,
+                   string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+            FROM flags WHERE rn = 1 GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                   GREATEST(CAST(ceil(len(w) / 8.0) AS INT), 1) AS n_lines
+            FROM toks
+        )
+        SELECT b.doc_id, CAST(b.n_lines AS INT) AS n_lines,
+               CAST(COALESCE(r.kept_lines, 0) AS INT) AS kept_lines,
+               COALESCE(r.cleaned_text, '') AS cleaned_text
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+)
+def dd_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    nch = F.greatest(F.ceil(F.size(w) / F.lit(8)), F.lit(1)).cast("int")
+    lined = F.array_join(
+        F.transform(F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.array_join(
+                        F.slice(w, i * 8 + 1, 8), " ")),
+        "\n")
+    relined = docs.select("doc_id", lined.alias("text"))
+    return dd.dedup_lines_keep_first(relined, "doc_id", "text") \
+        .orderBy("doc_id")
+
+
+@query(
     "ta_bigram_lm_scores",
     survey="LLM-text(lm-quality)",
     doc="LM-based quality scoring (r06, the CCNet shape with a "
@@ -4156,4 +4296,42 @@ def ann_knn_graph_guarded(spark: SparkSession, sf_dir: str
     return scale_e6(
         ann.knn_graph_ivf_blas(emb, k=5, n_cells=8, n_probe=8,
                                quantizer="first", max_cell=32),
+        "cosine")
+
+
+@query(
+    "ann_hard_negatives",
+    survey="LLM-similarity-search(hard-negatives)",
+    doc="Hard-negative mining for contrastive/metric training (r10): "
+        "per anchor the top-5 highest-cosine DIFFERENT-label vectors, "
+        "with cosine >= 0.98 excluded BEFORE ranking (the SimCSE-style "
+        "false-negative filter: an almost-identical cross-label pair "
+        "is a labeling problem, not a hard negative). Same IVF-blocked "
+        "plan as the self-KNN graph — label-mismatch + self filters "
+        "evaluate in the cell equi-join's projection, so same-label "
+        "candidates never reach the cosine — run at full probe so the "
+        "candidate set is complete and the brute-force labeled oracle "
+        "applies exactly.",
+    oracle=e6_oracle("""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e JOIN embeddings q
+              ON e.vec_id <> q.vec_id AND e.label <> q.label
+        )
+        SELECT query_id, rank, vec_id, label, cosine FROM (
+            SELECT query_id, vec_id, label, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored WHERE cosine < 0.98
+        ) WHERE rank <= 5
+    """, "cosine"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.hard_negatives(emb, m=5, n_cells=8, quantizer="first",
+                           max_cos=0.98),
         "cosine")

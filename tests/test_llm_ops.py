@@ -2788,3 +2788,164 @@ def test_update_knn_graph_equals_rebuild(spark, sf_small):
     assert ann.update_knn_graph(graph, emb, emb, cents, k, n_cells,
                                 n_probe) is graph
     graph.unpersist()
+
+
+# --- r10 session 2: line dedup, hard negatives, leakage-safe split ---------
+
+
+def test_dedup_lines_keep_first_hand_corpus(spark):
+    """CCNet-style line dedup on a hand corpus: a repeated line
+    survives only at its first (doc, pos) occurrence; the key is the
+    TRIMMED line (an indentation variant collapses onto the first
+    copy) while the kept text is the raw line; reassembly preserves
+    original order; a doc made entirely of later copies comes back
+    empty with kept_lines 0."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        dedup_lines_keep_first,
+    )
+
+    rows = [
+        (1, "intro one\nshared boilerplate\noutro one"),
+        (2, "shared boilerplate\nunique two"),        # line 1 is a copy
+        (3, "  shared boilerplate  \nintro one"),     # both are copies
+        (4, "only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in
+           dedup_lines_keep_first(df, "doc_id", "text").collect()}
+
+    assert out[1]["cleaned_text"] == rows[0][1]       # first owns all 3
+    assert out[1]["n_lines"] == 3 and out[1]["kept_lines"] == 3
+    assert out[2]["cleaned_text"] == "unique two"
+    assert out[2]["n_lines"] == 2 and out[2]["kept_lines"] == 1
+    # doc 3: trimmed variant of 'shared boilerplate' + copy of
+    # 'intro one' — everything is a later copy
+    assert out[3]["cleaned_text"] == "" and out[3]["kept_lines"] == 0
+    assert out[4]["cleaned_text"] == "only here"
+    # every input doc appears exactly once
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_dedup_lines_first_occurrence_is_positional(spark):
+    """Within ONE doc a line repeated later in the same doc is also
+    collapsed (pos is part of the first-occurrence key), and across
+    docs the winner is min (doc, pos) — doc order beats position."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        dedup_lines_keep_first,
+    )
+
+    rows = [(1, "a\nb\na"),        # in-doc repeat of 'a'
+            (2, "z\nb")]           # 'b' already owned by doc 1 pos 2
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["cleaned_text"] for r in
+           dedup_lines_keep_first(df, "doc_id", "text").collect()}
+    assert out[1] == "a\nb"
+    assert out[2] == "z"
+
+
+def test_hard_negatives_label_mask_and_band(spark):
+    """Hard-negative mining on a hand grid: self and same-label
+    vectors never appear; max_cos drops the near-identical cross-label
+    pair BEFORE ranking so rank 1 is the band's own best; full probe
+    reproduces the brute-force expectation."""
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 1),    # cross-label near-dup of 0
+        (2, [0.8, 0.6], 1),       # the true hard negative for 0
+        (3, [0.0, 1.0], 0),       # same label as 0
+        (4, [-1.0, 0.0], 1),      # easy negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives(emb, m=2, n_cells=2, quantizer="first",
+                         max_cos=0.98).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        labels = {r["label"] for r in lst}
+        q_label = rows[q][2]
+        assert q_label not in labels, (q, labels)          # label mask
+        assert all(r["vec_id"] != q for r in lst)          # self mask
+        assert all(r["cosine"] < 0.98 for r in lst)        # band cap
+        ranks = sorted(r["rank"] for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+    # anchor 0: the 0.999-cosine near-dup (id 1) is excluded by the
+    # band, so rank 1 must be the genuine hard negative (id 2)
+    assert by_q[0][0]["vec_id"] == 2 or \
+        sorted(by_q[0], key=lambda r: r["rank"])[0]["vec_id"] == 2
+
+
+def test_hard_negatives_full_probe_equals_brute(spark, sf_small):
+    """Full-probe IVF tier == brute-force different-label top-m on the
+    driver embeddings (the registry row's oracle semantics), for both
+    quantizers."""
+    import numpy as np
+
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+
+    expected = set()
+    m = 3
+    for qi in range(len(ids)):
+        cands = []
+        for ci in range(len(ids)):
+            if ci == qi or labels[ci] == labels[qi]:
+                continue
+            c = round(float(sims[qi, ci]), 6)
+            if c < 0.98:
+                cands.append((-c, ids[ci]))
+        cands.sort()
+        for rank, (nc, vid) in enumerate(cands[:m], 1):
+            expected.add((int(ids[qi]), rank, int(vid), round(-nc, 6)))
+
+    got = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+           for r in hard_negatives(emb, m=m, n_cells=8,
+                                   quantizer="kmeans_local",
+                                   max_cos=0.98).collect()}
+    assert got == expected
+
+
+def test_leakage_safe_split_cosplits_near_dups(spark, sf_small):
+    """Every verified near-dup pair lands in the SAME split with the
+    SAME group id; group_id matches dedup_keep_first's keep_id (one
+    component labeling, two consumers); every doc is assigned exactly
+    once and the 8/1/1 buckets are all populated at sf0.001."""
+    docs = load(spark, sf_small, "documents")
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(docs, "doc_id", "text").collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    by_doc = {r["doc_id"]: r for r in out}
+
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+    got_pairs = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert got_pairs, "calibration: planted near-dups expected"
+    for a, b in got_pairs:
+        assert by_doc[a]["split"] == by_doc[b]["split"], (a, b)
+        assert by_doc[a]["group_id"] == by_doc[b]["group_id"], (a, b)
+
+    keep = {r["doc_id"]: r["keep_id"] for r in
+            dd.dedup_keep_first(docs, "doc_id", "text").collect()}
+    assert all(by_doc[d]["group_id"] == keep[d] for d in keep)
+
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val", "test"}
+    frac_train = sum(1 for r in out if r["split"] == "train") / len(out)
+    assert 0.6 <= frac_train <= 0.95, frac_train
