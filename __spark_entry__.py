@@ -123,7 +123,13 @@ _DRIVER_PRIORITY = [
     # r07; the survivorship family keeps e6/e8 and the full-registry
     # artifact covers it) to admit the r10 s2 rows.
     "dd_cross_corpus_near_dups",
-    "sp_token_budget_select",
+    # sp_token_budget_select rotated out in r10 s2 (driver-green since
+    # r07; sp_corpus_refresh exercises the same budget-select stage in
+    # the window) for dd_cross_corpus_line_dedup below.
+    # dd_cross_corpus_line_dedup (r10 s2): the line family's
+    # incremental form — batch lines anti-join the stored line index,
+    # keep-first election within the batch only.
+    "dd_cross_corpus_line_dedup",
     # sp_leakage_safe_split (r10 s2): group-aware train/val/test split
     # — near-dup components (the certified dedup spine) hashed to
     # 8/1/1 buckets, so a near-copy can never leak into eval; oracle

@@ -1351,17 +1351,33 @@ def dedup_lines_keep_first(df: DataFrame, id_col: str, text_col: str,
     equivalence. Keying on trim() means indentation variants collapse
     (CCNet normalizes harder — case/digits — which would slot in here
     as the key expression); the KEPT text is the raw line."""
-    lines = (df.select(F.col(id_col).alias("doc"),
-                       F.posexplode(F.split(F.col(text_col), sep))
-                       .alias("pos0", "line"))
-             .select("doc", (F.col("pos0") + 1).alias("pos"), "line",
-                     F.xxhash64(F.trim(F.col("line"))).alias("__h")))
+    lines = _doc_lines(df, id_col, text_col, sep)
     first = lines.groupBy("__h").agg(
         F.min(F.struct("doc", "pos")).alias("__first"))
     kept = (lines.join(first, "__h")
             .filter((F.col("doc") == F.col("__first.doc"))
                     & (F.col("pos") == F.col("__first.pos")))
             .select("doc", "pos", "line"))
+    return _rebuild_lines(df, kept, id_col, text_col, sep, joiner)
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str,
+               sep: str) -> DataFrame:
+    """(doc, pos, line, __h): row-local line split with 1-based
+    positions and the trimmed-line xxhash64 key — the line family's
+    shared front end."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.posexplode(F.split(F.col(text_col), sep))
+                      .alias("pos0", "line"))
+            .select("doc", (F.col("pos0") + 1).alias("pos"), "line",
+                    F.xxhash64(F.trim(F.col("line"))).alias("__h")))
+
+
+def _rebuild_lines(df: DataFrame, kept: DataFrame, id_col: str,
+                   text_col: str, sep: str, joiner: str) -> DataFrame:
+    """Reassemble (doc, pos, line) survivors into per-doc cleaned text
+    — ONE doc-keyed shuffle, order carried by the (pos, line) struct
+    sort; docs with no survivors come back empty via the left join."""
     rebuilt = (kept.groupBy("doc")
                .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
                     .alias("__kept"))
@@ -1380,6 +1396,102 @@ def dedup_lines_keep_first(df: DataFrame, id_col: str, text_col: str,
                     .alias("kept_lines"),
                     F.coalesce("cleaned_text", F.lit(""))
                     .alias("cleaned_text")))
+
+
+def line_index(corpus: DataFrame, id_col: str, text_col: str,
+               sep: str = "\n") -> DataFrame:
+    """The stored-artifact half of the line-dedup family (the LSH
+    corpus index's pattern at line granularity): distinct
+    (doc, h=xxhash64(trim(line))) pairs over the curated corpus — 16
+    bytes per distinct (doc, line), no text. Keeping the DOC key (not
+    just the hash set) is what makes incremental maintenance exact: a
+    removed doc's rows anti-join out by doc, and a line it shared with
+    a surviving doc stays indexed through that doc's row — a bare
+    hash-set artifact cannot delete without reference counting.
+
+    Persisted + materialized here (the static side of per-batch
+    probes); the caller owns the lifecycle (release_cached /
+    unpersist), lsh_corpus_index's contract."""
+    idx = _doc_lines(corpus, id_col, text_col, sep) \
+        .select("doc", "__h").distinct().persist()
+    idx.count()
+    return idx
+
+
+def write_line_index(index: DataFrame, path: str, n_files: int = 8,
+                     mode: str = "error") -> None:
+    """Persist the line index: hash-clustered into n_files and SORTED
+    by the line hash, so a probe's h-equality join prunes via parquet
+    row-group min/max stats (the write_lsh_corpus_index layout without
+    the band dimension — there is only one key here). Scale n_files
+    with the corpus to keep row groups ~128 MB."""
+    (index.repartition(n_files, "__h").sortWithinPartitions("__h")
+     .write.mode(mode).parquet(path))
+
+
+def load_line_index(spark, path: str) -> DataFrame:
+    """Read a stored line index back probe-ready. No persist: the
+    artifact is materialized on disk; re-reads are pruned scans
+    (load_lsh_corpus_index's contract)."""
+    return spark.read.parquet(path)
+
+
+def update_line_index(index: DataFrame, old_snapshot: DataFrame,
+                      new_snapshot: DataFrame, id_col: str,
+                      text_col: str, sep: str = "\n",
+                      delta: DataFrame | None = None) -> DataFrame:
+    """Incremental line-index maintenance — the triad's nightly shape
+    (update_lsh_corpus_index / update_ivfpq_index): snapshot_delta
+    classifies ids (or pass the shared ``delta`` work-list to skip the
+    one O(corpus) step); REMOVED∪CHANGED docs' rows anti-join out by
+    doc (broadcast — the delta id set is nightly-sized); ADDED∪CHANGED
+    docs — the only text touched — build a fresh delta index that
+    unions on. Updated ≡ rebuilt-from-scratch on the new snapshot is
+    test-pinned. The returned union carries the delta index's cache in
+    its handles (release_cached when versioned out)."""
+    if delta is None:
+        delta = snapshot_delta(old_snapshot, new_snapshot, id_col,
+                               text_col)
+    touched = delta.filter(F.col("status").isin("removed", "changed")) \
+        .select(F.col(id_col).alias("doc"))
+    fresh_ids = delta.filter(F.col("status").isin("added", "changed")) \
+        .select(F.col(id_col))
+    fresh_docs = new_snapshot.join(F.broadcast(fresh_ids), id_col, "semi")
+    fresh = line_index(fresh_docs, id_col, text_col, sep)
+    keep = index.join(F.broadcast(touched), "doc", "left_anti")
+    return _carry_cached(keep.unionByName(fresh), [fresh])
+
+
+def cross_corpus_line_dedup(batch: DataFrame, index: DataFrame,
+                            id_col: str, text_col: str,
+                            sep: str = "\n",
+                            joiner: str = "\n") -> DataFrame:
+    """Line dedup of an ARRIVING batch against the stored corpus line
+    index — the incremental production form (a 100 TB pipeline dedups
+    tonight's crawl against yesterday's index; it never re-elects over
+    the full corpus). Semantics: a batch line already ANYWHERE in the
+    indexed corpus is removed from every batch doc (the corpus owns
+    it); among the remainder, keep-first by (doc, pos) WITHIN the
+    batch. When every corpus id precedes every batch id this equals
+    dedup_lines_keep_first over (corpus ∪ batch) restricted to batch
+    docs — test-pinned; under id interleaving the index-owns rule is
+    the deliberate online semantics (cheap-online / complete-offline,
+    the snapshot-delta family's contract).
+
+    Plan: batch lines anti-join the index on the 8-byte hash (the
+    index side is the big one — at scale this is a shuffle equi-join
+    pruned by the stored hash-sorted layout; the batch side is
+    nightly-sized), then the keep-first election + rebuild run on
+    batch-sized frames only. The corpus text is never read."""
+    lines = _doc_lines(batch, id_col, text_col, sep)
+    surv = lines.join(index.select("__h"), "__h", "left_anti")
+    first = surv.groupBy("__h").agg(
+        F.min(F.struct("doc", "pos")).alias("__first"))
+    kept = (surv.join(first, "__h")
+            .filter((F.col("doc") == F.col("__first.doc"))
+                    & (F.col("pos") == F.col("__first.pos")))
+            .select("doc", "pos", "line"))
+    return _rebuild_lines(batch, kept, id_col, text_col, sep, joiner)
 
 
 def snapshot_delta(old: DataFrame, new: DataFrame, id_col: str,

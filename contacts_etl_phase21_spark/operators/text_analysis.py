@@ -239,11 +239,10 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     uniform — no funnel.
 
     Tokenization is ``\\s+`` (any whitespace run), the repo-wide
-    convention. NOTE for oracle consumers: the registered DuckDB twin
-    splits on a SINGLE space — identical only on single-space-
-    delimited corpora like the driver tables; a corpus with tabs /
-    newlines / double spaces diverges (r09 advisory). General keyword
-    extraction should treat the \\s+ Spark side as normative.
+    convention. The registered DuckDB twin tokenizes with
+    regexp_split_to_array '\\s+' — the exact equivalent — so the
+    oracle parity holds on tab/newline/multi-space corpora too
+    (r09 advisory #3, closed r10 s2).
     """
     from pyspark.sql import Window
 

@@ -3075,6 +3075,14 @@ def dd_remove_duplicate_spans(spark: SparkSession,
 )
 def dd_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    return dd.dedup_lines_keep_first(_relined(docs), "doc_id", "text") \
+        .orderBy("doc_id")
+
+
+def _relined(docs: DataFrame) -> DataFrame:
+    """Newline-structured twin of the single-spaced driver corpus
+    (non-overlapping 8-token chunks as lines) — derived identically by
+    the DuckDB twins, the line family's shared fixture."""
     w = F.split(F.trim(F.col("text")), " ")
     nch = F.greatest(F.ceil(F.size(w) / F.lit(8)), F.lit(1)).cast("int")
     lined = F.array_join(
@@ -3082,9 +3090,76 @@ def dd_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.array_join(
                         F.slice(w, i * 8 + 1, 8), " ")),
         "\n")
-    relined = docs.select("doc_id", lined.alias("text"))
-    return dd.dedup_lines_keep_first(relined, "doc_id", "text") \
-        .orderBy("doc_id")
+    return docs.select("doc_id", lined.alias("text"))
+
+
+@query(
+    "dd_cross_corpus_line_dedup",
+    survey="LLM-dedup(line-cross-corpus)",
+    doc="Line dedup of an arriving batch against the STORED corpus "
+        "line index (r10 s2 — the line family's incremental production "
+        "form): a batch line already anywhere in the indexed corpus "
+        "(even doc_ids here) is removed from every batch doc (the "
+        "corpus owns it); among the remainder keep-first by (doc, pos) "
+        "within the batch (odd doc_ids). Batch lines anti-join the "
+        "index on the 8-byte hash; election + rebuild run on "
+        "batch-sized frames; corpus text is never read. The oracle "
+        "recomputes both rules on the line strings.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS w
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, i + 1 AS pos,
+                   array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+            FROM (SELECT doc_id, w,
+                         unnest(range(0, GREATEST(
+                             CAST(ceil(len(w) / 8.0) AS INT), 1))) AS i
+                  FROM toks)
+        ),
+        corpus_keys AS (
+            SELECT DISTINCT trim(line) AS key FROM lines
+            WHERE doc_id % 2 = 0
+        ),
+        surv AS (
+            SELECT b.doc_id, b.pos, b.line
+            FROM lines b LEFT JOIN corpus_keys c
+              ON trim(b.line) = c.key
+            WHERE b.doc_id % 2 = 1 AND c.key IS NULL
+        ),
+        flags AS (
+            SELECT doc_id, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                      ORDER BY doc_id, pos) AS rn
+            FROM surv
+        ),
+        rebuilt AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS kept_lines,
+                   string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+            FROM flags WHERE rn = 1 GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                   GREATEST(CAST(ceil(len(w) / 8.0) AS INT), 1) AS n_lines
+            FROM toks WHERE doc_id % 2 = 1
+        )
+        SELECT b.doc_id, CAST(b.n_lines AS INT) AS n_lines,
+               CAST(COALESCE(r.kept_lines, 0) AS INT) AS kept_lines,
+               COALESCE(r.cleaned_text, '') AS cleaned_text
+        FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY b.doc_id
+    """,
+)
+def dd_cross_corpus_line_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = _relined(load(spark, sf_dir, "documents"))
+    idx = dd.line_index(docs.filter(F.col("doc_id") % 2 == 0),
+                        "doc_id", "text")
+    out = dd.cross_corpus_line_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), idx,
+        "doc_id", "text").orderBy("doc_id")
+    return dd._carry_cached(out, [idx])
 
 
 @query(
@@ -4110,12 +4185,14 @@ _DUCK_KNN5 = """
         "(tf * 1e6) div doc_freq — ln-free so the cross-engine hash "
         "is exact (the langid-NB trade). Explode → two map-side-"
         "combined groupBys → term join (zipf skew = AQE territory at "
-        "corpus scale) → per-doc WindowGroupLimit. Oracle splits on "
-        "a single space vs Spark's \\s+ — identical on the single-"
-        "space driver corpus only (see tfidf_top_terms docstring).",
+        "corpus scale) → per-doc WindowGroupLimit. Oracle tokenizes "
+        "with regexp_split_to_array '\\s+' — the exact twin of "
+        "Spark's split(\\s+), so the row stays general beyond the "
+        "single-spaced driver corpus (r09 ADVICE #3).",
     oracle="""
         WITH toks AS (
-            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
             FROM documents
         ),
         tf AS (

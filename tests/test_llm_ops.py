@@ -2949,3 +2949,67 @@ def test_leakage_safe_split_cosplits_near_dups(spark, sf_small):
     assert splits == {"train", "val", "test"}
     frac_train = sum(1 for r in out if r["split"] == "train") / len(out)
     assert 0.6 <= frac_train <= 0.95, frac_train
+
+
+def test_line_index_store_load_update_lifecycle(spark, sf_small, tmp_path):
+    """The line family at the triad's standard: stored-vs-fresh probe
+    equality across a write/load round-trip, and update ≡ rebuild
+    after a remove/change/add delta (rows compared as sets — the index
+    is unordered)."""
+    from contacts_etl_phase21_spark.plans.llm_ops import _relined
+
+    docs = _relined(load(spark, sf_small, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = dd.line_index(corpus, "doc_id", "text")
+    path = str(tmp_path / "line_index")
+    dd.write_line_index(idx, path)
+    stored = dd.load_line_index(spark, path)
+
+    key = lambda r: tuple(r)  # noqa: E731
+    fresh_out = sorted(map(key, dd.cross_corpus_line_dedup(
+        batch, idx, "doc_id", "text").collect()))
+    stored_out = sorted(map(key, dd.cross_corpus_line_dedup(
+        batch, stored, "doc_id", "text").collect()))
+    assert fresh_out == stored_out and fresh_out
+
+    # delta: drop doc 0, change doc 2 (append a marker line), add 9001
+    changed = corpus.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.concat(F.col("text"), F.lit("\nfresh marker line"))
+        .alias("text"))
+    added = corpus.filter(F.col("doc_id") == 4).select(
+        (F.col("doc_id") + 9001).alias("doc_id"), "text")
+    new = corpus.filter(~F.col("doc_id").isin(0, 2)) \
+        .unionByName(changed).unionByName(added)
+
+    updated = dd.update_line_index(idx, corpus, new, "doc_id", "text")
+    rebuilt = dd.line_index(new, "doc_id", "text")
+    assert sorted(map(key, updated.collect())) \
+        == sorted(map(key, rebuilt.collect()))
+    dd.release_cached(updated)
+    rebuilt.unpersist()
+    idx.unpersist()
+
+
+def test_cross_corpus_line_dedup_equals_global_on_prefix_ids(
+        spark, sf_small):
+    """When every corpus id precedes every batch id, probing the index
+    must equal running the global keep-first election over
+    corpus ∪ batch and keeping the batch rows — the semantics contract
+    in cross_corpus_line_dedup's docstring."""
+    from contacts_etl_phase21_spark.plans.llm_ops import _relined
+
+    docs = _relined(load(spark, sf_small, "documents"))
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+
+    idx = dd.line_index(corpus, "doc_id", "text")
+    key = lambda r: tuple(r)  # noqa: E731
+    incremental = sorted(map(key, dd.cross_corpus_line_dedup(
+        batch, idx, "doc_id", "text").collect()))
+    global_run = sorted(map(key, dd.dedup_lines_keep_first(
+        docs, "doc_id", "text")
+        .filter(F.col("doc_id") >= 250).collect()))
+    assert incremental == global_run and incremental
+    idx.unpersist()

@@ -169,6 +169,38 @@ def run_once(spark: SparkSession, n: int) -> dict:
         .filter(F.col("kept") == 1).count()
     stages["dd_keep"] = round(time.perf_counter() - t0, 1)
 
+    # r10 s2: cross-document line dedup — 50-token docs relined into
+    # 5 lines of 10; planted exact copies (i % 97 == 3) collapse all
+    # five lines, near-dups (i % 50 == 1) collapse 4 of 5. The agg
+    # reads cleaned_text so the rebuild assembly actually executes
+    # instead of being column-pruned away.
+    t0 = time.perf_counter()
+    wtok = F.split(F.trim(F.col("text")), " ")
+    relined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(DOC_TOKENS // 10 - 1)),
+                        lambda i: F.array_join(
+                            F.slice(wtok, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    lrow = dd.dedup_lines_keep_first(relined, "doc_id", "text").agg(
+        F.count(F.lit(1)), F.sum("kept_lines"),
+        F.sum(F.length("cleaned_text"))).collect()[0]
+    stages["dd_lines"] = round(time.perf_counter() - t0, 1)
+
+    # r10 s2: leakage-safe split — the dd_keep component spine plus
+    # scan-side md5 bucket arithmetic; the delta vs dd_keep IS the
+    # split's own cost
+    t0 = time.perf_counter()
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    split_counts = {
+        r["split"]: r["count"]
+        for r in leakage_safe_split(docs, "doc_id", "text")
+        .groupBy("split").count().collect()}
+    stages["sp_split"] = round(time.perf_counter() - t0, 1)
+
     # r07 s2: cross-corpus near-dedup — the 2% near-dup copies
     # (i % 50 == 1) are "tonight's batch", their originals sit in the
     # index; expected ≥1 verified pair per new doc, index probed via
@@ -312,6 +344,10 @@ def run_once(spark: SparkSession, n: int) -> dict:
         "metric": "corpus_ops_sec", "docs": n, "stages": stages,
         "counts": {"exact_groups": n_exact, "lsh_pairs": n_lsh,
                    "kept": n_kept,
+                   "line_docs": int(lrow[0]),
+                   "kept_lines": int(lrow[1]),
+                   "kept_line_chars": int(lrow[2]),
+                   "split_counts": split_counts,
                    "cross_pairs": n_cross,
                    "cross_direct_pairs": n_cross_direct,
                    "budget_selected": n_budget,
