@@ -118,7 +118,10 @@ _DRIVER_PRIORITY = [
     #    long-green, siblings still in the window, full-registry
     #    artifact still covers them): sp_epoch_mix, sp_shard_assign,
     #    ann_quantized_topk, st_sliding_window_counts. --
-    "ta_gopher_quality_flags",
+    # ta_gopher_quality_flags rotated out in r10 s2 (long-green; the
+    # quality family keeps ta_ccnet_buckets and sp_corpus_refresh —
+    # whose gate stage IS the Gopher rule family — in the window) for
+    # sp_split_leakage_report below.
     # dd_dedup_keep_best rotated out in r10 s2 (driver-green since
     # r07; the survivorship family keeps e6/e8 and the full-registry
     # artifact covers it) to admit the r10 s2 rows.
@@ -135,6 +138,11 @@ _DRIVER_PRIORITY = [
     # 8/1/1 buckets, so a near-copy can never leak into eval; oracle
     # recomputes the recursive-CTE closure + identical md5 bucketing.
     "sp_leakage_safe_split",
+    # sp_split_leakage_report (r10 s2): the audit over that split —
+    # residual train↔eval 8-gram overlap per eval split, BIGINT DIV
+    # arithmetic; oracle recomputes the recursive split AND the
+    # string-gram overlap end to end.
+    "sp_split_leakage_report",
     # j10 completes the temporal-join family (as-of/range/overlap);
     # st_session_window_counts rotated out for it (sliding/tumbling/
     # stateful siblings keep the streaming family visible).

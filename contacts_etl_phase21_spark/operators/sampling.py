@@ -206,6 +206,62 @@ def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
         handles)
 
 
+def split_leakage_report(docs: DataFrame, splits: DataFrame,
+                         id_col: str, text_col: str, n: int = 8,
+                         split_col: str = "split",
+                         train_value: str = "train") -> DataFrame:
+    """Residual token-level leakage AUDIT across a document split —
+    leakage_safe_split's companion: the group-aware split guarantees
+    no near-DUPLICATE straddles train/eval, but shared boilerplate
+    n-grams still can (line dedup / span removal are the fixes); this
+    quantifies what remains. One row per eval split: (split, n_docs,
+    leaked_docs, mean_leak_e6) where a doc leaks if any of its
+    distinct token n-grams appears in ANY train doc, and mean_leak_e6
+    = (Σ per-doc (leaked_grams · 1e6 DIV total_grams)) DIV n_docs —
+    BIGINT DIV end to end (the bigram-LM no-doubles rule), so the
+    DuckDB twin is engine-exact.
+
+    Scale shape: grams are hashed token windows computed ONCE
+    (with_hashed_shingles, persisted — caller releases via
+    release_cached); the train gram set is CORPUS-scale, so unlike
+    decontamination's tiny-benchmark broadcast the probe is an honest
+    shuffle equi-join on the 8-byte gram hash (train side distinct
+    partial-aggregates map-side; eval per-doc grams are already
+    row-local-distinct). This is an audit-time corpus pass — run it
+    once after splitting, not per batch."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        _carry_cached, with_hashed_shingles,
+    )
+
+    labeled = docs.join(splits.select(id_col, split_col), id_col)
+    sh = with_hashed_shingles(labeled, id_col, text_col, n,
+                              keep_cols=[split_col]).persist()
+    train_g = sh.filter(F.col(split_col) == train_value) \
+        .select(F.explode("sh_h").alias("g")).distinct()
+    ev_grams = sh.filter(F.col(split_col) != train_value) \
+        .select("doc", F.explode("sh_h").alias("g"))
+    leaked = ev_grams.join(train_g, "g") \
+        .groupBy("doc").agg(F.count(F.lit(1)).alias("n_leaked"))
+    per_doc = (sh.filter(F.col(split_col) != train_value)
+               .select("doc", split_col, F.size("sh_h").alias("n_grams"))
+               .join(leaked, "doc", "left")
+               .withColumn("n_leaked", F.coalesce("n_leaked", F.lit(0)))
+               .withColumn("leak_e6", F.expr(
+                   "CAST(n_leaked * 1000000L DIV n_grams AS BIGINT)")))
+    rep = (per_doc.groupBy(split_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("n_leaked") > 0).cast("long"))
+                .alias("leaked_docs"),
+                F.sum("leak_e6").alias("__sum_e6"))
+           .select(split_col,
+                   F.col("n_docs").cast("bigint").alias("n_docs"),
+                   F.col("leaked_docs").cast("bigint")
+                   .alias("leaked_docs"),
+                   F.expr("CAST(__sum_e6 DIV n_docs AS BIGINT)")
+                   .alias("mean_leak_e6")))
+    return _carry_cached(rep, [sh])
+
+
 def cap_per_source(df: DataFrame, id_col: str, source_col: str,
                    cap: int, over_permille: int = 1500) -> DataFrame:
     """Per-source quota enforcement — the crawl-curation step that caps

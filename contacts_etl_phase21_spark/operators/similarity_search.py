@@ -407,7 +407,8 @@ def hard_negatives(corpus: DataFrame, m: int = 5, n_cells: int = 16,
                    vec_col: str = "embedding", label_col: str = "label",
                    max_cos: float | None = None,
                    quantizer: str = "kmeans_local",
-                   train_permille: int | None = None) -> DataFrame:
+                   train_permille: int | None = None,
+                   kernel: str = "relational") -> DataFrame:
     """Hard-negative mining for metric/contrastive training: per
     anchor, the top-m highest-cosine vectors carrying a DIFFERENT
     label — the examples the model most confuses, the standard triplet/
@@ -430,14 +431,27 @@ def hard_negatives(corpus: DataFrame, m: int = 5, n_cells: int = 16,
     surviving candidates. At n_probe = n_cells the candidate set is
     complete and the output is exact (the registry's hash-checked
     configuration); at partial probe the same recall trade as
-    knn_graph_ivf applies. For the GEMM tier at 100 TB, the per-cell
-    kernel masks same-label columns before its top-m heap — the
-    knn_graph_ivf_blas move; certify it on this oracle config if the
-    kernel path is ever hot enough to matter.
+    knn_graph_ivf applies.
+
+    kernel='blas' (r10 s2) is the 100 TB tier: knn_graph_ivf_blas
+    with its exclude_label/max_cos kernel masks (same-label and
+    over-band scores → -inf BEFORE the top-m heap, so band semantics
+    match this tier exactly), labels joined back onto the bounded
+    candidate output. Tier equality at full probe is test-pinned —
+    the dd_semantic_blas_tier certification move.
 
     NULL-label rows neither emit nor receive negatives (SQL <>
-    semantics) — document labels upstream if that matters."""
+    semantics; the kernel tier requires non-null labels) — clean
+    labels upstream if that matters."""
     n_probe = n_cells if n_probe is None else n_probe
+    if kernel == "blas":
+        g = knn_graph_ivf_blas(corpus, m, n_cells, n_probe, id_col,
+                               vec_col, quantizer, train_permille,
+                               exclude_label=label_col,
+                               max_cos=max_cos)
+        labels = corpus.select(F.col(id_col), F.col(label_col))
+        return g.join(labels, id_col) \
+            .select("query_id", "rank", id_col, label_col, "cosine")
     cent_rows = _quantizer_rows(corpus, n_cells, id_col, vec_col,
                                 quantizer, train_permille)
     members = assign_cells(
@@ -475,7 +489,9 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                        | None = None,
                        query_ids=None,
                        spill_margin: float | None = None,
-                       max_cell: int | None = None) -> DataFrame:
+                       max_cell: int | None = None,
+                       exclude_label: str | None = None,
+                       max_cos: float | None = None) -> DataFrame:
     """knn_graph_ivf's PRODUCTION physical plan (the r09 s2 probe
     showed why it exists: the relational tier's cell equi-join routes
     every candidate pair through the interpreted zip_with cosine and
@@ -551,7 +567,18 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
     guarded path — documented trade vs caching corpus vectors).
     Balanced quantizers never trip it: every count ≤ max_cell keeps
     the r09 single-group plan and its output is IDENTICAL either way
-    (test-pinned on a one-hot quantizer)."""
+    (test-pinned on a one-hot quantizer).
+
+    exclude_label / max_cos (r10 s2): the hard-negative knobs at
+    kernel tier. exclude_label names an integer column whose EQUAL
+    values are masked before the top-k heap (a prober never ranks a
+    same-label member — hard_negatives' label rule; labels must be
+    non-null, matching the relational tier's <> semantics which drop
+    null-label rows). max_cos masks ROUNDED scores >= the cap before
+    the heap (the SimCSE false-negative band; comparing after
+    HALF_UP-6 rounding is what keeps the band edge identical to the
+    relational tier's round(cosine,6) < max_cos). Both default off —
+    the certified KNN plan is untouched."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -596,7 +623,7 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
         StructField("__v", ArrayType(DoubleType())),
         StructField("__member", BooleanType()),
         StructField("__probe", BooleanType()),
-    ])
+    ] + ([StructField("__lbl", LongType())] if exclude_label else []))
 
     # spill needs the 2nd-nearest cell even when n_probe == 1
     n_take = max(n_probe, 2) if spill_margin is not None else n_probe
@@ -608,6 +635,8 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            lbls = (pdf[exclude_label].to_numpy(dtype=np.int64)
+                    if exclude_label else None)
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
             sim = (mat @ cmat_.T) / np.outer(
@@ -638,13 +667,16 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
                 take = mem_j | prb_j
                 if not take.any():
                     continue
-                out.append(pd.DataFrame({
+                row = {
                     "cell": cells_[order[take, j]],
                     "__id": ids[take],
                     "__v": [m for m, t in zip(mat, take) if t],
                     "__member": mem_j[take],
                     "__probe": prb_j[take],
-                }))
+                }
+                if exclude_label:
+                    row["__lbl"] = lbls[take]
+                out.append(pd.DataFrame(row))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -664,6 +696,9 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
         q_mat = np.stack([np.asarray(v, dtype=np.float64)
                           for v in prb["__v"]])
         q_norm = np.sqrt((q_mat * q_mat).sum(1))
+        if exclude_label:
+            m_lbl = mem["__lbl"].to_numpy(dtype=np.int64)
+            q_lbl = prb["__lbl"].to_numpy(dtype=np.int64)
         outs = []
         for lo in range(0, len(q_ids), block):
             hi = min(lo + block, len(q_ids))
@@ -674,6 +709,10 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
             # tier's NULL drop; self masked out entirely
             sim = np.where(np.isfinite(sim), sim, -np.inf)
             sim[q_ids[lo:hi, None] == m_ids[None, :]] = -np.inf
+            if exclude_label:
+                sim[q_lbl[lo:hi, None] == m_lbl[None, :]] = -np.inf
+            if max_cos is not None:
+                sim[sim >= max_cos] = -np.inf
             top = min(k, sim.shape[1])
             if top == 0:
                 continue
@@ -689,7 +728,9 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
             return empty
         return pd.concat(outs, ignore_index=True)
 
-    assigned = (widen(corpus.select(id_col, vec_col))
+    in_cols = [id_col, vec_col] + ([exclude_label] if exclude_label
+                                   else [])
+    assigned = (widen(corpus.select(*in_cols))
                 .mapInPandas(assign_kernel, assign_schema))
 
     group_keys = ["cell"]
@@ -715,15 +756,16 @@ def knn_graph_ivf_blas(corpus: DataFrame, k: int = 5, n_cells: int = 64,
             # split roles: a member row lives in ONE member-block but
             # meets EVERY prober block (and symmetrically) — each
             # (cell, mb, pb) task holds ≤ ~2·max_cell vectors
+            lbl_cols = ["__lbl"] if exclude_label else []
             mem = assigned.filter("__member").select(
-                "cell", "__id", "__v",
+                "cell", "__id", "__v", *lbl_cols,
                 F.lit(True).alias("__member"),
                 F.lit(False).alias("__probe"),
                 F.pmod(F.xxhash64("__id"), msub).cast("int")
                 .alias("__mb"),
                 F.explode(F.sequence(F.lit(0), psub - 1)).alias("__pb"))
             prb = assigned.filter("__probe").select(
-                "cell", "__id", "__v",
+                "cell", "__id", "__v", *lbl_cols,
                 F.lit(False).alias("__member"),
                 F.lit(True).alias("__probe"),
                 F.explode(F.sequence(F.lit(0), msub - 1)).alias("__mb"),

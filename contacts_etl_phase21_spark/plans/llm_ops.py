@@ -1240,24 +1240,11 @@ def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keep_first(docs, "doc_id", "text").orderBy("doc_id")
 
 
-@query(
-    "sp_leakage_safe_split",
-    survey="LLM-sampling(leakage-safe-split),E5",
-    doc="Group-aware train/val/test split (r10, operators/sampling."
-        "leakage_safe_split): near-duplicate documents are forced into "
-        "the SAME split — the eval-integrity guard against the "
-        "corpus's own held-out set (decontamination's sibling). "
-        "Components come from the certified dedup spine (exact-set "
-        "pre-collapse → LSH verified pairs → connected components → "
-        "linear expansion); the split is a pure projection on the "
-        "component: ('0x'||md5('split:'||group)[1:8]) % 10 buckets, "
-        "8/1/1. The 'split:' prefix decorrelates from shard_id's bare "
-        "md5 window (a singleton's group IS its doc id). The oracle "
-        "recomputes exact-Jaccard pairs + recursive-CTE closure + the "
-        "identical md5 arithmetic — the components ITERATION is "
-        "value-checked, not just the bucket math.",
-    oracle="""
-        WITH RECURSIVE
+# Shared split CTE (r10 s2): exact-Jaccard pairs -> recursive-CTE
+# closure -> min-id component -> md5('split:'||group) % 10 buckets.
+# Used by sp_leakage_safe_split (the assignment itself) and
+# sp_split_leakage_report (the audit over it).
+_DUCK_SPLIT_CTE = """
         toks AS (
             SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
         ),
@@ -1290,18 +1277,40 @@ def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS group_id
             FROM documents d LEFT JOIN rep r USING (doc_id)
         ),
-        bkt AS (
-            SELECT doc_id, group_id,
-                   CAST(CAST(('0x' || substr(md5('split:'
-                            || CAST(group_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % 10 AS INT) AS bucket
-            FROM grp
+        splits AS (
+            SELECT doc_id, group_id, bucket,
+                   CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, group_id,
+                         CAST(CAST(('0x' || substr(md5('split:'
+                                  || CAST(group_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 10 AS INT) AS bucket
+                  FROM grp)
         )
-        SELECT doc_id, group_id, bucket,
-               CASE WHEN bucket < 8 THEN 'train'
-                    WHEN bucket < 9 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM bkt ORDER BY doc_id
+"""
+
+
+@query(
+    "sp_leakage_safe_split",
+    survey="LLM-sampling(leakage-safe-split),E5",
+    doc="Group-aware train/val/test split (r10, operators/sampling."
+        "leakage_safe_split): near-duplicate documents are forced into "
+        "the SAME split — the eval-integrity guard against the "
+        "corpus's own held-out set (decontamination's sibling). "
+        "Components come from the certified dedup spine (exact-set "
+        "pre-collapse → LSH verified pairs → connected components → "
+        "linear expansion); the split is a pure projection on the "
+        "component: ('0x'||md5('split:'||group)[1:8]) % 10 buckets, "
+        "8/1/1. The 'split:' prefix decorrelates from shard_id's bare "
+        "md5 window (a singleton's group IS its doc id). The oracle "
+        "recomputes exact-Jaccard pairs + recursive-CTE closure + the "
+        "identical md5 arithmetic — the components ITERATION is "
+        "value-checked, not just the bucket math.",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SPLIT_CTE}
+        SELECT doc_id, group_id, bucket, split
+        FROM splits ORDER BY doc_id
     """,
 )
 def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1320,68 @@ def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return leakage_safe_split(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "sp_split_leakage_report",
+    survey="LLM-sampling(split-leakage-audit)",
+    doc="Residual token-level leakage audit over the leakage-safe "
+        "split (r10 s2, operators/sampling.split_leakage_report): per "
+        "eval split, how many docs share any token 8-gram with ANY "
+        "train doc and the mean leaked-gram fraction — the group-aware "
+        "split stops near-duplicates; this measures the boilerplate "
+        "n-grams that remain (line dedup / span removal are the "
+        "fixes). Train gram set is corpus-scale, so the probe is an "
+        "honest shuffle equi-join on the gram hash, not a broadcast. "
+        "BIGINT DIV arithmetic end to end; the oracle recomputes the "
+        "recursive split AND the string-gram overlap.",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SPLIT_CTE},
+        g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 7, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 7, 1) + 1)])
+                       AS grams
+            FROM toks
+        ),
+        tg AS (
+            SELECT DISTINCT unnest(g.grams) AS gg
+            FROM g JOIN splits USING (doc_id) WHERE split = 'train'
+        ),
+        ev AS (
+            SELECT g.doc_id, unnest(g.grams) AS gg
+            FROM g JOIN splits s USING (doc_id) WHERE s.split <> 'train'
+        ),
+        lk AS (
+            SELECT doc_id, COUNT(*) AS n_leaked
+            FROM ev JOIN tg USING (gg) GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT s.split, len(g.grams) AS n_grams,
+                   COALESCE(l.n_leaked, 0) AS n_leaked
+            FROM g JOIN splits s USING (doc_id)
+            LEFT JOIN lk l ON g.doc_id = l.doc_id
+            WHERE s.split <> 'train'
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leaked_docs,
+               CAST(SUM(n_leaked * 1000000 // n_grams) // COUNT(*)
+                    AS BIGINT) AS mean_leak_e6
+        FROM per_doc GROUP BY split ORDER BY split
+    """,
+)
+def sp_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split, split_leakage_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    splits = leakage_safe_split(docs, "doc_id", "text")
+    return split_leakage_report(docs, splits, "doc_id", "text", n=8) \
+        .orderBy("split")
 
 
 # Decontamination -------------------------------------------------------------
@@ -4376,20 +4447,9 @@ def ann_knn_graph_guarded(spark: SparkSession, sf_dir: str
         "cosine")
 
 
-@query(
-    "ann_hard_negatives",
-    survey="LLM-similarity-search(hard-negatives)",
-    doc="Hard-negative mining for contrastive/metric training (r10): "
-        "per anchor the top-5 highest-cosine DIFFERENT-label vectors, "
-        "with cosine >= 0.98 excluded BEFORE ranking (the SimCSE-style "
-        "false-negative filter: an almost-identical cross-label pair "
-        "is a labeling problem, not a hard negative). Same IVF-blocked "
-        "plan as the self-KNN graph — label-mismatch + self filters "
-        "evaluate in the cell equi-join's projection, so same-label "
-        "candidates never reach the cosine — run at full probe so the "
-        "candidate set is complete and the brute-force labeled oracle "
-        "applies exactly.",
-    oracle=e6_oracle("""
+# Brute-force labeled hard-negative oracle, shared by the relational
+# and GEMM-kernel tiers (full probe makes both candidate sets complete).
+_DUCK_HARDNEG = """
         WITH scored AS (
             SELECT q.vec_id AS query_id, e.vec_id, e.label,
                    ROUND(list_cosine_similarity(
@@ -4404,11 +4464,48 @@ def ann_knn_graph_guarded(spark: SparkSession, sf_dir: str
                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
             FROM scored WHERE cosine < 0.98
         ) WHERE rank <= 5
-    """, "cosine"),
+"""
+
+
+@query(
+    "ann_hard_negatives",
+    survey="LLM-similarity-search(hard-negatives)",
+    doc="Hard-negative mining for contrastive/metric training (r10): "
+        "per anchor the top-5 highest-cosine DIFFERENT-label vectors, "
+        "with cosine >= 0.98 excluded BEFORE ranking (the SimCSE-style "
+        "false-negative filter: an almost-identical cross-label pair "
+        "is a labeling problem, not a hard negative). Same IVF-blocked "
+        "plan as the self-KNN graph — label-mismatch + self filters "
+        "evaluate in the cell equi-join's projection, so same-label "
+        "candidates never reach the cosine — run at full probe so the "
+        "candidate set is complete and the brute-force labeled oracle "
+        "applies exactly.",
+    oracle=e6_oracle(_DUCK_HARDNEG, "cosine"),
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return scale_e6(
         ann.hard_negatives(emb, m=5, n_cells=8, quantizer="first",
                            max_cos=0.98),
+        "cosine")
+
+
+@query(
+    "ann_hard_negatives_blas",
+    survey="LLM-similarity-search(hard-negatives)",
+    doc="Hard-negative mining through the production per-cell GEMM "
+        "kernel (r10 s2): knn_graph_ivf_blas with the exclude_label / "
+        "max_cos kernel masks (same-label and over-band scores -> "
+        "-inf BEFORE the top-m heap), labels joined back on the "
+        "bounded candidate frame — run at full probe so it "
+        "hash-checks against the SAME brute-force labeled oracle as "
+        "the relational tier (the dd_semantic_blas_tier certification "
+        "move).",
+    oracle=e6_oracle(_DUCK_HARDNEG, "cosine"),
+)
+def ann_hard_negatives_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return scale_e6(
+        ann.hard_negatives(emb, m=5, n_cells=8, quantizer="first",
+                           max_cos=0.98, kernel="blas"),
         "cosine")

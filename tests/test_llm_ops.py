@@ -3013,3 +3013,84 @@ def test_cross_corpus_line_dedup_equals_global_on_prefix_ids(
         .filter(F.col("doc_id") >= 250).collect()))
     assert incremental == global_run and incremental
     idx.unpersist()
+
+
+def test_split_leakage_report_hand_fixture(spark):
+    """Known-overlap fixture: the val doc shares one 8-gram window
+    with train, the test doc shares none — leaked_docs and the
+    integer-exact mean fraction must come out exactly."""
+    from contacts_etl_phase21_spark.operators.sampling import (
+        split_leakage_report,
+    )
+
+    boiler = "one two three four five six seven eight"      # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, boiler + " traintail alpha beta gamma"),
+         (2, boiler + " valtail"),                           # 2 windows
+         (3, "totally different words that never appear in train x")],
+        "doc_id LONG, text STRING")
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "test")],
+        "doc_id LONG, split STRING")
+    out = {r["split"]: r for r in split_leakage_report(
+        docs, splits, "doc_id", "text", n=8).collect()}
+
+    # val doc: 9 tokens -> 2 windows, the boiler window leaks (train
+    # doc 1 contains it), the shifted one does not -> 1/2 -> 500000
+    assert out["val"]["n_docs"] == 1
+    assert out["val"]["leaked_docs"] == 1
+    assert out["val"]["mean_leak_e6"] == 500000
+    assert out["test"]["n_docs"] == 1
+    assert out["test"]["leaked_docs"] == 0
+    assert out["test"]["mean_leak_e6"] == 0
+
+
+def test_split_leakage_report_over_safe_split(spark, sf_small):
+    """Composed over leakage_safe_split on the driver corpus: both
+    eval splits report, bounds hold, and doc counts reconcile with
+    the split assignment."""
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split, split_leakage_report,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    splits = leakage_safe_split(docs, "doc_id", "text")
+    rep = {r["split"]: r for r in split_leakage_report(
+        docs, splits, "doc_id", "text", n=8).collect()}
+    assert set(rep) == {"val", "test"}
+    by_split = {r["split"]: r["count"] for r in
+                splits.groupBy("split").count().collect()}
+    for s in ("val", "test"):
+        assert rep[s]["n_docs"] == by_split[s]
+        assert 0 <= rep[s]["leaked_docs"] <= rep[s]["n_docs"]
+        assert 0 <= rep[s]["mean_leak_e6"] <= 1_000_000
+
+
+def test_hard_negatives_blas_tier_equals_relational(spark, sf_small):
+    """kernel='blas' (exclude_label + max_cos masks inside the GEMM
+    kernel, labels joined back) must reproduce the relational tier
+    row-for-row at full probe — and the masks must survive the
+    max_cell salted path unchanged."""
+    from contacts_etl_phase21_spark.operators.similarity_search import (
+        hard_negatives, knn_graph_ivf_blas,
+    )
+
+    emb = load(spark, sf_small, "embeddings")
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"],  # noqa: E731
+                     r["label"], r["cosine"])
+    rel = sorted(map(key, hard_negatives(
+        emb, m=5, n_cells=8, quantizer="first",
+        max_cos=0.98).collect()))
+    blas = sorted(map(key, hard_negatives(
+        emb, m=5, n_cells=8, quantizer="first", max_cos=0.98,
+        kernel="blas").collect()))
+    assert blas == rel and rel
+
+    gkey = lambda r: tuple(r)  # noqa: E731
+    plain = sorted(map(gkey, knn_graph_ivf_blas(
+        emb, 5, 8, 8, quantizer="first", exclude_label="label",
+        max_cos=0.98).collect()))
+    salted = sorted(map(gkey, knn_graph_ivf_blas(
+        emb, 5, 8, 8, quantizer="first", exclude_label="label",
+        max_cos=0.98, max_cell=32).collect()))
+    assert salted == plain and plain
