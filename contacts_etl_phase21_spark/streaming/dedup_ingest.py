@@ -400,6 +400,42 @@ def near_dup_flags_foreach_batch(stream_docs: DataFrame,
             .option("checkpointLocation", checkpoint))
 
 
+def line_dedup_foreach_batch(stream_docs: DataFrame,
+                             line_index: DataFrame,
+                             sink, checkpoint: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             sep: str = "\n", joiner: str = "\n"):
+    """foreachBatch recipe for ONLINE line/boilerplate removal against
+    the stored corpus line index (r10 s2 — the near_dup_flags recipe
+    applied to the line family). The batch operator's within-batch
+    keep-first election is a shuffle+aggregation BEFORE the rebuild —
+    illegal mid-stream — so each micro-batch routes through
+    cross_corpus_line_dedup as a plain batch frame: index-owned lines
+    removed everywhere, keep-first among the batch's own lines,
+    order-preserving reassembly.
+
+    sink(cleaned_df, batch_id) receives (id, n_lines, kept_lines,
+    cleaned_text) per batch. Semantics note (the recipe family's
+    standing trade): the keep-first election is BATCH-LOCAL — a line
+    first seen in batch 3 and repeated in batch 7 is kept twice unless
+    the caller folds each batch's survivors back into the index
+    between batches (update_line_index on the delta, the nightly
+    compactor's job). For a backfill staged as one batch per source
+    file, checkpointed exactly-once replay makes the output equal the
+    batch run (test-pinned)."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        cross_corpus_line_dedup,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(cross_corpus_line_dedup(batch_df, line_index, id_col,
+                                     text_col, sep, joiner), batch_id)
+
+    return (stream_docs.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint))
+
+
 def near_dup_flags_batch(spark, sf_dir: str,
                          threshold: float = 0.8) -> DataFrame:
     """Batch twin on the driver tables: odd doc_ids are the 'arriving'

@@ -1451,3 +1451,66 @@ def test_foreach_batch_near_dup_checkpoint_restart(spark, sf_small,
     from contacts_etl_phase21_spark.operators.dedup import release_cached
     release_cached(twin)
     idx.unpersist()
+
+
+def test_foreach_batch_line_dedup_equals_batch(spark, tmp_path):
+    """r10 s2: online line removal via the foreachBatch recipe — each
+    micro-batch routes through cross_corpus_line_dedup against the
+    stored line index. Staged so no line is shared BETWEEN files
+    (the batch-local election trade documented on the recipe), the
+    union of batch outputs must equal the batch twin over the full
+    staging, index-owned lines removed everywhere and within-batch
+    keep-first applied."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators.dedup import (
+        cross_corpus_line_dedup, line_index,
+    )
+    from contacts_etl_phase21_spark.streaming.dedup_ingest import (
+        line_dedup_foreach_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "shared boilerplate line\nkeep zero")],
+        "doc_id LONG, text STRING")
+    idx = line_index(corpus, "doc_id", "text")
+
+    staged = str(tmp_path / "lines_backfill")
+    f1 = spark.createDataFrame(
+        [(1, "shared boilerplate line\nuniq one\ndup in batch"),
+         (3, "dup in batch\nuniq three")],
+        "doc_id LONG, text STRING")
+    f2 = spark.createDataFrame(
+        [(5, "shared boilerplate line\nuniq five")],
+        "doc_id LONG, text STRING")
+    f1.coalesce(1).write.parquet(staged)
+    f2.coalesce(1).write.mode("append").parquet(staged)
+
+    got: dict = {}
+    n_batches: list[int] = []
+
+    def sink(cleaned, batch_id):
+        n_batches.append(batch_id)
+        got.update({r["doc_id"]: (r["n_lines"], r["kept_lines"],
+                                  r["cleaned_text"])
+                    for r in cleaned.collect()})
+
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    q = line_dedup_foreach_batch(stream, idx, sink,
+                                 str(tmp_path / "lines_ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    twin = {r["doc_id"]: (r["n_lines"], r["kept_lines"],
+                          r["cleaned_text"])
+            for r in cross_corpus_line_dedup(
+                spark.read.parquet(staged), idx,
+                "doc_id", "text").collect()}
+    assert got == twin
+    assert len(n_batches) >= 2
+    assert got[1] == (3, 2, "uniq one\ndup in batch")
+    assert got[3][2] == "uniq three"          # lost the in-batch dup
+    assert got[5] == (2, 1, "uniq five")      # corpus owns the boiler
+    idx.unpersist()

@@ -16,7 +16,11 @@ small fraction of a rebuild at 10^6 corpus size:
     knn      the self-KNN-graph leg: update_knn_graph vs a rebuild
              through the same frozen centroids
 
-Usage: python tools/bench_index_update.py [n] [ivfpq|lsh|knn|both|all]
+    lines    (r10 s2) the line-index leg: update_line_index vs
+             line_index rebuild on n relined 3-line docs
+
+Usage: python tools/bench_index_update.py [n]
+           [ivfpq|lsh|knn|lines|both|all]
            [--hub] [--delta-permille P]
        (default n=1_000_000, all; 'both' is a legacy alias for 'all'
         — it runs ALL THREE legs, r09 advisory)
@@ -207,6 +211,70 @@ def bench_lsh(spark: SparkSession, n: int, report: dict) -> None:
           f"{report['lsh_rebuild_sec']}s", file=sys.stderr)
 
 
+def bench_lines(spark: SparkSession, n: int, report: dict) -> None:
+    """r10 s2: the line-index leg — update_line_index vs line_index
+    rebuild on n 3-line docs (the 30-token synth docs relined at
+    width 10). The line index has no signature stage, so the update's
+    win is purely 'don't re-split the unchanged corpus'."""
+    from contacts_etl_phase21_spark.operators.dedup import (
+        line_index, release_cached, snapshot_delta, update_line_index,
+    )
+
+    def reline(d: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        nch = F.ceil(F.size(w) / F.lit(10)).cast("int")
+        return d.select("doc_id", F.array_join(
+            F.transform(F.sequence(F.lit(0), nch - 1),
+                        lambda i: F.array_join(
+                            F.slice(w, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+
+    old = reline(synth_docs(spark, n)).persist()
+    old.count()
+    t0 = time.time()
+    idx = line_index(old, "doc_id", "text")
+    report["lines_build_sec"] = round(time.time() - t0, 2)
+
+    new = reline(split_delta(
+        synth_docs(spark, n), "doc_id", n,
+        lambda d: d.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" edited"))))).persist()
+    new.count()
+
+    t0 = time.time()
+    updated = update_line_index(idx, old, new, "doc_id", "text")
+    n_up = updated.count()
+    report["lines_update_sec"] = round(time.time() - t0, 2)
+    release_cached(updated)
+
+    t0 = time.time()
+    delta = snapshot_delta(old, new, "doc_id", "text").persist()
+    delta.count()
+    report["lines_delta_classify_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    upd2 = update_line_index(idx, old, new, "doc_id", "text",
+                             delta=delta)
+    n_upd2 = upd2.count()
+    report["lines_update_shared_delta_sec"] = round(time.time() - t0, 2)
+    assert n_upd2 == n_up
+    release_cached(upd2)
+    delta.unpersist()
+
+    t0 = time.time()
+    scratch = line_index(new, "doc_id", "text")
+    n_re = scratch.count()
+    report["lines_rebuild_sec"] = round(time.time() - t0, 2)
+    assert n_up == n_re
+    report["lines_index_rows"] = n_up
+    scratch.unpersist()
+    idx.unpersist()
+    old.unpersist()
+    new.unpersist()
+    print(f"lines @ {n}: build {report['lines_build_sec']}s, update "
+          f"{report['lines_update_sec']}s, rebuild "
+          f"{report['lines_rebuild_sec']}s", file=sys.stderr)
+
+
 def bench_knn(spark: SparkSession, n: int, report: dict,
               hub: bool = False, scale: int = 1) -> None:
     """r09 s2: the KNN-graph leg of the maintenance triad. Clustered
@@ -337,6 +405,8 @@ def main() -> int:
             bench_lsh(spark, n, report)
         if which == "knn" or run_all:
             bench_knn(spark, n, report, hub=hub, scale=scale)
+        if which == "lines" or run_all:
+            bench_lines(spark, n, report)
     print(json.dumps(report))
     return 0
 

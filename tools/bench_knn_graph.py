@@ -153,6 +153,48 @@ def main() -> None:
             out["rel_probe2"] = _measure(ann.knn_graph_ivf(
                 emb, K, n_cells, 2, quantizer="kmeans_local"),
                 sample_ids, truth)
+
+        # r10 s2: hard-negative mining at kernel tier — recall of the
+        # top-K highest-cosine DIFFERENT-label (= different latent
+        # cluster here) vectors vs numpy ground truth on the sampled
+        # queries. Cross-cluster neighbors are boundary points, so
+        # this stresses exactly the cells partial probe skips.
+        if os.environ.get("HARDNEG") == "1":
+            lab = clustered_embeddings(spark, n) \
+                .select("vec_id", "embedding", "label").persist()
+            lab.count()
+            pdf = lab.toPandas()
+            ids_np = pdf["vec_id"].to_numpy()
+            lbl_np = pdf["label"].to_numpy()
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            nrm = np.sqrt((mat * mat).sum(1))
+            pos = {int(v): i for i, v in enumerate(ids_np)}
+            qrows = np.array([pos[q] for q in sorted(sample_ids)])
+            simq = (mat[qrows] @ mat.T) / np.outer(nrm[qrows], nrm)
+            hn_truth = set()
+            for r, qi in enumerate(qrows):
+                mask = lbl_np != lbl_np[qi]
+                cand = np.where(mask)[0]
+                srt = cand[np.argsort(-simq[r, cand], kind="stable")[:K]]
+                hn_truth.update(
+                    (int(ids_np[qi]), int(ids_np[c])) for c in srt)
+            for n_probe in probes:
+                g = ann.knn_graph_ivf_blas(
+                    lab, K, n_cells, n_probe,
+                    quantizer="kmeans_local", cent_rows=cents,
+                    exclude_label="label",
+                    query_ids=sorted(sample_ids)).persist()
+                t0 = time.time()
+                g.count()
+                got = {(r["query_id"], r["vec_id"])
+                       for r in g.collect()}
+                out[f"hardneg_probe{n_probe}"] = {
+                    "wall_s": round(time.time() - t0, 1),
+                    "recall": round(
+                        len(hn_truth & got) / len(hn_truth), 3)}
+                g.unpersist()
+            lab.unpersist()
         emb.unpersist()
         print(json.dumps(out), flush=True)
 
