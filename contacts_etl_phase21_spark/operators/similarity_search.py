@@ -440,6 +440,16 @@ def hard_negatives(corpus: DataFrame, m: int = 5, n_cells: int = 16,
     candidate output. Tier equality at full probe is test-pinned —
     the dd_semantic_blas_tier certification move.
 
+    Probe sizing (measured, BASELINE r10 s2): when labels correlate
+    with the embedding clusters — the common case — the mask discards
+    exactly the DENSEST probed cells (the query's own cluster), so
+    hard-negative recall at a given n_probe trails self-KNN recall
+    badly (10⁵/64 cells: 0.21 vs 0.94 at probe 2; 0.78 vs 1.0 at
+    probe 4; 0.98 at probe 8). Budget 2-4× the self-KNN probe; the
+    extra scan is cheap here because masked candidate sets shrink by
+    the label-share of each cell (tools/bench_knn_graph.py HARDNEG
+    leg records the curve).
+
     NULL-label rows neither emit nor receive negatives (SQL <>
     semantics; the kernel tier requires non-null labels) — clean
     labels upstream if that matters."""
