@@ -1243,10 +1243,15 @@ def dd_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared split CTE (r10 s2): exact-Jaccard pairs -> recursive-CTE
 # closure -> min-id component -> md5('split:'||group) % 10 buckets.
 # Used by sp_leakage_safe_split (the assignment itself) and
-# sp_split_leakage_report (the audit over it).
+# sp_split_leakage_report (the audit over it). Tokenizes with
+# regexp_split_to_array '\\s+' to match with_hashed_shingles' \\s+
+# split exactly (r10 advisory — the same divergence class the r09
+# tfidf fix closed; string_split on a literal space only matches on
+# single-spaced corpora).
 _DUCK_SPLIT_CTE = """
         toks AS (
-            SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
         ),
         sh AS (
             SELECT doc_id,

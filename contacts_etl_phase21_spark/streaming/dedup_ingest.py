@@ -405,7 +405,8 @@ def line_dedup_foreach_batch(stream_docs: DataFrame,
                              sink, checkpoint: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
-                             sep: str = "\n", joiner: str = "\n"):
+                             sep: str = "\n", joiner: str = "\n",
+                             key: str = "xx64"):
     """foreachBatch recipe for ONLINE line/boilerplate removal against
     the stored corpus line index (r10 s2 — the near_dup_flags recipe
     applied to the line family). The batch operator's within-batch
@@ -430,7 +431,8 @@ def line_dedup_foreach_batch(stream_docs: DataFrame,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(cross_corpus_line_dedup(batch_df, line_index, id_col,
-                                     text_col, sep, joiner), batch_id)
+                                     text_col, sep, joiner, key),
+             batch_id)
 
     return (stream_docs.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint))

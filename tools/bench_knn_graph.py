@@ -43,6 +43,21 @@ larger corpora). The relational tier is timed only at the default
 PROBES / SPILLS env override the swept values
 (default PROBES=2,4,8 SPILLS=0.05).
 One JSON line per argument.
+
+r11 legs:
+- RESTRICT=1: pass query_ids=<the 200 sampled queries> to every blas
+  build, so RECALL is measured without paying the full-graph build
+  (at 10⁶ the full build is ~13 min/point; restricted is the
+  assignment pass + 200 queries' cells). wall_s is then the
+  restricted wall, NOT a full-build wall — flagged in the JSON.
+- SPILL_TARGETS=0.4[,..]: the adaptive margin (suggest_spill_margin)
+  — per target, record the picked τ + sampled frac and sweep the
+  probes with that margin (judge r10 #2's re-measurement).
+- HARDNEG=1 now also records the LABELED suggest_probe estimate
+  (judge r10 #1): est_curve values at each measured probe plus the
+  probe the estimator would pick for 0.9 — the
+  estimator-vs-measured check is |est − measured| at equal probe.
+  HN_PROBES overrides the hard-neg probe sweep.
 """
 
 from __future__ import annotations
@@ -134,21 +149,43 @@ def main() -> None:
         spill_frac = {s: round(float((margins < s).mean()), 4)
                       for s in spills}
         out["spill_frac"] = spill_frac
+        restrict = os.environ.get("RESTRICT") == "1"
+        qids = sorted(sample_ids) if restrict else None
+        out["restricted_walls"] = restrict
 
         for n_probe in probes:
             r = _measure(ann.knn_graph_ivf_blas(
                 emb, K, n_cells, n_probe, quantizer="kmeans_local",
-                cent_rows=cents), sample_ids, truth)
+                cent_rows=cents, query_ids=qids), sample_ids, truth)
             r["scan_frac"] = round(n_probe / n_cells, 3)
             out[f"blas_probe{n_probe}"] = r
             for s in spills:
                 rs = _measure(ann.knn_graph_ivf_blas(
                     emb, K, n_cells, n_probe,
                     quantizer="kmeans_local", cent_rows=cents,
-                    spill_margin=s), sample_ids, truth)
+                    spill_margin=s, query_ids=qids), sample_ids, truth)
                 rs["scan_frac"] = round(
                     n_probe / n_cells * (1 + spill_frac[s]), 3)
                 out[f"blas_probe{n_probe}_spill{s}"] = rs
+
+        # r11 (judge r10 #2): the adaptive margin — τ picked as the
+        # target quantile of the measured margin distribution, then
+        # the same probe sweep at that margin
+        for t in [float(x) for x in
+                  os.environ.get("SPILL_TARGETS", "").split(",") if x]:
+            tau = ann.suggest_spill_margin(emb, cents, t)
+            t_frac = round(float((margins < tau).mean()), 4)
+            out[f"spill_target{t}"] = {"tau": round(tau, 4),
+                                       "sampled_frac": t_frac}
+            for n_probe in probes:
+                rs = _measure(ann.knn_graph_ivf_blas(
+                    emb, K, n_cells, n_probe,
+                    quantizer="kmeans_local", cent_rows=cents,
+                    spill_margin=tau, query_ids=qids),
+                    sample_ids, truth)
+                rs["scan_frac"] = round(
+                    n_probe / n_cells * (1 + t_frac), 3)
+                out[f"blas_probe{n_probe}_starget{t}"] = rs
         if os.environ.get("REL_TIER") == "1":
             out["rel_probe2"] = _measure(ann.knn_graph_ivf(
                 emb, K, n_cells, 2, quantizer="kmeans_local"),
@@ -179,7 +216,17 @@ def main() -> None:
                 srt = cand[np.argsort(-simq[r, cand], kind="stable")[:K]]
                 hn_truth.update(
                     (int(ids_np[qi]), int(ids_np[c])) for c in srt)
-            for n_probe in probes:
+            # r11 (judge r10 #1): the LABELED estimator next to every
+            # measured point — |est − measured| at equal probe is the
+            # estimator-quality check (suggest_probe standard: ~5 pts)
+            hn_est, hn_curve = ann.suggest_probe(
+                lab, cents, target_recall=0.9, k=K, n_sample=1000,
+                label_col="label")
+            out["hardneg_est_probe90"] = hn_est
+            hn_probes = [int(p) for p in os.environ.get(
+                "HN_PROBES", os.environ.get("PROBES", "2,4,8")
+            ).split(",")]
+            for n_probe in hn_probes:
                 g = ann.knn_graph_ivf_blas(
                     lab, K, n_cells, n_probe,
                     quantizer="kmeans_local", cent_rows=cents,
@@ -192,7 +239,8 @@ def main() -> None:
                 out[f"hardneg_probe{n_probe}"] = {
                     "wall_s": round(time.time() - t0, 1),
                     "recall": round(
-                        len(hn_truth & got) / len(hn_truth), 3)}
+                        len(hn_truth & got) / len(hn_truth), 3),
+                    "est_recall": round(hn_curve[n_probe - 1], 3)}
                 g.unpersist()
             lab.unpersist()
         emb.unpersist()
