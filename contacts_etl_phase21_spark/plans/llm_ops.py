@@ -1389,6 +1389,67 @@ def sp_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("split")
 
 
+@query(
+    "sp_split_leakage_offenders",
+    survey="LLM-sampling(split-leakage-offenders)",
+    doc="Top offending grams behind the residual split leakage (r11, "
+        "operators/sampling.split_leakage_offenders): the audit's "
+        "actionable tail — WHICH token 8-grams cross train↔eval and "
+        "how many docs each reaches, ranked by eval-doc count with a "
+        "full deterministic tiebreak so the LIMIT is oracle-exact. "
+        "Join + counts key on xxhash64(gram) (8-byte shuffle keys); "
+        "gram text rides only the eval-side aggregate. The oracle "
+        "recomputes the recursive split AND the ranked string-gram "
+        "overlap. Registered at n=3 (the corpus's shingle scale — "
+        "the 8-gram audit is leak-free on these tables, which would "
+        "make the row a trivial 0-row hash; production audits run "
+        "the report's n).",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SPLIT_CTE},
+        g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       w[i:least(i + 2, len(w))], ' ')
+                       for i in range(1, greatest(len(w) - 2, 1) + 1)])
+                       AS grams
+            FROM toks
+        ),
+        tg AS (
+            SELECT unnest(g.grams) AS gram, g.doc_id
+            FROM g JOIN splits USING (doc_id) WHERE split = 'train'
+        ),
+        tc AS (
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_train_docs
+            FROM tg GROUP BY gram
+        ),
+        ev AS (
+            SELECT unnest(g.grams) AS gram, g.doc_id
+            FROM g JOIN splits s USING (doc_id) WHERE s.split <> 'train'
+        ),
+        ec AS (
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_eval_docs
+            FROM ev GROUP BY gram
+        )
+        SELECT ec.gram AS gram,
+               CAST(n_eval_docs AS BIGINT) AS n_eval_docs,
+               CAST(n_train_docs AS BIGINT) AS n_train_docs
+        FROM ec JOIN tc USING (gram)
+        ORDER BY n_eval_docs DESC, n_train_docs DESC, gram ASC
+        LIMIT 20
+    """,
+)
+def sp_split_leakage_offenders(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from contacts_etl_phase21_spark.operators.sampling import (
+        leakage_safe_split, split_leakage_offenders,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    splits = leakage_safe_split(docs, "doc_id", "text")
+    return split_leakage_offenders(docs, splits, "doc_id", "text",
+                                   n=3, top=20)
+
+
 # Decontamination -------------------------------------------------------------
 
 

