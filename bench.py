@@ -319,6 +319,46 @@ def calibration_probe(spark) -> float:
     return round(median(run(1_000_000_000) for _ in range(3)), 3)
 
 
+def calibration_probe_1t(spark) -> float:
+    """Single-thread twin of calibration_probe (r11 optimization
+    round): the parallel probe measures aggregate throughput, but most
+    of the LOCAL bench wall-clock is single-thread-bound (1-task
+    single-row-group scans, driver/AQE planning gaps, broadcast
+    builds, codegen), and on a noisy-neighbor host the single-core
+    speed drifts independently of (and often more than) the parallel
+    throughput — measured same-code calib 2.96 → 1.20s within 30 min
+    while a fixed Python loop drifted 3×. One partition, 1/8 the rows
+    (~same nominal seconds per core as the parallel probe's share).
+    Median of 3; one untimed warmup run."""
+    from statistics import median
+
+    from pyspark.sql import functions as F
+
+    def run(n_rows: int) -> float:
+        t0 = time.perf_counter()
+        spark.range(0, n_rows, 1, 1) \
+            .select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))) \
+            .collect()
+        return time.perf_counter() - t0
+
+    run(16_000_000)  # warmup, untimed
+    return round(median(run(125_000_000) for _ in range(3)), 3)
+
+
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — the host-level
+    contention signal a shared VM can't hide: steal is time the
+    hypervisor ran someone else while this guest was runnable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _page_cache_gb() -> float:
     """Buffers+Cached from /proc/meminfo, GB — the r09 s2 page-cache
     lesson: a 'quiet' box with an evicted cache reads 2× slower cold,
@@ -359,6 +399,9 @@ def main() -> None:
     # window the headline numbers are taken in
     calib = calibration_probe(spark)
     print(f"# calibration_probe: {calib:.3f}s", file=sys.stderr)
+    calib_1t = calibration_probe_1t(spark)
+    print(f"# calibration_probe_1t: {calib_1t:.3f}s", file=sys.stderr)
+    ticks0 = _cpu_ticks()
 
     total = 0.0
     warm: dict[str, float] = {}
@@ -387,6 +430,12 @@ def main() -> None:
         warm_total += wdt
         print(f"# {name}: {dt:.3f}s warm={wdt:.3f}s rows={n}",
               file=sys.stderr)
+
+    ticks1 = _cpu_ticks()
+    steal_pct = None
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = round(100.0 * (ticks1[0] - ticks0[0])
+                          / (ticks1[1] - ticks0[1]), 2)
 
     recall = ann_recall_metrics(spark, sf_dir)
     # r10 (judge #7c): the stored-index drift trigger, tracked
@@ -444,6 +493,16 @@ def main() -> None:
         "total_per_calib": round(total / calib, 2) if calib else None,
         "warm_total_per_calib": round(warm_total / calib, 2)
         if calib else None,
+        # r11 optimization round: single-thread calibration + steal%.
+        # The parallel probe under-corrects — most local bench time is
+        # single-thread-bound (1-task scans, driver gaps, broadcast
+        # builds), and this round's host showed 3× single-core drift
+        # at load < 0.3 (hypervisor steal). steal% over the headline
+        # loop is the direct contention receipt.
+        "calib_1t_sec": calib_1t,
+        "total_per_calib_1t": round(total / calib_1t, 2)
+        if calib_1t else None,
+        "steal_pct_during_capture": steal_pct,
     }
     if headline["capture_contended"]:
         print(f"# WARNING: capture taken at load "

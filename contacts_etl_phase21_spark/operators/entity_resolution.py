@@ -647,12 +647,28 @@ def connected_components_star(vertices: DataFrame, edges: DataFrame,
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         init_labels: DataFrame | None = None) -> DataFrame:
     """Min-label propagation: component = min rid reachable. Contact
     clusters are near-cliques, so this converges in a handful of rounds;
     each round is one shuffle on id. Returns (id, component).
 
     vertices: one column `id`; edges: (src, dst) undirected.
+
+    init_labels (r11, optimization round — guide §2.4 "remove shuffles
+    outright"): optional (id, component) seed covering every vertex.
+    When the caller already knows, for each node, the id of SOME
+    same-component node ≤ its own id (e.g. e5's star edges point at
+    group minima, so least(id, group mins) is computable in the same
+    window pass that builds the edges), seeding with it starts the
+    propagation one hop ahead and provably converges to the same
+    fixpoint: the final label is min over the component of the seed
+    labels, and a valid seed's component-wide min IS the component min
+    (the min node's own seed cannot go below itself). Each round saved
+    is one full-graph shuffle + one driver round trip — measured 4 → 3
+    rounds on the e5 graph with identical labels (sf0.1, pinned in
+    tests). Default None keeps the classic id-seeded behavior for
+    every other caller.
     """
     # The edge list is loop-invariant: materialize it ONCE — and BEFORE
     # symmetrizing. A union's two branches are separate subplans, so
@@ -665,7 +681,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))) \
         .localCheckpoint()
-    cc = vertices.select(F.col("id"), F.col("id").alias("component"))
+    cc = (init_labels.select("id", "component")
+          if init_labels is not None
+          else vertices.select(F.col("id"), F.col("id").alias("component")))
     cc = cc.localCheckpoint()
     # Convergence check: labels only ever decrease, so the component sum
     # is strictly monotone until fixpoint — one cheap aggregate per round

@@ -44,6 +44,27 @@ def get_spark(app_name: str = "contacts-etl-phase21-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r11 optimization round (guide §3.1/§4.3/§9), A/B-measured
+        # locally neutral (headline set medians 11.22s default vs
+        # 11.04s tuned, interleaved): allow the planner / AQE to pick
+        # shuffled-hash join over sort-merge when a build side fits
+        # (skips both sorts at cluster scale; locally every headline
+        # join already broadcasts, hence the neutral reading), and
+        # move scalar-UDF traffic to Arrow batches (no scalar UDFs
+        # remain on hot paths — pinned by tests — so this is a guard
+        # for future code, not a measured local win).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # guide §6: zstd parquet for engine-written artifacts (indexes,
+        # interchange) — smaller at similar read speed; inputs under
+        # $SPARK_GRAFT_SF_DIR are read-only and unaffected. The shuffle
+        # codec stays lz4: §2.3 says measure before switching, and
+        # local shuffles are KB-scale — no meaningful local signal
+        # either way, so the default stands until a cluster measurement
+        # exists.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long,

@@ -285,6 +285,43 @@ def test_connected_components_with_rids_near_2_62(spark):
     assert comp[ids[5]] == ids[5]
 
 
+def test_connected_components_seeded_equals_default(spark):
+    """r11 optimization pin: init_labels seeding (the e5 shape — each
+    node seeded with least(self, a known same-component neighbor ≤
+    self)) must converge to the SAME labels as the default id-seeded
+    propagation, on a topology with chained stars (components that
+    span groups transitively)."""
+    import pyspark.sql.functions as F
+
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        connected_components,
+    )
+
+    # two stars bridged by node 5; singleton 9; chain 10-11-12
+    edge_rows = [(1, 5), (2, 5), (3, 5), (5, 6), (6, 7), (7, 8),
+                 (10, 11), (11, 12)]
+    ids = sorted({x for e in edge_rows for x in e} | {9})
+    vertices = spark.createDataFrame([(i,) for i in ids], ["id"])
+    edges = spark.createDataFrame(edge_rows, ["src", "dst"])
+    # valid seed: min over self and direct neighbors (component-closed,
+    # ≤ self by construction)
+    nbr = {i: [i] for i in ids}
+    for s, d in edge_rows:
+        nbr[s].append(d)
+        nbr[d].append(s)
+    seed = spark.createDataFrame(
+        [(i, min(nbr[i])) for i in ids], ["id", "component"])
+    default = {(r["id"], r["component"])
+               for r in connected_components(vertices, edges).collect()}
+    seeded = {(r["id"], r["component"])
+              for r in connected_components(
+                  vertices, edges, init_labels=seed).collect()}
+    assert seeded == default
+    # and the labels are the true component minima
+    comp = {r[0]: r[1] for r in default}
+    assert comp[1] == comp[8] == 1 and comp[9] == 9 and comp[12] == 10
+
+
 def test_py_trim_matches_python_strip(spark):
     """_py_trim is the JVM twin of str.strip() -- the load-bearing
     candidacy/bound semantics on the ER pair path. Exercise the
