@@ -232,10 +232,18 @@ def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
     n, matching shingles_of_tokens' clamped single-window behavior."""
     extra = keep_cols or []
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = widen(df.select(
+    # r11 (guide §2.5 input layout): widen BEFORE the tokenize+hash
+    # projection, not after — with widen(df.select(...)) the token
+    # hashing ran inside the scan stage, which on the local
+    # single-row-group layout is ONE task (profiled: the whole corpus
+    # tokenized single-threaded before the exchange). Repartitioning
+    # the raw rows first moves the hashing after the exchange, across
+    # all cores; the shuffle carries text instead of token-hash arrays
+    # (similar bytes), and at 100 TB widen no-ops either way.
+    hashed = widen(df).select(
         F.col(id_col).alias("doc"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
-        *[F.col(c) for c in extra]))
+        *[F.col(c) for c in extra])
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("th") - F.lit(n - 1), F.lit(1)))
     return hashed.select(

@@ -85,7 +85,17 @@ def train_char_ngram_lid(labeled, label_col: str, text_col: str,
     fg = labeled.select(F.col(label_col).alias("lang"),
                         F.explode(char_ngrams(F.col(text_col), n))
                         .alias("g"))
-    cab = fg.groupBy("g", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # r11 optimization (guide §2.4 / §3.3): cab feeds THREE consumers
+    # (clang, vrow, the model join) — without a barrier each is a
+    # separate subplan re-running the labeled-side explode + groupBy
+    # (profiled: the train branch re-evaluated per consumer, each
+    # paying full stage overhead; on the bounded fixture that's pure
+    # overhead amplification, at corpus-scale labeled input it's two
+    # redundant full passes). localCheckpoint(eager=False)
+    # materializes the counts once on first action — the engine's
+    # loop-invariant-edges pattern (entity_resolution e5).
+    cab = fg.groupBy("g", "lang").agg(F.count(F.lit(1)).alias("c")) \
+        .localCheckpoint(eager=False)
     clang = cab.groupBy("lang").agg(F.sum("c").alias("c_lang"))
     vrow = cab.select(F.countDistinct("g").alias("v"))
     model = (cab.join(clang, "lang").crossJoin(F.broadcast(vrow))
@@ -130,14 +140,31 @@ def language_id_model(df, id_col: str, text_col: str, labeled,
     and broadcast join. Scores identical modulo 64-bit collisions
     (the registry's accepted equivalence); tier equality is pinned in
     tests. The oracle-twin tier (default) keeps strings."""
+    from contacts_etl_phase21_spark.io import widen
+
     model, miss = train_char_ngram_lid(labeled, label_col, sent_col,
                                        n, top_m)
-    dg = df.select(F.col(id_col),
-                   F.explode(char_ngrams(F.col(text_col), n)).alias("g"))
+    # r11 optimization (guide §2.4/§2.5): (a) widen the corpus before
+    # the gram explode — the plan had NO exchange below the Generate,
+    # so the whole corpus exploded inside the scan stage, which on the
+    # local single-row-group layout is ONE task (profiled: the
+    # dominant 1-task stages of this query; no-op at 100 TB where the
+    # scan is wide). (b) __n_grams needs no explode+groupBy at all:
+    # count of exploded rows per doc ≡ size(char_ngrams(text)) —
+    # row-local column algebra, one shuffle removed outright. The
+    # filter(> 0) reproduces the old semantics exactly: a gramless doc
+    # was ABSENT from the exploded groupBy (explode of an empty array
+    # emits nothing) and fell to the 'und' coalesce downstream.
+    wide = widen(df.select(F.col(id_col), F.col(text_col)))
+    dg = wide.select(F.col(id_col),
+                     F.explode(char_ngrams(F.col(text_col), n)).alias("g"))
     if hashed_keys:
         model = model.select(F.xxhash64("g").alias("g"), "lang", "term")
         dg = dg.select(id_col, F.xxhash64("g").alias("g"))
-    ng = dg.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_grams"))
+    ng = wide.select(
+        F.col(id_col),
+        F.size(char_ngrams(F.col(text_col), n)).alias("__n_grams")) \
+        .filter(F.col("__n_grams") > 0)
     hits = (dg.join(F.broadcast(model), "g")
             .groupBy(id_col, "lang")
             .agg(F.count(F.lit(1)).alias("__n_hit"),

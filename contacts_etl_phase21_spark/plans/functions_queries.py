@@ -19,7 +19,7 @@ from contacts_etl_phase21_spark.functions.spark_cols import (
     col_pct,
     udf_seq_ratio,
 )
-from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.io import load, widen
 from contacts_etl_phase21_spark.plans.registry import e6_oracle, query, scale_e6
 
 
@@ -168,10 +168,17 @@ def f11_guess_name_from_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, "ratio_exact"),
 )
 def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.5/§4.1): the streamed left side was the raw 1-task
+    # scan, so the join's ~2.2M-pair output — and the difflib pandas
+    # UDF over it — ran on ONE core (measured 166s noop at sf0.1).
+    # widen() the streamed side and PIN the broadcast to the raw right
+    # side (the j1 lesson: left free, AQE may flip build sides and
+    # stream the 1-task scan). One ArrowEvalPython node before and
+    # after — the UDF was never duplicated; parallelism was the gap.
     c = load(spark, sf_dir, "customer")
-    left = c.select(F.col("c_custkey").alias("l_key"),
-                    F.col("c_name").alias("l_name"),
-                    (F.col("c_custkey") % 50).alias("bucket"))
+    left = widen(c).select(F.col("c_custkey").alias("l_key"),
+                           F.col("c_name").alias("l_name"),
+                           (F.col("c_custkey") % 50).alias("bucket"))
     right = c.select(F.col("c_custkey").alias("r_key"),
                      F.col("c_name").alias("r_name"),
                      (F.col("c_custkey") % 50).alias("bucket"))
@@ -184,7 +191,7 @@ def f16_seq_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(1.0) - lev / total)
     eps = F.lit(1e-9)
     return scale_e6(
-        left.join(right, "bucket")
+        left.join(F.broadcast(right), "bucket")
         .filter(F.col("l_key") < F.col("r_key"))
         .select("l_key", "r_key",
                 la.alias("la"), lb.alias("lb"), lev.alias("lev"),

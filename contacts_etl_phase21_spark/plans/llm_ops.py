@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from contacts_etl_phase21_spark.io import load
+from contacts_etl_phase21_spark.io import load, widen
 from contacts_etl_phase21_spark.operators import dedup as dd
 from contacts_etl_phase21_spark.operators import similarity_search as ann
 from contacts_etl_phase21_spark.operators import text_analysis as ta
@@ -667,7 +667,14 @@ def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, "punct_ratio", "stopword_ratio", "mean_word_len"),
 )
 def ta_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # r11 (guide §2.5 input skew / §1.4): the plan is Scan → Project
+    # with no exchange, so ALL the per-doc regex work runs in the
+    # scan's tasks — and the local single-row-group file scans as ONE
+    # task. widen() round-robins the text across cores first (no-op at
+    # 100 TB where the scan is already wide). Measured interleaved at
+    # sf0.1: noop 1.021 → 0.540s median; count-mode cost of the added
+    # tiny exchange +0.035s.
+    docs = widen(load(spark, sf_dir, "documents"))
     s = ta.quality_signals(F.col("text"))
     return scale_e6(
         docs.select(

@@ -282,17 +282,25 @@ def p5_duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_blocked_similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen: AQE broadcasts the right side, so the levenshtein pair loop
     # runs on the streamed side's scan tasks — which must not be 1.
-    c = widen(load(spark, sf_dir, "customer"))
+    # r11 (guide §2.4 "remove shuffles outright" + §3.1 "check the
+    # build side"): only the STREAMED side is widened — the build side
+    # feeds a BroadcastExchange, so a round-robin repartition before
+    # it was a wasted Exchange. The broadcast must then be PINNED to
+    # the unwidened side: left free, AQE picked BuildLeft and streamed
+    # the 1-task right scan, putting the whole levenshtein loop on one
+    # core (measured 0.87 → 5.2s before the hint was added).
+    c_raw = load(spark, sf_dir, "customer")
+    c = widen(c_raw)
     left = c.select(
         F.col("c_custkey").alias("l_key"), F.col("c_name").alias("l_name"),
         F.col("c_nationkey").alias("block_nation"),
         F.col("c_mktsegment").alias("block_segment"))
-    right = c.select(
+    right = c_raw.select(
         F.col("c_custkey").alias("r_key"), F.col("c_name").alias("r_name"),
         F.col("c_nationkey").alias("block_nation"),
         F.col("c_mktsegment").alias("block_segment"))
     return (
-        left.join(right, ["block_nation", "block_segment"])
+        left.join(broadcast(right), ["block_nation", "block_segment"])
         .filter(F.col("l_key") < F.col("r_key"))
         # r11 (guide §1.2 step 2, per-task work): the 3-arg bounded
         # levenshtein short-circuits once the distance exceeds 2
