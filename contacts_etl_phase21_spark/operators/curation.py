@@ -48,18 +48,33 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame,
     Drop order: quality < min_quality → shares an `ngram`-gram with
     eval_docs → near-duplicate of a lower-id survivor → outside the
     per-stratum sample rate. Survivors get an md5 training shard.
-    """
-    qual = docs.filter(quality_score(F.col(text_col)) >= min_quality)
+
+    qual and clean are persisted (r11, guide §5): each is referenced
+    from BOTH sides of its consuming join (clean = qual ⋈ flags(qual);
+    kept = clean ⋈ dedup(clean)), and Spark does not share common
+    subtrees across join sides — unpersisted, the quality-regex scan
+    evaluated 4× and the decontamination explode+join 2× (measured
+    16.7s → see OPTIMIZATION_r11.md). MEMORY_AND_DISK default spills
+    gracefully at scale; the caller owns release via
+    dedup.release_cached (the pair builders' lifecycle contract —
+    handles carried on the result)."""
+    from contacts_etl_phase21_spark.operators.dedup import _carry_cached
+
+    qual = docs.filter(
+        quality_score(F.col(text_col)) >= min_quality).persist()
     clean = (qual
              .join(contamination_flags(qual, eval_docs, id_col, text_col,
                                        n=ngram)
                    .filter(F.col("contaminated") == 0)
-                   .select(id_col), id_col))
+                   .select(id_col), id_col)).persist()
+    dk = dedup_keep_first(clean, id_col, text_col)
     kept = (clean
-            .join(dedup_keep_first(clean, id_col, text_col)
-                  .filter(F.col("kept") == 1)
+            .join(dk.filter(F.col("kept") == 1)
                   .select(id_col), id_col))
     sampled = stratified_sample(
         kept.select(id_col, strata_col), id_col, strata_col,
         rates_permille or {}, default_permille=default_permille)
-    return assign_shards(sampled, id_col, n_shards).orderBy(id_col)
+    out = assign_shards(sampled, id_col, n_shards).orderBy(id_col)
+    return _carry_cached(
+        out, [qual, clean,
+              *getattr(dk, "_cached_intermediates", ())])

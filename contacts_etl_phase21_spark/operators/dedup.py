@@ -941,7 +941,7 @@ def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
     in tests; quantizer='kmeans_local' tightens cells on clustered
     data (first-n stays fully relational for the oracle)."""
     from contacts_etl_phase21_spark.operators.similarity_search import (
-        _collect_first_centroids, assign_cells, cosine_col,
+        _collect_first_centroids, _dot, assign_cells, cosine_from_norms,
         pq_codebooks,
     )
 
@@ -952,17 +952,21 @@ def semantic_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
         cent_rows = _collect_first_centroids(emb, n_cells, id_col,
                                              vec_col)
     assigned = assign_cells(widen(emb.select(id_col, vec_col)),
-                            cent_rows, 1, vec_col)
+                            cent_rows, 1, vec_col, keep_norm="__n2")
     a = assigned.select(F.col("cell"),
                         F.col(id_col).alias("vec_a"),
-                        F.col(vec_col).alias("__va"))
+                        F.col(vec_col).alias("__va"),
+                        F.col("__n2").alias("__na2"))
     b = assigned.select(F.col("cell"),
                         F.col(id_col).alias("vec_b"),
-                        F.col(vec_col).alias("__vb"))
+                        F.col(vec_col).alias("__vb"),
+                        F.col("__n2").alias("__nb2"))
     return (a.join(b, "cell")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b",
-                    F.round(cosine_col(F.col("__va"), F.col("__vb")), 6)
+                    F.round(cosine_from_norms(
+                        _dot(F.col("__va"), F.col("__vb")),
+                        F.col("__na2"), F.col("__nb2")), 6)
                     .alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
@@ -1506,7 +1510,8 @@ def cross_corpus_line_dedup(batch: DataFrame, index: DataFrame,
                             id_col: str, text_col: str,
                             sep: str = "\n", joiner: str = "\n",
                             key: str = "xx64",
-                            probe_filter_max: int | None = 200_000
+                            probe_filter_max: int | None = 200_000,
+                            probe_isin_max: int = 4_096
                             ) -> DataFrame:
     """Line dedup of an ARRIVING batch against the stored corpus line
     index — the incremental production form (a 100 TB pipeline dedups
@@ -1540,9 +1545,21 @@ def cross_corpus_line_dedup(batch: DataFrame, index: DataFrame,
     distinct-hash collect + join) and its handle carried on the
     result (release_cached when consumed).
 
-    probe_filter_max caps the collected set (a batch bigger than
-    this isn't a nightly probe — the filter is skipped and the plan
-    falls back to the full-scan anti-join; pass None to always skip).
+    probe_filter_max caps probe filtering entirely (a batch bigger
+    than this isn't a nightly probe — the filter is skipped and the
+    plan falls back to the full-scan anti-join; pass None to always
+    skip). probe_isin_max (r11) picks the filter FORM: at or below
+    it the distinct hashes are collected and pushed as an IN literal
+    (reaches the stored hash-sorted layout's parquet row-group
+    stats — the nightly 10³-line case); above it the same set is
+    applied as a BROADCAST SEMI-JOIN of the distinct-hash frame
+    instead — building a 10⁵-literal IN through py4j and carrying it
+    through optimization cost more than the anti-join it saved
+    (measured at sf0.1: 13.6s → see OPTIMIZATION_r11.md), while the
+    semi-join ships the same 8-16 bytes/hash once as a broadcast and
+    filters the index in the scan stage. Both forms can only shrink
+    the index side to hash-matching rows, so the match set is
+    unchanged (equality test-pinned across all tiers).
     `key` must match the index's build key (line_index's contract)."""
     lines = _doc_lines(batch, id_col, text_col, sep, key)
     idx = index.select("__h")
@@ -1550,10 +1567,13 @@ def cross_corpus_line_dedup(batch: DataFrame, index: DataFrame,
     if probe_filter_max is not None:
         lines = lines.persist()
         handles.append(lines)
-        hs = [r["__h"] for r in lines.select("__h").distinct()
-              .limit(probe_filter_max + 1).collect()]
-        if len(hs) <= probe_filter_max:
+        dh = lines.select("__h").distinct()
+        n_distinct = dh.limit(probe_filter_max + 1).count()
+        if n_distinct <= min(probe_filter_max, probe_isin_max):
+            hs = [r["__h"] for r in dh.collect()]
             idx = idx.filter(F.col("__h").isin(hs))
+        elif n_distinct <= probe_filter_max:
+            idx = idx.join(F.broadcast(dh), "__h", "semi")
     surv = lines.join(idx, "__h", "left_anti")
     first = surv.groupBy("__h").agg(
         F.min(F.struct("doc", "pos")).alias("__first"))

@@ -41,6 +41,32 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a) * _dot(b, b)))
 
 
+def norm2_col(a: Column) -> Column:
+    """Self dot product ⟨a,a⟩ — the EXACT expression cosine_col uses
+    for each side's norm (same zip_with/aggregate fold over the same
+    doubles), split out so pair-scoring plans can evaluate it once per
+    ROW instead of once per PAIR (r11 optimization, guide §1.2: the
+    interpreted HOF fold is the per-pair bottleneck, and two of
+    cosine_col's three folds depend on one side only)."""
+    return _dot(a, a)
+
+
+def cosine_from_norms(dot_ab: Column, n2_a: Column, n2_b: Column
+                      ) -> Column:
+    """cosine_col factored over precomputed squared norms:
+    try_divide(⟨a,b⟩, sqrt(n2_a · n2_b)) with n2_x = norm2_col(x).
+
+    BIT-IDENTICAL to cosine_col(a, b): the same three double values
+    feed the same multiply/sqrt/divide ops in the same order — the
+    self-dots are merely evaluated in an earlier Project (once per
+    row) instead of inline (once per pair). All NULL/NaN/zero-norm
+    behavior is inherited unchanged: a NULL array yields NULL n2, a
+    zero-norm side yields sqrt(0·y)=0 → try_divide → NULL, a NaN
+    element poisons the same chain. NOT the normalized-input shortcut
+    cosine_col's docstring warns about — no value is rescaled."""
+    return F.try_divide(dot_ab, F.sqrt(n2_a * n2_b))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
@@ -55,16 +81,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     self can never push the self row into the result).
     """
     q = broadcast(queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("q_vec")))
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+        norm2_col(F.col(vec_col)).alias("__qn2")))
     # widen: the interpreted zip_with/aggregate dot product is the
     # bottleneck; it must not run on a 1-task file layout.
-    scored = widen(corpus.select(F.col(id_col), F.col(vec_col))) \
+    # Norms are computed once per row on each side BEFORE the join
+    # (cosine_from_norms — bit-identical factoring of cosine_col),
+    # so each pair pays ONE interpreted fold, not three.
+    scored = widen(corpus.select(
+        F.col(id_col), F.col(vec_col),
+        norm2_col(F.col(vec_col)).alias("__n2"))) \
         .crossJoin(q)
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        F.round(cosine_from_norms(_dot(F.col(vec_col), F.col("q_vec")),
+                                  F.col("__n2"), F.col("__qn2")), 6)
         .alias("cosine")).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col))
@@ -198,18 +231,63 @@ def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
     literal — n_cells × dim doubles live in the plan itself, so cell
     assignment needs no join, no window, and NO exchange of the corpus
     (the r04 judge flagged the crossJoin+Window argmax as a per-pass
-    corpus-scale shuffle)."""
-    return F.array(*[
-        F.struct(F.lit(int(cell)).cast("long").alias("cell"),
-                 F.array(*[F.lit(float(x)).cast("double") for x in vec])
-                 .alias("c_vec"))
-        for cell, vec in cent_rows])
+    corpus-scale shuffle).
+
+    Each struct also carries cn2 = ⟨c_vec,c_vec⟩ precomputed DRIVER-
+    side (r11): Python's left-fold acc + x*x over the same doubles is
+    the same IEEE op sequence as _dot's aggregate fold, so the literal
+    equals what norm2_col would compute on the executor — assign_cells
+    then pays one interpreted fold per (row, centroid) instead of
+    three.
+
+    Built as ONE generated-SQL F.expr (r11): the previous
+    per-element F.lit(...).cast(...) construction cost ~2 py4j round
+    trips per double — n_cells × dim × 2 driver-blocking calls, which
+    PROFILING showed dominated the ANN rows' wall-clock (plan BUILD
+    6-12s vs 1-3s of actual jobs at 16×64; see OPTIMIZATION_r11.md).
+    One expr string parses JVM-side in one call. _dlit's
+    CAST('repr' AS DOUBLE) round-trips every finite double exactly
+    (shortest-repr parse), the codebase's proven PQ-chain rendering;
+    the resulting literals are bit-identical to what F.lit produced."""
+    entries = ", ".join(
+        "named_struct('cell', CAST({} AS BIGINT), 'c_vec', array({}), "
+        "'cn2', {})".format(
+            int(cell),
+            ", ".join(_dlit(x) for x in vec),
+            _dlit(_py_norm2(vec)))
+        for cell, vec in cent_rows)
+    return F.expr(f"array({entries})")
+
+
+def _py_norm2(vec: list[float]) -> float:
+    """Driver-side twin of norm2_col: left fold acc + float(x)*float(x)
+    from 0.0 — element order and op order match _dot exactly, so the
+    result is bit-identical to the executor-evaluated fold."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _centroid_map_literal(cent_rows: list[tuple[int, list[float]]]
+                          ) -> Column:
+    """cell → c_vec as a map literal, built as ONE generated-SQL
+    F.expr for the same py4j-round-trip reason as _centroid_literal
+    (r11): the previous map_from_arrays over per-element F.lit calls
+    cost n_cells × dim driver-blocking calls. Values are _dlit doubles
+    (exact shortest-repr round trip), bit-identical to F.lit's."""
+    keys = ", ".join(f"CAST({int(c)} AS BIGINT)" for c, _ in cent_rows)
+    vals = ", ".join(
+        "array({})".format(", ".join(_dlit(x) for x in v))
+        for _, v in cent_rows)
+    return F.expr(f"map_from_arrays(array({keys}), array({vals}))")
 
 
 def assign_cells(df: DataFrame,
                  cent_rows: list[tuple[int, list[float]]],
                  n: int, vec_col: str = "embedding",
-                 rounded: bool = False) -> DataFrame:
+                 rounded: bool = False,
+                 keep_norm: str | None = None) -> DataFrame:
     """Row-local nearest-cell assignment: per row, score every inlined
     centroid (cosine), take the n best by (cosine desc, cell asc), and
     explode — a pure scan projection, zero exchanges regardless of
@@ -231,11 +309,22 @@ def assign_cells(df: DataFrame,
     exactly (sub-ulp differences between the fold-order dot product
     here and an oracle's list kernel would otherwise flip boundary
     assignments). Production ANN tiers keep the raw double; the
-    oracle-hashed consumers (sp_cluster_balanced_sample) opt in."""
+    oracle-hashed consumers (sp_cluster_balanced_sample) opt in.
+
+    keep_norm='col' (r11) keeps the row's squared norm (norm2_col,
+    computed here once anyway for the factored cosine) under that
+    name so a downstream pair join can reuse it via
+    cosine_from_norms instead of re-folding it per pair."""
     cents = _centroid_literal(cent_rows)
+    # Row norm once per ROW; centroid norms ride the literal (cn2).
+    # cosine_from_norms is bit-identical to the inline cosine_col,
+    # so ranking (and the rounded cross-engine contract) is unchanged.
+    norm_col = keep_norm or "__row_n2"
+    df = df.withColumn(norm_col, norm2_col(F.col(vec_col)))
 
     def _ns(c):
-        cs = cosine_col(F.col(vec_col), c["c_vec"])
+        cs = cosine_from_norms(_dot(F.col(vec_col), c["c_vec"]),
+                               F.col(norm_col), c["cn2"])
         if rounded:
             cs = F.round(cs, 6)
         return F.coalesce(-cs, F.lit(float("inf")))
@@ -246,8 +335,9 @@ def assign_cells(df: DataFrame,
             lambda c: F.struct(_ns(c).alias("ns"),
                                c["cell"].alias("cell")))),
         1, n)
-    return df.withColumn(
+    out = df.withColumn(
         "cell", F.explode(F.transform(ranked, lambda s: s["cell"])))
+    return out if keep_norm else out.drop(norm_col)
 
 
 def _collect_first_centroids(corpus: DataFrame, n_cells: int, id_col: str,
@@ -384,15 +474,17 @@ def knn_graph_ivf(corpus: DataFrame, k: int = 5, n_cells: int = 16,
     cent_rows = _quantizer_rows(corpus, n_cells, id_col, vec_col,
                                 quantizer, train_permille)
     members = assign_cells(widen(corpus.select(id_col, vec_col)),
-                           cent_rows, 1, vec_col)
+                           cent_rows, 1, vec_col, keep_norm="__n2")
     probes = assign_cells(
         widen(corpus.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("q_vec"))),
-        cent_rows, n_probe, "q_vec")
+        cent_rows, n_probe, "q_vec", keep_norm="__qn2")
     scored = members.join(probes, "cell") \
         .filter(F.col(id_col) != F.col("query_id")) \
         .select("query_id", id_col,
-                F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+                F.round(cosine_from_norms(
+                    _dot(F.col(vec_col), F.col("q_vec")),
+                    F.col("__n2"), F.col("__qn2")), 6)
                 .alias("cosine")) \
         .filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
@@ -472,17 +564,19 @@ def hard_negatives(corpus: DataFrame, m: int = 5, n_cells: int = 16,
                                 quantizer, train_permille)
     members = assign_cells(
         widen(corpus.select(id_col, vec_col, label_col)),
-        cent_rows, 1, vec_col)
+        cent_rows, 1, vec_col, keep_norm="__n2")
     probes = assign_cells(
         widen(corpus.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("q_vec"),
                             F.col(label_col).alias("q_label"))),
-        cent_rows, n_probe, "q_vec")
+        cent_rows, n_probe, "q_vec", keep_norm="__qn2")
     scored = members.join(probes, "cell") \
         .filter((F.col(id_col) != F.col("query_id"))
                 & (F.col(label_col) != F.col("q_label"))) \
         .select("query_id", id_col, label_col,
-                F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+                F.round(cosine_from_norms(
+                    _dot(F.col(vec_col), F.col("q_vec")),
+                    F.col("__n2"), F.col("__qn2")), 6)
                 .alias("cosine")) \
         .filter(F.col("cosine").isNotNull())
     if max_cos is not None:
@@ -1379,14 +1473,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                 quantizer, train_permille)
 
     c = assign_cells(widen(corpus.select(id_col, vec_col)), cent_rows, 1,
-                     vec_col)
+                     vec_col, keep_norm="__n2")
     q = broadcast(
         assign_cells(queries.select(query_id_col, F.col(vec_col)),
-                     cent_rows, n_probe, vec_col)
-        .select(query_id_col, F.col(vec_col).alias("q_vec"), "cell"))
+                     cent_rows, n_probe, vec_col, keep_norm="__qn2")
+        .select(query_id_col, F.col(vec_col).alias("q_vec"), "cell",
+                "__qn2"))
     scored = c.join(q, "cell").select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        F.round(cosine_from_norms(_dot(F.col(vec_col), F.col("q_vec")),
+                                  F.col("__n2"), F.col("__qn2")), 6)
         .alias("cosine")).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -1628,7 +1724,7 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
     like quantize_vectors' qnorm)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
-    out = corpus
+    sub_cols = []
     for sub, cb in enumerate(codebooks):
         off = sub * d_sub
         # argmin key is |c|² - 2⟨v,c⟩ (≡ argmin L2² since |v|² is
@@ -1643,15 +1739,23 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
             f"'cn2_e6', {_sql_e6(' + '.join(f'{_dlit(c)} * {_dlit(c)}' for c in cv))}"
             f")"
             for code, cv in cb)
-        out = out.withColumn(
-            f"__pq{sub}", F.expr(f"sort_array(array({entries}))[0]"))
+        sub_cols.append(F.expr(f"sort_array(array({entries}))[0]")
+                        .alias(f"__pq{sub}"))
+    # ONE select for the m sub-quantizer argmins and ONE for the
+    # code/norm folds (r11): chained withColumns re-ran the analyzer
+    # over the growing literal-heavy plan per subspace — an O(m²)
+    # driver cost on an expression tree this size (guide §7.3's
+    # "gigantic expression trees in loops"). Same expressions, same
+    # values; only the number of analysis passes changes.
+    out = corpus.select("*", *sub_cols)
     return (out
-            .withColumn("codes", F.expr(
-                "array(" + ", ".join(f"__pq{s}.code" for s in range(m))
-                + ")"))
-            .withColumn("xn2_e6", F.expr(
-                " + ".join(f"__pq{s}.cn2_e6" for s in range(m))))
-            .drop(*[f"__pq{s}" for s in range(m)]))
+            .select(*corpus.columns,
+                    F.expr("array(" + ", ".join(
+                        f"__pq{s}.code" for s in range(m)) + ")")
+                    .alias("codes"),
+                    F.expr(" + ".join(
+                        f"__pq{s}.cn2_e6" for s in range(m)))
+                    .alias("xn2_e6")))
 
 
 def pq_encode_blas(corpus: DataFrame, codebooks: Codebooks,
@@ -1959,10 +2063,7 @@ def residual_frame(corpus: DataFrame,
     on clustered data the raw-vector codebooks collapse to cluster
     centers and lose all within-cluster ranking; the residuals keep
     it)."""
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
-        F.array(*[F.array(*[F.lit(float(x)) for x in v])
-                  for _, v in cent_rows]))
+    cmap = _centroid_map_literal(cent_rows)
     return (assign_cells(corpus, cent_rows, 1, vec_col)
             .withColumn(res_col, F.zip_with(
                 F.col(vec_col), cmap[F.col("cell")],
@@ -2260,11 +2361,17 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      .filter(F.col("rank") <= rerank)
                      .select(query_id_col, id_col))
     qv = broadcast(queries.select(query_id_col,
-                                  F.col(vec_col).alias("q_vec")))
-    exact = corpus.select(id_col, vec_col).join(cand, id_col) \
+                                  F.col(vec_col).alias("q_vec"),
+                                  norm2_col(F.col(vec_col))
+                                  .alias("__qn2")))
+    exact = corpus.select(id_col, vec_col,
+                          norm2_col(F.col(vec_col)).alias("__n2")) \
+        .join(cand, id_col) \
         .join(qv, query_id_col).select(
             query_id_col, id_col,
-            F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+            F.round(cosine_from_norms(
+                _dot(F.col(vec_col), F.col("q_vec")),
+                F.col("__n2"), F.col("__qn2")), 6)
             .alias("pq_cosine")).filter(F.col("pq_cosine").isNotNull())
     return (exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -2376,19 +2483,37 @@ def ivfpq_encode_frame(corpus: DataFrame,
                     f"{_dlit(a)} * {_dlit(b)}" for a, b in zip(cs, cw))
                 ccw_entries.append(
                     f"struct(CAST({key} AS INT), {_sql_e6(chain)})")
-    return (enc
-            .withColumn("cn2_e6", F.expr(
-                f"map_from_entries(array({cn2_entries}))")
-                [F.col("cell").cast("int")])
-            .withColumn("cross_e6", F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + F.element_at(
-                    F.expr("map_from_entries(array("
-                           + ", ".join(ccw_entries) + "))"),
-                    ((F.col("cell").cast("int") * m + s) * n_codes
-                     + F.element_at(F.col("codes"), s + 1))
-                    .cast("int")))))
+    # r11: the chains are pure CONSTANTS, but left inline they formed
+    # a ~40k-node expression tree that every downstream Dataset
+    # creation re-ran the ANALYZER over — measured 2.4-2.9s of driver
+    # wall per encode-frame build at 8 cells × 8×16 codes, dwarfing
+    # the actual jobs (OPTIMIZATION_r11.md). Evaluate them ONCE
+    # through Spark itself (one empty-row job, the same evaluation
+    # ConstantFolding would have performed at optimization time — so
+    # the resulting BIGINTs are bit-identical by construction, no
+    # Python re-implementation of ROUND HALF_UP involved) and inline
+    # the folded integers as a small literal map.
+    spark = corpus.sparkSession
+    folded = spark.range(1).select(
+        F.expr(f"array({cn2_entries})").alias("cn2"),
+        F.expr("array(" + ", ".join(ccw_entries) + ")").alias("ccw")
+    ).head()
+    cn2_lit = ", ".join(f"struct({int(s[0])}, {int(s[1])}L)"
+                        for s in folded["cn2"])
+    ccw_lit = ", ".join(f"struct({int(s[0])}, {int(s[1])}L)"
+                        for s in folded["ccw"])
+    return enc.select(
+        "*",
+        F.expr(f"map_from_entries(array({cn2_lit}))")
+        [F.col("cell").cast("int")].alias("cn2_e6"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.element_at(
+                F.expr(f"map_from_entries(array({ccw_lit}))"),
+                ((F.col("cell").cast("int") * m + s) * n_codes
+                 + F.element_at(F.col("codes"), s + 1))
+                .cast("int"))).alias("cross_e6"))
 
 
 def ivfpq_recall_probe(enc: DataFrame,
@@ -2549,10 +2674,7 @@ def ivfpq_relational_query_frame(
     symmetricHashJoin buffering both sides forever), so the same
     expressions run unchanged on arriving query vectors (the serving
     path joins this against the static encoded corpus)."""
-    cmap = F.map_from_arrays(
-        F.array(*[F.lit(int(c)) for c, _ in cent_rows]),
-        F.array(*[F.array(*[F.lit(float(x)) for x in v])
-                  for _, v in cent_rows]))
+    cmap = _centroid_map_literal(cent_rows)
     qp = assign_cells(queries.select(query_id_col, vec_col), cent_rows,
                       n_probe, vec_col)
     qc_e6 = F.round(F.aggregate(
@@ -2724,15 +2846,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     keeps one bucket per table, so corpus storage and the equi-join
     shape are unchanged — the candidate set grows ~(bits+1)x, still a
     tiny corpus fraction at 2^bits buckets."""
-    c = _lsh_bucketed(widen(corpus.select(id_col, vec_col)), vec_col,
-                      dim, bits, n_tables, False)
+    c = _lsh_bucketed(widen(corpus.select(
+        id_col, vec_col, norm2_col(F.col(vec_col)).alias("__n2"))),
+        vec_col, dim, bits, n_tables, False)
     q = broadcast(_lsh_bucketed(
-        queries.select(query_id_col, vec_col), vec_col,
-        dim, bits, n_tables, multiprobe)
-        .select(query_id_col, F.col(vec_col).alias("q_vec"), "tb"))
+        queries.select(query_id_col, vec_col,
+                       norm2_col(F.col(vec_col)).alias("__qn2")),
+        vec_col, dim, bits, n_tables, multiprobe)
+        .select(query_id_col, F.col(vec_col).alias("q_vec"), "tb",
+                "__qn2"))
     scored = c.join(q, "tb").select(
         query_id_col, id_col,
-        F.round(cosine_col(F.col(vec_col), F.col("q_vec")), 6)
+        F.round(cosine_from_norms(_dot(F.col(vec_col), F.col("q_vec")),
+                                  F.col("__n2"), F.col("__qn2")), 6)
         .alias("cosine")).distinct() \
         .filter(F.col("cosine").isNotNull())
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from contacts_etl_phase21_spark.operators.entity_resolution import (
     build_lineage, cluster_records, merge_clusters, prepare_for_matching,
 )
+from contacts_etl_phase21_spark.io import widen
 from contacts_etl_phase21_spark.operators.normalize import normalize_records
 from contacts_etl_phase21_spark.pipeline.config import PipelineConfig
 
@@ -43,8 +44,19 @@ def consolidate_records(raw: DataFrame,
     When config normalization.email_dns_mx_check is on, merged contacts
     get the E11 post-merge deliverability pass (reference
     combine_contacts.py:1453-1455) before flattening/export;
-    `mx_checker` injects a deterministic checker for tests."""
-    normalized = normalize_records(raw, config.normalization)
+    `mx_checker` injects a deterministic checker for tests.
+
+    raw is widened first (r11, guide §2.5/§4): every stage below —
+    the normalize/prepare Arrow-UDF chains and the quadratic pair
+    scoring — inherits the INPUT's partitioning, and a single-row-
+    group local source scans as ONE task, serializing the whole
+    Python boundary (profiled: the pair-scoring localCheckpoint
+    stages ran 2-4 tasks with run≫cpu — Python wait — on 32 cores).
+    widen no-ops on an already-wide input (the 100 TB case) and every
+    derived column (rid included — a pure function of source +
+    source_row_id) is row-local, so the output is partition-
+    independent."""
+    normalized = normalize_records(widen(raw), config.normalization)
     clustered = cluster_records(
         prepare_for_matching(normalized), config.dedupe).cache()
     contacts = merge_clusters(clustered, config.dedupe)

@@ -975,18 +975,22 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     from contacts_etl_phase21_spark.operators.similarity_search import (
-        cosine_col,
+        _dot, cosine_from_norms, norm2_col,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     q = broadcast(emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec")))
+        F.col("embedding").alias("q_vec"),
+        norm2_col(F.col("embedding")).alias("__qn2")))
     return scale_e6(
-        emb.crossJoin(q)
+        emb.select("vec_id", "embedding",
+                   norm2_col(F.col("embedding")).alias("__n2"))
+        .crossJoin(q)
         .select("query_id", "vec_id",
-                F.round(cosine_col(F.col("embedding"),
-                                   F.col("q_vec")), 6).alias("cosine"))
+                F.round(cosine_from_norms(
+                    _dot(F.col("embedding"), F.col("q_vec")),
+                    F.col("__n2"), F.col("__qn2")), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
         .orderBy("query_id", "vec_id"),
         "cosine")
@@ -4249,20 +4253,25 @@ def sp_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_v=8).collect())
     g = ta.gopher_signals(F.col("text"), stopwords=stop,
                           min_stop_distinct=2)
+    # gated is persisted (r11, guide §5): it feeds BOTH the
+    # cross-corpus pair builder and the anti-join's left side, and
+    # the Gopher-gate regex scan would otherwise evaluate twice.
     gated = (new.select("doc_id", "text", "n_chars",
                         g["g_words"].alias("__gw"),
                         g["g_mean_wlen"].alias("__gm"),
                         g["g_stop"].alias("__gs"))
              .filter((F.col("__gw") == 1) & (F.col("__gm") == 1)
-                     & (F.col("__gs") == 1)))
-    dup_ids = (dd.cross_corpus_near_dups(
+                     & (F.col("__gs") == 1))).persist()
+    dups = dd.cross_corpus_near_dups(
         gated.select("doc_id", "text"), idx, "doc_id", "text")
-        .select(F.col("new_id").alias("doc_id")).distinct())
+    dup_ids = dups.select(F.col("new_id").alias("doc_id")).distinct()
     survivors = gated.join(dup_ids, "doc_id", "left_anti")
-    return token_budget_select(
-        survivors, "doc_id", "n_chars",
-        ta.whitespace_token_count(F.col("text")),
-        budget=2_000).orderBy("doc_id")
+    return dd._carry_cached(
+        token_budget_select(
+            survivors, "doc_id", "n_chars",
+            ta.whitespace_token_count(F.col("text")),
+            budget=2_000).orderBy("doc_id"),
+        [gated, *getattr(dups, "_cached_intermediates", ())])
 
 
 @query(

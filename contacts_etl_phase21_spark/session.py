@@ -42,6 +42,19 @@ def get_spark(app_name: str = "contacts-etl-phase21-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r11 (guide §2.5): AQE's parallelismFirst coalescing still
+        # FLOORS post-shuffle partitions at minPartitionSize (default
+        # 1m), which serializes byte-small but CPU-heavy reduce stages
+        # — the ER pair-scoring stages (difflib pandas UDFs over a
+        # few-MB pair frame) profiled at 2-4 tasks on 32 cores. 64k
+        # keeps such stages at full parallelism; on a real cluster
+        # partitions are orders of magnitude above either floor, so
+        # the knob never binds there (parameterised for override).
+        # Interleaved A/B on er_pipeline_resolved_closed_form:
+        # 10.5/8.4s @1m vs 8.0/7.6s @64k.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE",
+                               "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # r11 optimization round (guide §3.1/§4.3/§9), A/B-measured

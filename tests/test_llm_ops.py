@@ -3071,10 +3071,14 @@ def test_cross_corpus_line_probe_filter_equality(spark, sf_small):
         capped = dd.cross_corpus_line_dedup(
             batch, idx, "doc_id", "text", key=key,
             probe_filter_max=1)  # batch exceeds the cap → fallback
+        semi = dd.cross_corpus_line_dedup(
+            batch, idx, "doc_id", "text", key=key,
+            probe_isin_max=0)  # r11: forces the broadcast-semi tier
         p = sorted(map(key_fn, pushed.collect()))
         assert p == sorted(map(key_fn, full.collect()))
         assert p == sorted(map(key_fn, capped.collect()))
-        for d in (idx, pushed, full, capped):
+        assert p == sorted(map(key_fn, semi.collect()))
+        for d in (idx, pushed, full, capped, semi):
             dd.release_cached(d)
 
 
