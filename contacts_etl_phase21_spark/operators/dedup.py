@@ -1568,11 +1568,17 @@ def cross_corpus_line_dedup(batch: DataFrame, index: DataFrame,
         lines = lines.persist()
         handles.append(lines)
         dh = lines.select("__h").distinct()
-        n_distinct = dh.limit(probe_filter_max + 1).count()
-        if n_distinct <= min(probe_filter_max, probe_isin_max):
-            hs = [r["__h"] for r in dh.collect()]
+        # r12 (r11 ADVICE): ONE probe job decides the nightly tier —
+        # collect up to probe_isin_max+1 distinct hashes; when they
+        # all fit the IN tier we already hold them (the old
+        # limit().count() + collect() ran the distinct twice on every
+        # small probe). Only an over-IN-size batch pays the count that
+        # picks semi-join vs full-scan.
+        head = dh.limit(probe_isin_max + 1).collect()
+        if len(head) <= min(probe_filter_max, probe_isin_max):
+            hs = [r["__h"] for r in head]
             idx = idx.filter(F.col("__h").isin(hs))
-        elif n_distinct <= probe_filter_max:
+        elif dh.limit(probe_filter_max + 1).count() <= probe_filter_max:
             idx = idx.join(F.broadcast(dh), "__h", "semi")
     surv = lines.join(idx, "__h", "left_anti")
     first = surv.groupBy("__h").agg(

@@ -1600,7 +1600,15 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _dlit(x: float) -> str:
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    """Bare double literal `<repr>D` (r12): Spark's lexer accepts the
+    full Python repr grammar (decimal / signed exponent) with the D
+    suffix, and Double.parseDouble is correctly rounded exactly like
+    CAST('…' AS DOUBLE) — same value, ONE expression node instead of
+    a Cast over a string literal. The PQ/centroid chains carry 10³-10⁴
+    of these, so halving their node count halves what the parser and
+    every analyzer pass walk (guide §7.3; value equality pinned in
+    tests/test_llm_ops.py)."""
+    return f"{float(x)!r}D"
 
 
 def _sql_dot(vec: str, off: int, cv: list[float]) -> str:
@@ -1614,6 +1622,40 @@ def _sql_e6(expr: str) -> str:
     """round(x · 1e6) as BIGINT — the registry's engine-exact fixed-
     point rendering (scale_fixed twin for operator-internal values)."""
     return f"CAST(ROUND(({expr}) * 1000000, 0) AS BIGINT)"
+
+
+def _py_chain_dot(a: list[float], b: list[float]) -> float:
+    """Σ aᵢ·bᵢ folded LEFT-ASSOCIATIVELY in Python doubles — the exact
+    IEEE op sequence of the generated `a0*b0 + a1*b1 + …` SQL chain
+    (each product and each add is one correctly-rounded double op in
+    both runtimes), so the result is bit-identical to evaluating the
+    chain in the JVM. The _py_norm2 precedent (r11), generalized to
+    two vectors. No leading 0.0 term: the chain has none."""
+    it = iter(zip(a, b))
+    x, y = next(it)
+    acc = x * y
+    for x, y in it:
+        acc = acc + x * y
+    return acc
+
+
+def _e6_round_spark(spark, vals: list[float]) -> list[int]:
+    """e6 fixed-point of a batch of doubles THROUGH SPARK — one tiny
+    job over a (idx, val) frame evaluating the registry's exact
+    `CAST(ROUND(val * 1e6, 0) AS BIGINT)` on bit-identical inputs
+    (r12). Replaces the r11 pattern of shipping the full constant
+    chains as a generated-SQL tree just to fold them: the products and
+    sums are IEEE-exact in Python (_py_chain_dot), but ROUND's
+    HALF_UP-on-shortest-decimal-repr is Spark-specific, so the
+    rounding step stays in the JVM. Parse+analysis drops from a
+    10⁴-node literal tree to one array literal + one lambda, evaluated
+    in a single one-row job (no per-value py4j traffic either way:
+    the doubles travel as one SQL string, order-preserving)."""
+    arr = "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+    row = spark.range(1).select(F.expr(
+        f"transform({arr}, v -> CAST(ROUND(v * 1000000, 0) AS BIGINT))"
+    ).alias("e6")).head()
+    return [int(x) for x in row["e6"]]
 
 
 Codebooks = list[list[tuple[int, list[float]]]]  # [sub][(code, sub_vec)]
@@ -1713,7 +1755,8 @@ def _lloyd_subspaces(mat, m: int, d_sub: int, n_codes: int,
 
 
 def pq_encode(corpus: DataFrame, codebooks: Codebooks,
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              cn2_e6: list[list[int]] | None = None) -> DataFrame:
     """Row-local PQ encoding: per subspace, the nearest codebook entry
     by (L2² asc, code asc) over the INLINED codebook literal — a pure
     scan projection like assign_cells: zero exchanges at any corpus
@@ -1721,9 +1764,27 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
     compressed representation a production sink would store instead of
     the vector) and `xn2_e6` (Σ_sub |codeword|² as an e6 BIGINT — the
     reconstructed squared norm, precomputed once per vector exactly
-    like quantize_vectors' qnorm)."""
+    like quantize_vectors' qnorm).
+
+    cn2_e6 (r12): optional prefolded e6(|codeword|²) BIGINTs, one list
+    per subspace in code order. These are pure CONSTANTS — when absent
+    they are folded here through one tiny Spark job (_py_chain_dot
+    sums + _e6_round_spark rounding, bit-identical to the old inline
+    `CAST(ROUND(chain*1e6))` chains by construction) instead of riding
+    the plan as m × n_codes literal chains that the parser and every
+    analyzer pass re-walk (guide §7.3). ivfpq_encode_frame passes them
+    in so its single constants job covers everything."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
+    if cn2_e6 is None:
+        flat = _e6_round_spark(
+            corpus.sparkSession,
+            [_py_chain_dot(cv, cv) for cb in codebooks for _, cv in cb])
+        sizes = [len(cb) for cb in codebooks]
+        cn2_e6, pos = [], 0
+        for sz in sizes:
+            cn2_e6.append(flat[pos:pos + sz])
+            pos += sz
     sub_cols = []
     for sub, cb in enumerate(codebooks):
         off = sub * d_sub
@@ -1736,9 +1797,9 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
             f"'skey', {_dlit(sum(c * c for c in cv))}"
             f" - 2.0D * ({_sql_dot(vec_col, off, cv)}), "
             f"'code', CAST({int(code)} AS INT), "
-            f"'cn2_e6', {_sql_e6(' + '.join(f'{_dlit(c)} * {_dlit(c)}' for c in cv))}"
+            f"'cn2_e6', {int(cn2_e6[sub][j])}L"
             f")"
-            for code, cv in cb)
+            for j, (code, cv) in enumerate(cb))
         sub_cols.append(F.expr(f"sort_array(array({entries}))[0]")
                         .alias(f"__pq{sub}"))
     # ONE select for the m sub-quantizer argmins and ONE for the
@@ -2433,10 +2494,21 @@ def ivfpq_relational_index(
                                          vec_col)
     dim = len(cent_rows[0][1])
     d_sub = dim // m
-    res = residual_frame(widen(corpus.select(id_col, vec_col)),
-                         cent_rows, vec_col)
-    first_res = res.orderBy(id_col).limit(n_codes) \
-        .select(id_col, "__res").collect()
+    # r12 (guide §1.2 "don't compute things you throw away"): take the
+    # first n_codes rows FIRST, then run the residual projection on
+    # those n_codes rows only. The r11 form ordered the full residual
+    # frame — a corpus-wide pass through the per-row cell argmin +
+    # subtract just to keep 16 rows. Residuals are row-local (cell
+    # assignment and v − c depend only on the row), so reordering the
+    # limit past the projection is value-identical per row; at 100 TB
+    # this deletes an entire corpus scan from the index build.
+    first_rows = corpus.select(id_col, vec_col).orderBy(id_col) \
+        .limit(n_codes)
+    first_res = sorted(
+        residual_frame(first_rows, cent_rows, vec_col)
+        .select(id_col, "__res").collect(),
+        key=lambda r: r[id_col])  # driver-side re-sort: row order out
+    # of a projection over a global limit is not contractual
     rvecs = [[float(x) for x in r["__res"]] for r in first_res]
     codebooks: Codebooks = [
         [(j, rv[s * d_sub:(s + 1) * d_sub])
@@ -2461,47 +2533,71 @@ def ivfpq_encode_frame(corpus: DataFrame,
     n_codes = _uniform_codebook_size(codebooks)
     dim = len(cent_rows[0][1])
     d_sub = dim // m
-    res = residual_frame(widen(corpus.select(id_col, vec_col)),
-                         cent_rows, vec_col)
-    enc = pq_encode(res, codebooks, "__res").select(
-        id_col, "cell", "codes", F.col("xn2_e6").alias("rn2_e6"))
+    spark = corpus.sparkSession
 
-    # per-cell |c|²_e6 and per-(cell, sub, code) ⟨c_sub, cw⟩_e6 maps:
-    # literal chains, constant-folded to int maps before serialization
-    cn2_entries = ", ".join(
-        "struct(CAST({} AS INT), {})".format(
-            int(cell),
-            _sql_e6(" + ".join(f"{_dlit(x)} * {_dlit(x)}" for x in cv)))
-        for cell, cv in cent_rows)
-    ccw_entries = []
+    # per-cell |c|²_e6, per-(cell, sub, code) ⟨c_sub, cw⟩_e6 and the PQ
+    # codeword norms — ALL pure constants. r11 folded them through one
+    # empty-row Spark job over the generated literal chains; that kept
+    # downstream analysis cheap but the fold job itself still PARSED +
+    # ANALYZED a ~40k-node tree (measured ~2s driver wall per build).
+    # r12: the products/sums fold in Python doubles (_py_chain_dot —
+    # left-assoc, each op IEEE correctly-rounded in both runtimes, so
+    # the sums are bit-identical to the JVM chains) and only the
+    # Spark-specific e6 ROUND runs in the JVM, over ONE tiny
+    # (idx, val) frame covering every constant in one job.
+    cn2_vals = [_py_chain_dot(cv, cv) for _, cv in cent_rows]
+    ccw_keys, ccw_vals = [], []
     for cell, cv in cent_rows:
         for s in range(m):
             cs = cv[s * d_sub:(s + 1) * d_sub]
             for code, cw in codebooks[s]:
-                key = (cell * m + s) * n_codes + code
-                chain = " + ".join(
-                    f"{_dlit(a)} * {_dlit(b)}" for a, b in zip(cs, cw))
-                ccw_entries.append(
-                    f"struct(CAST({key} AS INT), {_sql_e6(chain)})")
-    # r11: the chains are pure CONSTANTS, but left inline they formed
-    # a ~40k-node expression tree that every downstream Dataset
-    # creation re-ran the ANALYZER over — measured 2.4-2.9s of driver
-    # wall per encode-frame build at 8 cells × 8×16 codes, dwarfing
-    # the actual jobs (OPTIMIZATION_r11.md). Evaluate them ONCE
-    # through Spark itself (one empty-row job, the same evaluation
-    # ConstantFolding would have performed at optimization time — so
-    # the resulting BIGINTs are bit-identical by construction, no
-    # Python re-implementation of ROUND HALF_UP involved) and inline
-    # the folded integers as a small literal map.
-    spark = corpus.sparkSession
-    folded = spark.range(1).select(
-        F.expr(f"array({cn2_entries})").alias("cn2"),
-        F.expr("array(" + ", ".join(ccw_entries) + ")").alias("ccw")
-    ).head()
-    cn2_lit = ", ".join(f"struct({int(s[0])}, {int(s[1])}L)"
-                        for s in folded["cn2"])
-    ccw_lit = ", ".join(f"struct({int(s[0])}, {int(s[1])}L)"
-                        for s in folded["ccw"])
+                ccw_keys.append((cell * m + s) * n_codes + code)
+                ccw_vals.append(_py_chain_dot(cs, cw))
+    pq_vals = [_py_chain_dot(cv, cv) for cb in codebooks for _, cv in cb]
+    folded = _e6_round_spark(spark, cn2_vals + ccw_vals + pq_vals)
+    n_cn2, n_ccw = len(cn2_vals), len(ccw_vals)
+    cn2_ints = folded[:n_cn2]
+    ccw_ints = folded[n_cn2:n_cn2 + n_ccw]
+    pq_flat = folded[n_cn2 + n_ccw:]
+    pq_cn2_e6, pos = [], 0
+    for cb in codebooks:
+        pq_cn2_e6.append(pq_flat[pos:pos + len(cb)])
+        pos += len(cb)
+
+    res = residual_frame(widen(corpus.select(id_col, vec_col)),
+                         cent_rows, vec_col)
+    enc = pq_encode(res, codebooks, "__res", cn2_e6=pq_cn2_e6).select(
+        id_col, "cell", "codes", F.col("xn2_e6").alias("rn2_e6"))
+
+    cells = [int(c) for c, _ in cent_rows]
+    codes_dense = all(
+        [code for code, _ in cb] == list(range(len(cb)))
+        for cb in codebooks)
+    if cells == list(range(len(cells))) and codes_dense:
+        # r12: cell ids and codes are DENSE 0..n-1 here (first-n
+        # quantizers; stored indexes round-trip the same ids), so the
+        # lookup tables ship as positional ARRAY literals — one node
+        # per value instead of a struct per entry plus map hashing on
+        # every per-row probe. Same keys, same values, same lookups.
+        cn2_arr = "array(" + ", ".join(f"{v}L" for v in cn2_ints) + ")"
+        ccw_arr = "array(" + ", ".join(f"{v}L" for v in ccw_ints) + ")"
+        return enc.select(
+            "*",
+            F.element_at(F.expr(cn2_arr),
+                         F.col("cell").cast("int") + 1).alias("cn2_e6"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.element_at(
+                    F.expr(ccw_arr),
+                    ((F.col("cell").cast("int") * m + s) * n_codes
+                     + F.element_at(F.col("codes"), s + 1) + 1)
+                    .cast("int"))).alias("cross_e6"))
+    cn2_lit = ", ".join(
+        f"struct({int(cell)}, {v}L)"
+        for (cell, _), v in zip(cent_rows, cn2_ints))
+    ccw_lit = ", ".join(f"struct({k}, {v}L)"
+                        for k, v in zip(ccw_keys, ccw_ints))
     return enc.select(
         "*",
         F.expr(f"map_from_entries(array({cn2_lit}))")

@@ -31,8 +31,14 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "contacts-etl-phase21-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    extra_conf (r12, additive): caller-supplied settings applied on
+    top of the defaults — bench.py uses it to enable the event log so
+    per-query executor task-time can be reported (guide §1/§7.1)
+    without changing any engine default."""
     cores = default_parallelism()
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or max(cores, 8)
@@ -86,4 +92,6 @@ def get_spark(app_name: str = "contacts-etl-phase21-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -73,6 +73,13 @@ def stream_ann_topk(stream_queries: DataFrame,
     qframe = ivfpq_relational_query_frame(
         stream_queries, cent_rows, codebooks, n_probe, query_id_col,
         vec_col)
+    if not qframe.isStreaming:
+        # batch twin (r12): pin the broadcast exactly as
+        # ivf_pq_topk_relational does — the query frame is per-query
+        # constants (cells + ADC tables), always the small side; the
+        # pin skips AQE's plan-then-convert round trip. A streaming
+        # side cannot be broadcast, so the serving path is untouched.
+        qframe = F.broadcast(qframe)
     scored = ivfpq_relational_scored(enc, qframe, codebooks,
                                      query_id_col, id_col)
 
@@ -100,18 +107,21 @@ def stream_ann_topk(stream_queries: DataFrame,
         yield top[[query_id_col, "rank", id_col, "pq_cosine"]]
 
     if not scored.isStreaming:
-        # batch twin path: same grouped top-k via applyInPandas
-        def topk_batch(pdf):
-            import pandas as pd
+        # batch twin path (r12, guide §4.1): the same per-query top-k
+        # as a row_number window instead of groupBy+applyInPandas —
+        # (pq_cosine desc, id asc) is a TOTAL order per query (ids are
+        # unique), so the window rank equals the pandas sort rank
+        # row-for-row, and the JVM WindowGroupLimit replaces an Arrow
+        # round trip + an extra exchange/sort pair. The STREAMING path
+        # below is untouched (windows are unbounded state on a
+        # stream; the stateful top-k remains the serving form).
+        from pyspark.sql import Window
 
-            top = (pdf.sort_values(["pq_cosine", id_col],
-                                   ascending=[False, True])
-                   .head(k).reset_index(drop=True))
-            top.insert(1, "rank", (top.index + 1).astype("int32"))
-            return top[[query_id_col, "rank", id_col, "pq_cosine"]]
-
-        return scored.groupBy(query_id_col).applyInPandas(
-            topk_batch, out_schema)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("pq_cosine"), F.asc(id_col))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id_col, "rank", id_col, "pq_cosine"))
     return scored.groupBy(query_id_col).applyInPandasWithState(
         topk_fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)

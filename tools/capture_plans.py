@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for headline queries → plans/r11/.
+"""Capture .explain("formatted") for headline queries → plans/r12/.
 
 Usage: python tools/capture_plans.py [suffix] [query ...]
   suffix: "before" | "after" (default "before")
   query:  subset of headline names (default: all 13)
 
-Writes plans/r11/<query>_<suffix>.txt. Judge-facing artifact: the
+Writes plans/r12/<query>_<suffix>.txt. Judge-facing artifact: the
 optimization round's plan claims (Exchange counts, join strategies,
 PushedFilters, Python-eval nodes) are checked against these files.
 """
@@ -29,10 +29,10 @@ def main() -> int:
     suffix = args[0] if args else "before"
     names = args[1:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO, "plans", "r11")
+    out_dir = os.path.join(_REPO, "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
 
-    spark = get_spark("capture-plans-r11")
+    spark = get_spark("capture-plans-r12")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
