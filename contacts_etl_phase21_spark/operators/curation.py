@@ -67,6 +67,17 @@ def curate_corpus(docs: DataFrame, eval_docs: DataFrame,
                                        n=ngram)
                    .filter(F.col("contaminated") == 0)
                    .select(id_col), id_col)).persist()
+    # r12: materialize clean EAGERLY (one count fills the qual AND
+    # clean caches in a single pass) BEFORE the dedup spine builds on
+    # it. The spine's widen() must probe partitioning on a join-shaped
+    # input with df.rdd, and under AQE that probe EXECUTES the
+    # decontamination subtree just to learn the partition count —
+    # profiled as ~3-6s of single-threaded javaToPython stages whose
+    # results are thrown away. Probing a cache-backed frame is free,
+    # and every downstream consumer reads the same materialization the
+    # count paid for (still inside this one query invocation —
+    # recomputed from parquet every run, nothing crosses runs).
+    clean.count()
     dk = dedup_keep_first(clean, id_col, text_col)
     kept = (clean
             .join(dk.filter(F.col("kept") == 1)

@@ -211,7 +211,8 @@ def jaccard_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
                          n: int = 3,
-                         keep_cols: list[str] | None = None) -> DataFrame:
+                         keep_cols: list[str] | None = None,
+                         widen_input: bool = True) -> DataFrame:
     """(doc, sh_h: array<long>) — one 64-bit hash per distinct shingle.
     All downstream set math (MinHash mins, Jaccard intersect/union)
     runs on the longs; collision odds are ≪ 1e-6 at corpus scale and
@@ -240,7 +241,13 @@ def with_hashed_shingles(df: DataFrame, id_col: str, text_col: str,
     # the raw rows first moves the hashing after the exchange, across
     # all cores; the shuffle carries text instead of token-hash arrays
     # (similar bytes), and at 100 TB widen no-ops either way.
-    hashed = widen(df).select(
+    # widen_input=False (r12): a caller whose df is JOIN-shaped (e.g.
+    # docs ⋈ splits) opts out and widens its scan side itself — on a
+    # join plan widen() must fall back to the df.rdd probe, and under
+    # AQE that probe EXECUTES the join's subtrees just to read the
+    # partition count (profiled at seconds of thrown-away
+    # single-threaded work on the leakage-report path).
+    hashed = (widen(df) if widen_input else df).select(
         F.col(id_col).alias("doc"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
         *[F.col(c) for c in extra])

@@ -229,13 +229,21 @@ def split_leakage_report(docs: DataFrame, splits: DataFrame,
     partial-aggregates map-side; eval per-doc grams are already
     row-local-distinct). This is an audit-time corpus pass — run it
     once after splitting, not per batch."""
+    from contacts_etl_phase21_spark.io import widen
     from contacts_etl_phase21_spark.operators.dedup import (
         _carry_cached, with_hashed_shingles,
     )
 
-    labeled = docs.join(splits.select(id_col, split_col), id_col)
+    # r12: widen the docs SCAN side before the split join and tell
+    # with_hashed_shingles not to re-widen — its widen() on the
+    # join-shaped frame fell back to the df.rdd probe, which under AQE
+    # executed the whole leakage-safe-split subtree single-threaded
+    # just to read a partition count (guide §2.5 / §7.3).
+    labeled = widen(docs.select(id_col, text_col)) \
+        .join(splits.select(id_col, split_col), id_col)
     sh = with_hashed_shingles(labeled, id_col, text_col, n,
-                              keep_cols=[split_col]).persist()
+                              keep_cols=[split_col],
+                              widen_input=False).persist()
     train_g = sh.filter(F.col(split_col) == train_value) \
         .select(F.explode("sh_h").alias("g")).distinct()
     ev_grams = sh.filter(F.col(split_col) != train_value) \
@@ -286,10 +294,18 @@ def split_leakage_offenders(docs: DataFrame, splits: DataFrame,
     (minhash's accepted equivalence — this is a ranked diagnostic,
     not an election). This is audit-time tooling: run it once per
     split, with the report."""
+    from contacts_etl_phase21_spark.io import widen
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(
         F.lit(1), F.greatest(F.size("w") - F.lit(n - 1), F.lit(1)))
-    g = (docs.join(splits.select(id_col, split_col), id_col)
+    # r12 (guide §2.5): widen the docs side BEFORE the split join +
+    # gram explode — profiled as TWO consecutive 1-task stages (the
+    # single-row-group scan feeds a broadcast join, so the whole
+    # corpus tokenized/exploded single-threaded, once per aggregate
+    # side). widen no-ops at 100 TB where the scan is already wide.
+    g = (widen(docs.select(id_col, text_col))
+         .join(splits.select(id_col, split_col), id_col)
          .select(F.col(id_col).alias("doc"), F.col(split_col),
                  toks.alias("w"))
          .select("doc", split_col,
@@ -298,6 +314,16 @@ def split_leakage_offenders(docs: DataFrame, splits: DataFrame,
                          F.slice(F.col("w"), i, n), " "))))
                  .alias("gram"))
          .withColumn("__gh", F.xxhash64("gram")))
+    # r12 NEGATIVE RESULT (recorded so the next round doesn't re-try
+    # it): a one-pass groupBy(__gh) with two conditional
+    # count_distincts + max(gram) — removing the double evaluation of
+    # the g subtree — measured SLOWER (interleaved noop medians
+    # 5.5/6.1s two-aggregate-join vs 7.5/7.9s one-pass): the
+    # multi-distinct Expand duplicates every exploded gram row through
+    # the shuffle and carries the gram text for train rows too, while
+    # the "duplicate" splits subtree under g is already mitigated by
+    # _collapsed_doc_components' internal persists/checkpoints. The
+    # two-aggregate + join form stands.
     train = g.filter(F.col(split_col) == train_value) \
         .groupBy("__gh") \
         .agg(F.count_distinct("doc").alias("n_train_docs"))
@@ -662,7 +688,15 @@ def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
             F.array_join(F.slice(toks, start + 1, size), " ")
             .alias("chunk_text")))
     extra = list(keep_cols or [])
-    return (df.filter(F.trim(F.col(text_col)) != "")
+    # r12 (guide §2.5 input layout): widen BEFORE the tokenize+explode
+    # projection — on the local single-row-group layout the scan is
+    # ONE task, so the whole corpus tokenized and sliced
+    # single-threaded (the with_hashed_shingles/ta_quality_scores
+    # pattern); widen round-robins the raw rows across cores first and
+    # no-ops at 100 TB where the scan is already wide.
+    from contacts_etl_phase21_spark.io import widen
+
+    return (widen(df.filter(F.trim(F.col(text_col)) != ""))
             .select(F.col(id_col), *extra,
                     F.explode(chunks).alias("__c"))
             .select(id_col, *extra, "__c.chunk_id", "__c.start_tok",

@@ -144,22 +144,25 @@ def e2_blocked_pairs_decided(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 optimization (guide §2.4): both star windows are computed ONCE
-    # into a shared base frame (chained windows, lazily checkpointed so
-    # edges / vertices / seed all read one materialization instead of
-    # re-running a window subplan per consumer), and the group minima
-    # they expose seed the propagation (init_labels) — the first hop of
-    # label flow happens inside the window pass that exists anyway, so
-    # the loop converges in 3 rounds instead of 4 (one full-graph
-    # shuffle + driver round trip saved; labels pinned identical in
+    # into a shared base frame, and the group minima they expose seed
+    # the propagation (init_labels) — the first hop of label flow
+    # happens inside the window pass that exists anyway, so the loop
+    # converges in 3 rounds instead of 4 (one full-graph shuffle +
+    # driver round trip saved; labels pinned identical in
     # tests/test_scale_patterns.py).
+    # r12 (judge r11 #5): the r11 base localCheckpoint(eager=False) is
+    # DROPPED — the driver measured e5 cold 0.88×, and the interleaved
+    # A/B this round confirms the checkpoint's materialization write
+    # costs more than the re-run of the cheap chained-window subplan
+    # per consumer (numbers in OPTIMIZATION_r12.md). The seeding (the
+    # structural win) is kept.
     customer = load(spark, sf_dir, "customer")
     w_nat = F.min("c_custkey").over(
         Window.partitionBy("c_nationkey", "c_mktsegment"))
     w_bal = F.min("c_custkey").over(
         Window.partitionBy("c_mktsegment", F.floor(F.col("c_acctbal") / 1000)))
     base = customer.select(F.col("c_custkey").alias("src"),
-                           w_nat.alias("m1"), w_bal.alias("m2")) \
-        .localCheckpoint(eager=False)
+                           w_nat.alias("m1"), w_bal.alias("m2"))
     e1 = base.select("src", F.col("m1").alias("dst")).filter("src <> dst")
     e2 = base.select("src", F.col("m2").alias("dst")).filter("src <> dst")
     edges = e1.union(e2).distinct()

@@ -1794,7 +1794,14 @@ def test_chunk_overlap_plan_is_scan_side_generator(spark, sf_small):
     docs = load(spark, sf_small, "documents")
     out = chunk_overlap(docs, "doc_id", "text")
     p = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in p and "Generate" in p
+    # r12: widen() may add ONE round-robin exchange on the local
+    # single-row-group layout (rescues 1-task scan parallelism for the
+    # tokenize+slice projection; no-op at scale) — the generator must
+    # still induce no KEYED shuffle, no join, no aggregation.
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p and "Aggregate" not in p
+    assert "Generate" in p
     # coverage: per doc, chunk token counts minus overlaps == n_tokens
     agg = (out.groupBy("doc_id")
            .agg(F.sum("n_chunk_toks").alias("s"),
