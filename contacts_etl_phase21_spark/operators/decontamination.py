@@ -35,10 +35,22 @@ def eval_ngram_set(eval_df: DataFrame, id_col: str, text_col: str,
     """Distinct hashed token n-grams of the eval set → (g: long).
 
     Small by construction (|eval docs| × doc length); the caller
-    broadcasts it against the corpus."""
-    return (with_hashed_shingles(eval_df, id_col, text_col, n)
-            .select(F.explode("sh_h").alias("g"))
-            .distinct())
+    broadcasts it against the corpus.
+
+    The shingle frame is persisted (r12): without the barrier,
+    Catalyst's InferFiltersFromGenerate derives `size(sh_h) > 0` from
+    the explode and pushes it below the widen exchange — the ENTIRE
+    tokenize+hash chain then re-evaluates per row as a Filter
+    predicate inside the 1-task scan stage (profiled: 1.8s
+    single-threaded on the eval side of st_curate_ingest), and again
+    in the projection. The persist computes the chain once, post-
+    widen, in parallel; the inferred filter stays above the cache.
+    Caller releases via release_cached (handles carried)."""
+    from contacts_etl_phase21_spark.operators.dedup import _carry_cached
+
+    sh = with_hashed_shingles(eval_df, id_col, text_col, n).persist()
+    return _carry_cached(
+        sh.select(F.explode("sh_h").alias("g")).distinct(), [sh])
 
 
 def contamination_flags(train: DataFrame, eval_df: DataFrame,
@@ -98,8 +110,12 @@ def contamination_by_eval(train: DataFrame, eval_df: DataFrame,
     """
     from contacts_etl_phase21_spark.operators.dedup import _carry_cached
 
+    # eval shingles persisted (r12): same InferFiltersFromGenerate
+    # barrier as eval_ngram_set — without it the tokenize+hash chain
+    # re-evaluates as a pushed-down size() filter in the 1-task scan
+    ev_sh = with_hashed_shingles(eval_df, id_col, text_col, n).persist()
     ev = broadcast(
-        with_hashed_shingles(eval_df, id_col, text_col, n)
+        ev_sh
         .select(F.col("doc").alias("eval_id"), F.explode("sh_h").alias("g")))
     tr = with_hashed_shingles(train, id_col, text_col, n).persist()
     hit_pairs = (tr.select(F.col("doc").alias("train_id"),
@@ -115,7 +131,7 @@ def contamination_by_eval(train: DataFrame, eval_df: DataFrame,
                    .alias("n_train_docs"),
                    F.coalesce("n_shared_grams", F.lit(0)).cast("bigint")
                    .alias("n_shared_grams")))
-    return _carry_cached(out, [tr])
+    return _carry_cached(out, [tr, ev_sh])
 
 
 def broadcast_eval_ngrams(eval_df: DataFrame, id_col: str,
@@ -127,8 +143,11 @@ def broadcast_eval_ngrams(eval_df: DataFrame, id_col: str,
     so the bounded set ships once per executor and membership checks
     run inside mapInPandas. Arrow-collected (toPandas, not py4j —
     the r06 collect-cost lesson)."""
+    from contacts_etl_phase21_spark.operators.dedup import release_cached
+
     ev = eval_ngram_set(eval_df, id_col, text_col, n)
     vals = frozenset(int(v) for v in ev.toPandas()["g"])
+    release_cached(ev)  # consumed eagerly — free the shingle cache now
     return eval_df.sparkSession.sparkContext.broadcast(vals)
 
 

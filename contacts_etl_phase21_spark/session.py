@@ -76,6 +76,21 @@ def get_spark(app_name: str = "contacts-etl-phase21-spark",
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "64m")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # r12 (guide §7.2 duplicated subtrees): InferFiltersFromGenerate
+        # derives `size(arr) > 0` from every explode and pushes it
+        # toward the scan — for a COMPUTED array (every generator in
+        # this engine explodes a tokenize/hash/band/chunk transform,
+        # never a stored array column) that re-evaluates the entire
+        # chain as a Filter predicate below the widen exchange, i.e.
+        # single-threaded in the 1-task scan stage locally and a
+        # duplicated corpus-wide pass at any scale. Profiled on the
+        # decontamination eval side: the full 8-gram hash chain ran
+        # per row inside the scan Filter AND again in the projection.
+        # The rule's upside (pruning empty arrays early) only exists
+        # for stored array columns, which no query here reads.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # guide §6: zstd parquet for engine-written artifacts (indexes,
         # interchange) — smaller at similar read speed; inputs under
         # $SPARK_GRAFT_SF_DIR are read-only and unaffected. The shuffle

@@ -68,6 +68,70 @@ def _as_record(row: pd.Series) -> dict[str, Any]:
     return rec
 
 
+def _pair_features(rec: dict) -> dict:
+    """Per-RECORD derived features for the ratio-independent veto
+    pre-gate (r12 — the Python twin of the batch path's
+    accepted_edges_fast pruning): computed once per record per batch
+    instead of once per PAIR inside pair_signals. Everything here
+    mirrors merge_ok's own expressions exactly (same helpers, same
+    truthiness rules), so the pre-gate can only skip pairs merge_ok
+    rejects."""
+    from contacts_etl_phase21_spark.functions.merge_core import (
+        address_keys, first_name_candidates,
+    )
+    from contacts_etl_phase21_spark.functions.names import nickname_root
+    from contacts_etl_phase21_spark.functions.text import fold_text
+
+    names = first_name_candidates(rec)
+    return {
+        "names": names,
+        # merge_ok's names_align: any(fold(x) == fold(y)) over truthy
+        # candidates — candidates are non-empty by construction, so
+        # set intersection of the folds is the same predicate
+        "folded": {fold_text(x) for x in names},
+        # nickname_equivalent(x, y) ≡ nickname_root(x) == nickname_root(y)
+        # for truthy x, y — root-set intersection is the same any()
+        "roots": {nickname_root(x) for x in names},
+        "has_ident": bool(names and (rec.get("last_name") or "")),
+        "emails": {e["value"] for e in rec.get("emails") or []},
+        "phones": {p["value"] for p in rec.get("phones") or []},
+        "addr": address_keys(rec.get("addresses")),
+        "li": rec.get("linkedin_url") or "",
+    }
+
+
+def _gates_can_pass(mf: dict, rf: dict, nickname_equivalence: bool) -> bool:
+    """False only when merge_ok is False INDEPENDENT of the difflib
+    ratio — exactly Gate 1 (nameless side without hard evidence) and
+    Gate 2 (names on both sides but no name-level agreement). Pairs
+    skipped here are pairs merge_ok(l, r, pair_signals(l, r)) would
+    reject, so the accepted set — and every emitted assignment — is
+    identical; what is saved is the per-pair difflib/scoring work on
+    the (dominant) non-matching pairs. Equivalence is pinned in
+    tests/test_streaming.py against the unpruned scorer."""
+    emails_overlap = bool(mf["emails"] & rf["emails"])
+    corroborator = (emails_overlap
+                    or bool(mf["phones"] & rf["phones"])
+                    or bool(mf["addr"] & rf["addr"])
+                    or bool(mf["li"] and mf["li"] == rf["li"]))
+    # Gate 1: a side with no usable (first/nickname + last) identity
+    # may only merge on hard evidence
+    if not (mf["has_ident"] and rf["has_ident"]) and not corroborator:
+        return False
+    # Gate 2: with names on both sides, some name-level agreement
+    # (exact fold, nickname root, shared email, same linkedin) is
+    # mandatory
+    if mf["names"] and rf["names"]:
+        names_align = bool(mf["folded"] & rf["folded"])
+        nickname_eq = nickname_equivalence and bool(
+            mf["roots"] & rf["roots"])
+        linkedin_match = bool(mf["li"] and mf["li"] == rf["li"])
+        if not (names_align or nickname_eq or emails_overlap
+                or linkedin_match):
+            return False
+    return True
+
+
 def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
                     ts_col: str = "ingest_ts"):
     def assign(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -81,6 +145,10 @@ def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
             return
         members: list[dict] = (
             json.loads(state.get[0]) if state.exists else [])
+        # r12: per-record veto-gate features, computed once per member
+        # per batch (and incrementally for appended arrivals) instead
+        # of per PAIR — see _pair_features/_gates_can_pass
+        feats: list[dict] = [_pair_features(m["rec"]) for m in members]
         out = []
         max_ts_ms = None
         # concatenate FIRST: the iterator yields Arrow chunks, and a
@@ -95,6 +163,7 @@ def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
             for _, row in batch.sort_values("rid").iterrows():
                 rec = _as_record(row)
                 rid = int(row["rid"])
+                rf = _pair_features(rec)
                 # Orientation matches the batch path's l_rid < r_rid
                 # pair construction even when a LATER arrival has a
                 # SMALLER rid (difflib's ratio is order-dependent).
@@ -102,7 +171,12 @@ def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
                 # cluster (never re-found a smaller id — the member's
                 # assignment is already emitted and must stay stable).
                 accepted = []
-                for m in members:
+                for m, mf in zip(members, feats):
+                    # ratio-independent veto pre-gate: skips only
+                    # pairs merge_ok rejects regardless of score
+                    if not _gates_can_pass(mf, rf,
+                                           cfg.nickname_equivalence):
+                        continue
                     l, r = ((m["rec"], rec) if int(m["rid"]) < rid
                             else (rec, m["rec"]))
                     if merge_ok(l, r,
@@ -113,6 +187,7 @@ def _make_assign_fn(cfg: DedupeConfig, ttl_ms: int | None = None,
                 cid = min(accepted) if accepted else rid
                 members.append({"rec": rec, "rid": rid,
                                 "cluster_id": cid})
+                feats.append(rf)
                 out.append((key[0], rid, cid))
         state.update((json.dumps(members),))
         if ttl_ms is not None and max_ts_ms is not None:

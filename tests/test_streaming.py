@@ -1597,3 +1597,75 @@ def test_line_dedup_compactor_cross_batch_restart(spark, tmp_path):
     assert [(r["doc_id"], r["cleaned_text"])
             for r in probe.collect()] == [(4, "brand new")]
     release_cached(probe)
+
+
+def test_er_pregate_only_skips_merge_ok_rejects(spark, sf_small):
+    """r12: the streaming assign loop's ratio-independent veto
+    pre-gate (_gates_can_pass) may only skip pairs merge_ok rejects —
+    over every within-block pair of the synthetic corpus, the pruned
+    accept decision must equal the unpruned one pair-for-pair
+    (including the adversarial nameless / nickname / shared-email
+    rows the corpus carries)."""
+    from collections import defaultdict
+
+    from contacts_etl_phase21_spark.functions.merge_core import (
+        DedupeConfig, merge_ok, pair_signals,
+    )
+    from contacts_etl_phase21_spark.operators.entity_resolution import (
+        prepare_for_matching,
+    )
+    from contacts_etl_phase21_spark.plans.coverage_queries import (
+        synthetic_contact_records,
+    )
+    from contacts_etl_phase21_spark.streaming.er_ingest import (
+        _ER_FIELDS, _gates_can_pass, _pair_features,
+    )
+
+    cfg = DedupeConfig()
+    prepared = prepare_for_matching(
+        synthetic_contact_records(spark, sf_small))
+    rows = prepared.select("block_key", "rid", *_ER_FIELDS).collect()
+    blocks = defaultdict(list)
+    for r in rows:
+        rec = {f: ([x.asDict() for x in r[f]]
+                   if f in ("emails", "phones", "addresses")
+                   else (r[f] if r[f] is not None else ""))
+               for f in _ER_FIELDS}
+        blocks[r["block_key"]].append((int(r["rid"]), rec))
+    n_pairs = n_skipped = n_accepted = 0
+    for members in blocks.values():
+        members.sort()
+        feats = [(_pair_features(rec)) for _, rec in members]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (lr, l), (rr, r) = members[i], members[j]
+                full = merge_ok(l, r, pair_signals(
+                    l, r, cfg.nickname_equivalence), cfg)
+                passes = _gates_can_pass(feats[i], feats[j],
+                                         cfg.nickname_equivalence)
+                n_pairs += 1
+                if not passes:
+                    n_skipped += 1
+                    # the pre-gate may ONLY skip rejects
+                    assert not full, (l, r)
+                if full:
+                    n_accepted += 1
+                    assert passes, (l, r)
+    assert n_pairs >= 20           # the corpus exercises real blocks
+    assert n_accepted > 0          # accepts exist and all pass the gate
+    # the gate actually prunes: two same-surname records with
+    # different first names and no shared evidence must be skipped by
+    # the pre-gate AND rejected by the full scorer
+    neg_a = {"source": "gmail", "first_name": "Alice", "nickname": "",
+             "last_name": "Smith", "suffix": "", "linkedin_url": "",
+             "emails": [{"value": "a@x.com"}], "phones": [],
+             "addresses": []}
+    neg_b = {"source": "gmail", "first_name": "Greta", "nickname": "",
+             "last_name": "Smith", "suffix": "", "linkedin_url": "",
+             "emails": [{"value": "g@y.com"}], "phones": [],
+             "addresses": []}
+    assert not _gates_can_pass(_pair_features(neg_a),
+                               _pair_features(neg_b),
+                               cfg.nickname_equivalence)
+    assert not merge_ok(neg_a, neg_b, pair_signals(
+        neg_a, neg_b, cfg.nickname_equivalence), cfg)
