@@ -14,11 +14,29 @@ from __future__ import annotations
 import hashlib
 import struct
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 
 def seq_ratio(a: str | None, b: str | None) -> float:
-    """difflib ratio on lowercased strings → [0, 1]."""
-    return SequenceMatcher(None, (a or "").lower(), (b or "").lower()).ratio()
+    """difflib ratio on lowercased strings → [0, 1].
+
+    Short inputs (names — the ER gate's hot case) are memoized (r12):
+    blocked contact data re-scores the same (first, first) pairs
+    thousands of times across a block, and a dict hit is ~100×
+    cheaper than SequenceMatcher. Pure function, so the cache is
+    value-transparent; long strings (document/comment similarity —
+    mostly unique) bypass it so the cache neither churns nor holds
+    big keys. Bounded, per-worker, within-process only — nothing
+    persists across runs."""
+    al, bl = (a or "").lower(), (b or "").lower()
+    if len(al) + len(bl) <= 64:
+        return _seq_ratio_cached(al, bl)
+    return SequenceMatcher(None, al, bl).ratio()
+
+
+@lru_cache(maxsize=1 << 16)
+def _seq_ratio_cached(al: str, bl: str) -> float:
+    return SequenceMatcher(None, al, bl).ratio()
 
 
 def char_shingles(text: str, k: int = 5) -> set[str]:
