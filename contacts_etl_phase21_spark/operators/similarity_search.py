@@ -1776,6 +1776,14 @@ def pq_encode(corpus: DataFrame, codebooks: Codebooks,
     in so its single constants job covers everything."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
+    # r11 ADVICE: select('*', *sub_cols) APPENDS — a pre-existing
+    # __pq{i} column would duplicate and make the later `__pq{s}.code`
+    # reference ambiguous; fail loudly instead
+    clash = [c for c in corpus.columns if c.startswith("__pq")]
+    if clash:
+        raise ValueError(
+            f"pq_encode: input already carries {clash}; rename or drop "
+            "these columns before encoding")
     if cn2_e6 is None:
         flat = _e6_round_spark(
             corpus.sparkSession,

@@ -76,21 +76,17 @@ def get_spark(app_name: str = "contacts-etl-phase21-spark",
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "64m")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
-        # r12 (guide §7.2 duplicated subtrees): InferFiltersFromGenerate
-        # derives `size(arr) > 0` from every explode and pushes it
-        # toward the scan — for a COMPUTED array (every generator in
-        # this engine explodes a tokenize/hash/band/chunk transform,
-        # never a stored array column) that re-evaluates the entire
-        # chain as a Filter predicate below the widen exchange, i.e.
-        # single-threaded in the 1-task scan stage locally and a
-        # duplicated corpus-wide pass at any scale. Profiled on the
-        # decontamination eval side: the full 8-gram hash chain ran
-        # per row inside the scan Filter AND again in the projection.
-        # The rule's upside (pruning empty arrays early) only exists
-        # for stored array columns, which no query here reads.
-        .config("spark.sql.optimizer.excludedRules",
-                "org.apache.spark.sql.catalyst.optimizer."
-                "InferFiltersFromGenerate")
+        # r12 NEGATIVE RESULT (recorded so it isn't re-tried):
+        # excluding InferFiltersFromGenerate session-wide was measured
+        # NEUTRAL-to-slightly-negative once the hot generator sites
+        # gained persist barriers (eval_ngram_set /
+        # contamination_by_eval) — the rule's harmful case (the
+        # inferred size() filter re-evaluating a computed-array chain
+        # below the widen exchange) is better fixed AT THE SITE with a
+        # persist, which also stops the generator re-evaluation; the
+        # blanket exclusion forfeits the rule's legitimate null/empty
+        # pruning elsewhere (isolated A/B: sp_corpus_refresh 5.0/6.5s
+        # with the rule vs 5.8/6.5s excluded).
         # guide §6: zstd parquet for engine-written artifacts (indexes,
         # interchange) — smaller at similar read speed; inputs under
         # $SPARK_GRAFT_SF_DIR are read-only and unaffected. The shuffle
