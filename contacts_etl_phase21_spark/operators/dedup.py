@@ -1206,11 +1206,19 @@ def _span_coverage(df: DataFrame, id_col: str, text_col: str,
     (doc, cov) position set lying under any k-gram that appears in
     >= 2 distinct documents (optionally df-capped). Row-local gram
     build; one map-side-combined gram groupBy and one equi-join back
-    are the only corpus-scale shuffles."""
-    arrs = df.select(
+    are the only corpus-scale shuffles.
+
+    r12: the token-array frame is WIDENED (the tokenize ran inside the
+    1-task local scan) and PERSISTED — it feeds FOUR subplans (both
+    sides of the gram df-join via `grams`, the posexplode in
+    remove_duplicate_spans, and the n_tokens base), each of which
+    re-ran the tokenize pass (profiled as repeated 0.6-1.3s
+    single-task cpu stages). One cache entry, (doc, tokens, n);
+    callers carry the handle (third return value) via _carry_cached."""
+    arrs = widen(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.split(F.trim(F.col(text_col)), " ").alias("__arr"))
-    arrs = arrs.withColumn("__n", F.size("__arr"))
+    arrs = arrs.withColumn("__n", F.size("__arr")).persist()
     gram_structs = F.when(
         F.col("__n") >= k,
         F.transform(
@@ -1275,13 +1283,15 @@ def duplicate_span_fraction(df: DataFrame, id_col: str, text_col: str,
         F.count(F.lit(1)).alias("dup_positions"))
 
     base = arrs.select("doc", F.col("__n").alias("n_tokens"))
-    return (base.join(covered, "doc", "left")
-            .select(F.col("doc").alias(id_col),
-                    F.col("n_tokens").cast("int").alias("n_tokens"),
-                    F.coalesce("dup_positions", F.lit(0)).cast("int")
-                    .alias("dup_positions"),
-                    F.round(F.coalesce("dup_positions", F.lit(0))
-                            / F.col("n_tokens"), 6).alias("dup_frac")))
+    return _carry_cached(
+        base.join(covered, "doc", "left")
+        .select(F.col("doc").alias(id_col),
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+                F.coalesce("dup_positions", F.lit(0)).cast("int")
+                .alias("dup_positions"),
+                F.round(F.coalesce("dup_positions", F.lit(0))
+                        / F.col("n_tokens"), 6).alias("dup_frac")),
+        [arrs])
 
 
 def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
@@ -1327,13 +1337,15 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                                                 lambda s: s["tok"]), " ")
                        .alias("cleaned_text")))
     base = arrs.select("doc", F.col("__n").alias("n_tokens"))
-    return (base.join(rebuilt, "doc", "left")
-            .select(F.col("doc").alias(id_col),
-                    F.col("n_tokens").cast("int").alias("n_tokens"),
-                    F.coalesce("kept_tokens", F.lit(0)).cast("int")
-                    .alias("kept_tokens"),
-                    F.coalesce("cleaned_text", F.lit(""))
-                    .alias("cleaned_text")))
+    return _carry_cached(
+        base.join(rebuilt, "doc", "left")
+        .select(F.col("doc").alias(id_col),
+                F.col("n_tokens").cast("int").alias("n_tokens"),
+                F.coalesce("kept_tokens", F.lit(0)).cast("int")
+                .alias("kept_tokens"),
+                F.coalesce("cleaned_text", F.lit(""))
+                .alias("cleaned_text")),
+        [arrs])
 
 
 def dedup_lines_keep_first(df: DataFrame, id_col: str, text_col: str,
@@ -1411,7 +1423,15 @@ def _doc_lines(df: DataFrame, id_col: str, text_col: str,
                sep: str, key: str = "xx64") -> DataFrame:
     """(doc, pos, line, __h): row-local line split with 1-based
     positions and the trimmed-line hash key (`key` names a _LINE_KEYS
-    expression) — the line family's shared front end."""
+    expression) — the line family's shared front end.
+
+    r12 NEGATIVE RESULT (recorded so it isn't re-tried): widening
+    here measured a consistent interleaved REGRESSION on
+    dd_cross_corpus_line_dedup (4.8/3.6 -> 7.8/4.3 noop) — the probe
+    path's distinct-hash collect and the nightly-sized batch side
+    both prefer the fused 1-task scan over paying a round-robin
+    exchange, and dd_dedup_lines read flat either way. Left
+    unwidened."""
     return (df.select(F.col(id_col).alias("doc"),
                       F.posexplode(F.split(F.col(text_col), sep))
                       .alias("pos0", "line"))
